@@ -1,0 +1,76 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit", "queries": {name: sec},
+"sf", plus throughput extras}.
+
+Set BENCH_PARALLELISM to override the core count (used by
+scripts/scale_bench.py to measure N-vs-4N scaling efficiency).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "transcript_window_features",  # flagship end-to-end pipeline
+    "pit_window_sum",
+    "sessionize",
+    "asof_last_match",
+    "topk_per_group",
+    "backfill_spine",
+    "group_agg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(
+        os.environ.get(
+            "BENCH_PARALLELISM", os.environ.get("SPARK_GRAFT_CPUS", "32")
+        )
+    )
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    import __spark_entry__ as E
+    from sqlfeatureextraction_spark.session import get_spark
+
+    spark = get_spark("bench", parallelism=cpus, shuffle_partitions=cpus)
+
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    # warm the JVM/parquet footer caches with a trivial action
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = n
+
+    total = round(sum(timings.values()), 3)
+    n_turns = rows.get("pit_window_sum", 0)
+    flagship_s = timings.get("transcript_window_features", float("nan"))
+    out = {
+        "metric": "end-to-end feature-pipeline wall time (headline queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "parallelism": cpus,
+        "rows": rows,
+        "turns_per_sec": round(n_turns / flagship_s, 1) if flagship_s else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

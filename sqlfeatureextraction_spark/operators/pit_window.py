@@ -1,0 +1,169 @@
+"""Point-in-time (per-event, trailing) window features — SLIDING mode.
+
+Reference analog: ``processPerQueryWindows``
+(enc/APMWindowFragmentIntent.java:266-304): for each event, the window
+``(ts − W, ts]`` — right-closed, membership test at :340-347 — then
+group members by entity (:92), dedupe intent-equal members summing cost
+(:306-337), take top-K entities by cost (:369-374) and top-N members
+per entity (:376-386), and concatenate member vectors with zero-padding
+(:422-493).  The reference re-filters the WHOLE event list per window —
+O(W·N) — and re-parses every SQL per window; this plan is a single
+sort-based pass that reuses the per-turn vector computed once.
+
+Spark-first formulation (this module = the pure built-in path; the
+salted ``applyInPandas`` sort-merge path lives in asof_merge.py):
+
+  1. member lists via ``collect_list().over(rangeBetween(-(W-1), 0))``
+     — Spark's sort-based window exec: one shuffle on conv_id, one
+     sorted pass per partition; the right-closed ``(ts−W, ts]`` bound
+     is ``rangeBetween(-(W−1), 0)`` on integral epoch seconds (Spark's
+     own ``F.window`` is left-closed and cannot express this).
+  2. one anchor row per distinct (conv_id, ts) — the reference skips
+     windows with an end-ts equal to the previous one (:280-284);
+     with ties all peer rows carry identical member lists (RANGE frame
+     includes peers), so any representative is exact.
+  3. dedupe/top-K/top-N as relational groupBy/row_number on the
+     (conv_id, ts) key family — Catalyst reuses the hash partitioning
+     across these stages, so steps 2-4 add no extra shuffle of the big
+     table beyond the first window sort.
+  4. final fixed-width assembly: one Arrow pandas UDF, numpy slice
+     scatter (≤ top_k×top_n members per anchor).
+
+Tie-breaking is a DEFINED total order (the reference's is JVM-HashMap
+order, SURVEY §4.4.4): entities by (cost desc, tool asc); members by
+(cost desc, ts asc, turn_idx asc); dedupe representative = earliest
+(ts, turn_idx) member of the intent-equal group.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sqlfeatureextraction_spark.config import FeatureConfig
+from sqlfeatureextraction_spark.layout import VectorLayout, window_vector_width
+from sqlfeatureextraction_spark.vocab import Vocabulary
+
+MEMBER_STRUCT = "struct(ts_sec, turn_idx, tool, cost, vec_hash, features)"
+
+
+def pit_member_pairs(vec: DataFrame, cfg: FeatureConfig) -> DataFrame:
+    """(anchor conv_id, ts, ts_sec) × exploded members with ts' ∈ (ts−W, ts]."""
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-(cfg.window_size_s - 1), 0)
+    )
+    tie = Window.partitionBy("conv_id", "ts_sec").orderBy(F.desc("turn_idx"))
+    anchors = (
+        vec.select(
+            "conv_id",
+            "ts",
+            "ts_sec",
+            "turn_idx",
+            F.collect_list(F.expr(MEMBER_STRUCT)).over(w).alias("members"),
+        )
+        .withColumn("_rn", F.row_number().over(tie))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "turn_idx")
+    )
+    m = F.explode("members").alias("m")
+    return anchors.select("conv_id", "ts", "ts_sec", m).select(
+        "conv_id",
+        "ts",
+        "ts_sec",
+        F.col("m.ts_sec").alias("m_ts_sec"),
+        F.col("m.turn_idx").alias("m_turn_idx"),
+        F.coalesce(F.col("m.tool"), F.lit("")).alias("m_tool"),
+        F.col("m.cost").alias("m_cost"),
+        F.col("m.vec_hash").alias("m_vec_hash"),
+        F.col("m.features").alias("m_features"),
+    )
+
+
+def _assemble_udf(vocab: Vocabulary, cfg: FeatureConfig, layout: VectorLayout):
+    turn_w = layout.width
+    tool_bits = dict(vocab.tools)
+    n_tools = layout.seg("tool").width
+    k, n = cfg.top_k_entities, cfg.top_n_members
+    out_w = window_vector_width(layout, k, n)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def assemble(slots: pd.Series) -> pd.Series:
+        """slots: list<struct(slot_idx, member_idx, tool, features)> per anchor.
+
+        tool_intent(|T|) ‖ slot-major, member-minor turn vectors,
+        zero-padded (layout formula enc/APMWindowFragmentIntent.java:487-490).
+        """
+        n_rows = len(slots)
+        mat = np.zeros((n_rows, out_w), dtype=np.float64)
+        for i, members in enumerate(slots.to_numpy()):
+            for mrec in members:  # ≤ k*n small structs per anchor
+                si = mrec["slot_idx"]
+                mi = mrec["member_idx"]
+                bit = tool_bits.get(mrec["tool"])
+                if bit is not None:
+                    mat[i, bit] = 1.0
+                start = n_tools + (si * n + mi) * turn_w
+                mat[i, start : start + turn_w] = mrec["features"]
+        return pd.Series(list(mat))
+
+    return assemble, out_w
+
+
+def window_features_builtin(
+    vec: DataFrame, vocab: Vocabulary, cfg: FeatureConfig, layout: VectorLayout
+) -> DataFrame:
+    """(conv_id, ts) → window_features:array<double> via pure DataFrame ops."""
+    pairs = pit_member_pairs(vec, cfg)
+
+    # A2: dedupe intent-equal members within the window, summing cost;
+    # representative = earliest (ts, turn_idx) member.
+    dedup = pairs.groupBy("conv_id", "ts", "ts_sec", "m_tool", "m_vec_hash").agg(
+        F.sum("m_cost").alias("g_cost"),
+        F.min_by("m_features", F.struct("m_ts_sec", "m_turn_idx")).alias(
+            "g_features"
+        ),
+        F.min(F.struct("m_ts_sec", "m_turn_idx")).alias("g_ord"),
+    )
+
+    # W6: top-K entities (tools) by summed cost.
+    tool_w = Window.partitionBy("conv_id", "ts_sec").orderBy(
+        F.desc("tool_cost"), F.asc("m_tool")
+    )
+    top_tools = (
+        dedup.groupBy("conv_id", "ts", "ts_sec", "m_tool")
+        .agg(F.sum("g_cost").alias("tool_cost"))
+        .withColumn("slot_idx", F.row_number().over(tool_w) - 1)
+        .where(F.col("slot_idx") < cfg.top_k_entities)
+        .select("conv_id", "ts_sec", "m_tool", "slot_idx")
+    )
+
+    # W7: top-N members per selected entity.
+    mem_w = Window.partitionBy("conv_id", "ts_sec", "m_tool").orderBy(
+        F.desc("g_cost"), F.asc("g_ord")
+    )
+    members = (
+        dedup.join(top_tools, ["conv_id", "ts_sec", "m_tool"])
+        .withColumn("member_idx", F.row_number().over(mem_w) - 1)
+        .where(F.col("member_idx") < cfg.top_n_members)
+    )
+
+    # W8: fixed-width assembly.
+    assemble, out_w = _assemble_udf(vocab, cfg, layout)
+    slots = members.groupBy("conv_id", "ts").agg(
+        F.collect_list(
+            F.struct(
+                F.col("slot_idx"),
+                F.col("member_idx"),
+                F.col("m_tool").alias("tool"),
+                F.col("g_features").alias("features"),
+            )
+        ).alias("slots")
+    )
+    return slots.select(
+        "conv_id", "ts", assemble(F.col("slots")).alias("window_features")
+    )

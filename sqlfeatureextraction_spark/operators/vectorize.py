@@ -1,0 +1,149 @@
+"""Per-turn feature vectorization (the reference's per-query encoder).
+
+Reference analog: ``APMFragmentIntent.getQueryIntent``
+(enc/APMFragmentIntent.java:1240-1261) — parse one SQL, scatter
+fragment bits into a fixed-width BitSet, serialized as a '0'/'1'
+string.  Executed row-at-a-time in Java; re-parsed once per window the
+row appears in (enc/APMWindowFragmentIntent.java:312-320 — an O(W·N)
+re-compute the Spark plan eliminates: the vector is computed ONCE per
+turn here and reused by every downstream window).
+
+Spark-first restatement:
+  * day-of-week / hour / lag computed by JVM built-ins
+    (``dayofweek``, ``hour``, ``lag().over(window)``) — codegen'd;
+  * the scatter into the fixed-width vector is ONE Arrow-vectorized
+    pandas UDF whose body is numpy column ops (``np.add.at``,
+    ``Series.explode().map``) — no per-row Python loop;
+  * the vocabulary rides inside the UDF closure — Spark pickles it once
+    per task (equivalent to a broadcast for a dict this small).
+
+Output columns appended: ts_sec:long, lag_sec:long(null first turn),
+features:array<double> (layout width), cost:long, vec_hash:long.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sqlfeatureextraction_spark.config import FeatureConfig
+from sqlfeatureextraction_spark.functions.text import tokenize_col
+from sqlfeatureextraction_spark.layout import VectorLayout
+from sqlfeatureextraction_spark.vocab import Vocabulary
+
+TURN_ORDER = ["ts", "turn_idx"]  # stable secondary sort (north rule)
+
+
+def _scatter_udf(vocab: Vocabulary, cfg: FeatureConfig):
+    layout = vocab.layout(n_grans=len(cfg.granularities_s))
+    width = layout.width
+    t_off = layout.seg("time").offset
+    r_off, r_w = layout.seg("role").offset, layout.seg("role").width
+    o_off, o_w = layout.seg("tool").offset, layout.seg("tool").width
+    b_off = layout.seg("bow").offset
+    l_off = layout.seg("lag").offset
+    grans = np.asarray(cfg.granularities_s, dtype=np.int64)
+    roles = dict(vocab.roles)
+    tools = dict(vocab.tools)
+    tokens = dict(vocab.tokens)
+    binary = cfg.binary_bow
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def encode(
+        dow: pd.Series,
+        hour: pd.Series,
+        role: pd.Series,
+        tool: pd.Series,
+        toks: pd.Series,
+        lag_sec: pd.Series,
+    ) -> pd.Series:
+        n = len(dow)
+        mat = np.zeros((n, width), dtype=np.float64)
+        rows = np.arange(n)
+
+        # time one-hot: 7 dow ‖ 24 hour (enc/APMFragmentIntent.java:752-777)
+        mat[rows, t_off + dow.to_numpy(dtype=np.int64)] = 1.0
+        mat[rows, t_off + 7 + hour.to_numpy(dtype=np.int64)] = 1.0
+
+        # role / tool one-hot — vectorized dict lookup; OOV leaves bits
+        # unset (reference swallows lookup misses,
+        # enc/APMFragmentIntent.java:303-305; we count them instead)
+        r_idx = role.map(roles).to_numpy(dtype=np.float64, na_value=np.nan)
+        r_ok = ~np.isnan(r_idx)
+        mat[rows[r_ok], r_off + r_idx[r_ok].astype(np.int64)] = 1.0
+        o_idx = (
+            tool.fillna("").map(tools).to_numpy(dtype=np.float64, na_value=np.nan)
+        )
+        o_ok = ~np.isnan(o_idx)
+        mat[rows[o_ok], o_off + o_idx[o_ok].astype(np.int64)] = 1.0
+
+        # bag-of-token: explode + map + np.add.at scatter
+        ex = toks.explode()
+        ex = ex[ex.notna()]
+        if len(ex):
+            pos = ex.map(tokens)
+            keep = pos.notna()
+            if keep.any():
+                ridx = ex.index.to_numpy()[keep.to_numpy()]
+                cidx = pos[keep].to_numpy(dtype=np.int64) + b_off
+                np.add.at(mat, (ridx, cidx), 1.0)
+                if binary:
+                    np.minimum(
+                        mat[:, b_off : b_off + len(tokens)],
+                        1.0,
+                        out=mat[:, b_off : b_off + len(tokens)],
+                    )
+
+        # lag buckets: bit i set iff lag >= gran_i; null lag ⇒ all ones
+        # (enc/APMFragmentIntent.java:791-802: null ⇒ all bits set)
+        lag = lag_sec.to_numpy(dtype=np.float64, na_value=np.nan)
+        lag_bits = np.where(
+            np.isnan(lag)[:, None], 1.0, (lag[:, None] >= grans[None, :]) * 1.0
+        )
+        mat[:, l_off : l_off + len(grans)] = lag_bits
+
+        return pd.Series(list(mat))
+
+    return encode, layout
+
+
+def with_turn_features(
+    transcripts: DataFrame, vocab: Vocabulary, cfg: FeatureConfig
+) -> tuple[DataFrame, VectorLayout]:
+    """Append per-turn feature vectors.
+
+    The lag window shuffles once on conv_id; everything else is
+    per-partition (no further shuffle).  At scale the input should
+    already be bucketed/partitioned by conv_id so this is shuffle-free.
+    """
+    encode, layout = _scatter_udf(vocab, cfg)
+
+    w = Window.partitionBy("conv_id").orderBy(*TURN_ORDER)
+    df = (
+        transcripts.withColumn(
+            # NTZ parquet timestamps need the intermediate cast; session TZ
+            # is pinned to UTC so the epoch is well-defined
+            "ts_sec",
+            F.col("ts").cast("timestamp").cast("long"),
+        )
+        .withColumn("lag_sec", F.col("ts_sec") - F.lag("ts_sec").over(w))
+        .withColumn("_toks", tokenize_col(F.col("text")))
+    )
+    df = df.withColumn(
+        "features",
+        encode(
+            (F.dayofweek("ts") - F.lit(1)).cast("int"),
+            F.hour("ts").cast("int"),
+            F.col("role"),
+            F.col("tool"),
+            F.col("_toks"),
+            F.col("lag_sec"),
+        ),
+    ).drop("_toks")
+    df = df.withColumn(
+        "cost", F.coalesce(F.col("duration_ms"), F.lit(1)).cast("long")
+    ).withColumn("vec_hash", F.xxhash64("features"))
+    return df, layout

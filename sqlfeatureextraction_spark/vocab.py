@@ -1,0 +1,102 @@
+"""Vocabulary fit — the "schema dictionary" stage.
+
+Reference analog: ``ExcelReader.main`` scans the raw log, extracts
+table/column names, sorts lexicographically and assigns bit positions
+by enumeration (rdr/ExcelReader.java:92-146, rdr/DDLParser.java:31-100),
+later loaded into HashMaps by ch/SchemaParser.java:143-259.
+
+Spark-first restatement: the fit is a distributed
+``select(explode(tokens)).distinct().sort()`` with dense indices
+assigned on the (tiny) result; the fitted vocabulary is the ONLY
+driver-side object in the engine and is shipped to executors via
+broadcast.  At 10^12 turns the distinct+sort shuffles only unique
+tokens (bounded by vocabulary size, not data size).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlfeatureextraction_spark.functions.text import tokenize_col
+from sqlfeatureextraction_spark.layout import VectorLayout
+
+
+@dataclass(frozen=True)
+class Vocabulary:
+    """Fitted dictionaries: value → dense index per segment."""
+
+    tokens: dict  # token -> bit pos within bow segment
+    roles: dict  # role  -> bit pos within role segment
+    tools: dict  # tool  -> bit pos within tool segment
+
+    def layout(self, n_grans: int = 9) -> VectorLayout:
+        return VectorLayout.build(
+            n_roles=len(self.roles),
+            n_tools=len(self.tools),
+            n_tokens=len(self.tokens),
+            n_grans=n_grans,
+        )
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        """Vocabulary as a dimension table (segment, value, bit_pos)."""
+        rows = (
+            [("bow", k, v) for k, v in self.tokens.items()]
+            + [("role", k, v) for k, v in self.roles.items()]
+            + [("tool", k, v) for k, v in self.tools.items()]
+        )
+        return spark.createDataFrame(rows, "segment string, value string, bit_pos int")
+
+    @staticmethod
+    def from_df(df: DataFrame) -> "Vocabulary":
+        rows = df.collect()  # vocabulary is tiny by construction
+        segs: dict[str, dict] = {"bow": {}, "role": {}, "tool": {}}
+        for r in rows:
+            segs[r["segment"]][r["value"]] = r["bit_pos"]
+        return Vocabulary(tokens=segs["bow"], roles=segs["role"], tools=segs["tool"])
+
+
+def _distinct_sorted(df: DataFrame, col) -> list[str]:
+    """Distinct non-null values, lexicographically sorted (deterministic
+    bit assignment, reference rdr/ExcelReader.java:101)."""
+    vals = (
+        df.select(col.alias("v"))
+        .where(F.col("v").isNotNull())
+        .distinct()
+        .orderBy("v")
+        .collect()
+    )
+    return [r["v"] for r in vals]
+
+
+def fit_vocabulary(
+    transcripts: DataFrame,
+    max_tokens: int | None = None,
+    min_count: int = 1,
+) -> Vocabulary:
+    """Fit token/role/tool dictionaries from a transcripts DataFrame.
+
+    Token selection is frequency-thresholded then lexicographically
+    ordered, so the bit assignment is independent of partitioning.
+    """
+    tok_counts = (
+        transcripts.select(F.explode(tokenize_col(F.col("text"))).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= min_count)
+    )
+    if max_tokens is not None:
+        # keep the max_tokens most frequent, ties broken lexicographically
+        tok_counts = tok_counts.orderBy(F.desc("n"), F.asc("v")).limit(max_tokens)
+    tokens = sorted(r["v"] for r in tok_counts.select("v").collect())
+
+    roles = _distinct_sorted(transcripts, F.col("role"))
+    tools = _distinct_sorted(transcripts, F.coalesce(F.col("tool"), F.lit("")))
+
+    return Vocabulary(
+        tokens={t: i for i, t in enumerate(tokens)},
+        roles={r: i for i, r in enumerate(roles)},
+        tools={t: i for i, t in enumerate(tools)},
+    )
