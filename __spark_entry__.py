@@ -216,6 +216,188 @@ def _q_transcript_window_features(spark, sf_dir):
     return window_features_builtin(vec, vocab, cfg, layout)
 
 
+def _q_tumbling_window_agg(spark, sf_dir):
+    """W1 tumbling windows, right-closed (start, start+300]."""
+    ev = _events(spark, sf_dir)
+    ws = (F.ceil(F.col("ts_sec") / 300) * 300 - 300).cast("long")
+    return (
+        ev.withColumn("window_start_sec", ws)
+        .groupBy("user_id", "window_start_sec")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("w_sum"),
+        )
+    )
+
+
+def _q_sliding_window_count(spark, sf_dir):
+    """W1 strided windows (W=300s, slide=60s) via per-row sequence
+    explode — each event lands in exactly 5 windows."""
+    from sqlfeatureextraction_spark.config import FeatureConfig
+    from sqlfeatureextraction_spark.operators.windows import assign_fixed_windows
+
+    cfg = FeatureConfig(window_size_s=300, slide_s=60)
+    ev = _events(spark, sf_dir)
+    return (
+        assign_fixed_windows(ev, cfg, ts_col="ts")
+        .groupBy("user_id", "window_start_sec")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+def _q_session_stats(spark, sf_dir):
+    """Sessionize + per-session aggregates (counts, bounds, duration)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    gap = F.col("ts_sec") - F.lag("ts_sec").over(w)
+    flag = F.when(gap > SESSION_GAP_S, F.lit(1)).otherwise(F.lit(0))
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_sec").alias("start_sec"),
+        F.max("ts_sec").alias("end_sec"),
+        (F.max("ts_sec") - F.min("ts_sec")).alias("duration_s"),
+    )
+
+
+def _q_lang_id(spark, sf_dir):
+    """Stopword-marker language ID over documents."""
+    from sqlfeatureextraction_spark.operators.textstats import with_language_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_language_id(docs).select("doc_id", "lang_pred")
+
+
+def _q_token_stats_full(spark, sf_dir):
+    """Token counting + BPE-ish subword estimate + avg token length."""
+    from sqlfeatureextraction_spark.operators.textstats import with_token_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_token_stats(docs).select(
+        "doc_id",
+        "n_tokens",
+        "n_bpe_est",
+        F.round("avg_token_len", 6).alias("avg_tok_len"),
+    )
+
+
+def _q_quality_score(spark, sf_dir):
+    """Heuristic quality features + composite score."""
+    from sqlfeatureextraction_spark.operators.textstats import with_quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_quality_score(docs).select(
+        "doc_id",
+        "punct_ratio",
+        "upper_ratio",
+        "digit_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+def _q_join_agg(spark, sf_dir):
+    """Multi-way join + agg: revenue per customer (broadcast-eligible
+    dims; Catalyst picks the join order)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def _ann_queries(spark, sf_dir, n_q=5):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.where(F.col("vec_id") < n_q).select("vec_id", "embedding").collect()
+    return emb, [(int(r["vec_id"]), list(map(float, r["embedding"]))) for r in rows]
+
+
+def _q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for 5 fixed query vectors, ranked on
+    rounded cosine with id tie-break (fp-stable across engines)."""
+    emb, qs = _ann_queries(spark, sf_dir)
+    q_df = spark.createDataFrame(
+        [(qid, vec) for qid, vec in qs], "query_id int, qe array<double>"
+    )
+    dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    dot = F.aggregate(
+        F.zip_with(dbl(F.col("embedding")), F.col("qe"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        dbl(c), F.lit(0.0), lambda acc, v: acc + v * v
+    )
+    pairs = emb.crossJoin(F.broadcast(q_df)).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(dot / (F.sqrt(sq(F.col("embedding"))) * F.sqrt(F.aggregate(F.col("qe"), F.lit(0.0), lambda acc, v: acc + v * v))), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("query_id", "rk", "neighbor_id", "cos")
+    )
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-duplicate pairs on documents (rows-only)."""
+    from sqlfeatureextraction_spark.operators.dedup import minhash_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_dedup(docs, threshold=0.5)
+
+
+def _q_simhash_dedup(spark, sf_dir):
+    """SimHash duplicate groups on documents (rows-only)."""
+    from sqlfeatureextraction_spark.operators.dedup import simhash_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_dedup(docs)
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only)."""
+    from sqlfeatureextraction_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # synthetic embeddings have no true near-dups (max pairwise cos
+    # ≈ 0.51) — a low threshold + few planes keeps the LSH+verify path
+    # exercised with non-empty output
+    return embedding_neardup_pairs(emb, threshold=0.3, n_planes=4)
+
+
+def _q_transcript_wf_merge(spark, sf_dir):
+    """Flagship via the salted sort-merge throughput path (rows-only;
+    equality with the built-in path is pinned by pytest)."""
+    from sqlfeatureextraction_spark.config import FeatureConfig
+    from sqlfeatureextraction_spark.operators.asof_merge import (
+        window_features_merge,
+    )
+    from sqlfeatureextraction_spark.operators.vectorize import with_turn_features
+    from sqlfeatureextraction_spark.synth import events_as_transcripts
+    from sqlfeatureextraction_spark.vocab import fit_vocabulary
+
+    cfg = FeatureConfig()
+    tx = events_as_transcripts(spark, sf_dir)
+    vocab = fit_vocabulary(tx, max_tokens=256)
+    vec, layout = with_turn_features(tx, vocab, cfg)
+    return window_features_merge(vec, vocab, cfg, layout)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pit_window_sum": _q_pit_window_sum,
@@ -228,7 +410,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "vocab_fit": _q_vocab_fit,
         "group_agg": _q_group_agg,
+        "tumbling_window_agg": _q_tumbling_window_agg,
+        "sliding_window_count": _q_sliding_window_count,
+        "session_stats": _q_session_stats,
+        "lang_id": _q_lang_id,
+        "token_stats_full": _q_token_stats_full,
+        "quality_score": _q_quality_score,
+        "join_agg": _q_join_agg,
+        "ann_topk": _q_ann_topk,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_dedup": _q_simhash_dedup,
+        "embedding_neardup": _q_embedding_neardup,
         "transcript_window_features": _q_transcript_window_features,
+        "transcript_wf_merge": _q_transcript_wf_merge,
     }
 
 
@@ -239,6 +433,26 @@ _TOK = (
     "list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),"
     " x -> x <> '')"
 )
+
+
+def _lang_case_sql() -> str:
+    """DuckDB argmax over marker counts, tie-break = language code asc
+    (mirrors textstats.with_language_id exactly)."""
+    from sqlfeatureextraction_spark.operators.textstats import _LANG_MARKERS
+
+    score = {
+        lang: (
+            f"len(list_filter({_TOK}, x -> list_contains("
+            f"{[m for m in ms]}, x)))"
+        )
+        for lang, ms in _LANG_MARKERS.items()
+    }
+    g = "GREATEST(" + ", ".join(score.values()) + ")"
+    whens = "\n".join(
+        f"WHEN {score[lang]} > 0 AND {score[lang]} = {g} THEN '{lang}'"
+        for lang in sorted(score)
+    )
+    return f"CASE {whens} ELSE 'und' END"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -325,5 +539,126 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= DATE '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "tumbling_window_agg": f"""
+            SELECT user_id,
+                   CAST(ceil(ts_sec / 300.0) * 300 - 300 AS BIGINT)
+                     AS window_start_sec,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS w_sum
+            FROM ({_EV_TS})
+            GROUP BY 1, 2
+        """,
+        "sliding_window_count": f"""
+            WITH x AS (
+              SELECT user_id,
+                     UNNEST(range(
+                       CAST(ceil((ts_sec - 300) / 60.0) * 60 AS BIGINT),
+                       CAST(ceil(ts_sec / 60.0) * 60 - 60 AS BIGINT) + 1,
+                       60)) AS window_start_sec
+              FROM ({_EV_TS})
+            )
+            SELECT user_id, window_start_sec, COUNT(*) AS n_events
+            FROM x GROUP BY 1, 2
+        """,
+        "session_stats": f"""
+            WITH g AS (
+              SELECT user_id, event_id, ts_sec,
+                     ts_sec - LAG(ts_sec) OVER
+                       (PARTITION BY user_id ORDER BY ts_sec, event_id) AS gap
+              FROM ({_EV_TS})
+            ),
+            s AS (
+              SELECT user_id, ts_sec,
+                     SUM(CASE WHEN gap > {SESSION_GAP_S} THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+              FROM g
+            )
+            SELECT user_id, session_id, COUNT(*) AS n_events,
+                   MIN(ts_sec) AS start_sec, MAX(ts_sec) AS end_sec,
+                   MAX(ts_sec) - MIN(ts_sec) AS duration_s
+            FROM s GROUP BY user_id, session_id
+        """,
+        "lang_id": f"""
+            SELECT doc_id, {_lang_case_sql()} AS lang_pred FROM documents
+        """,
+        "token_stats_full": f"""
+            SELECT doc_id,
+                   CAST(len({_TOK}) AS INT) AS n_tokens,
+                   CAST(coalesce(list_aggregate(list_transform({_TOK},
+                        t -> CAST(ceil(length(t) / 4.0) AS INT)), 'sum'), 0)
+                        AS INT) AS n_bpe_est,
+                   CASE WHEN len({_TOK}) > 0 THEN
+                     ROUND(list_aggregate(list_transform({_TOK},
+                       t -> length(t)), 'sum') / CAST(len({_TOK}) AS DOUBLE), 6)
+                   ELSE 0.0 END AS avg_tok_len
+            FROM documents
+        """,
+        "quality_score": f"""
+            WITH r AS (
+              SELECT doc_id,
+                coalesce(text, '') AS txt,
+                CAST(GREATEST(length(coalesce(text, '')), 1) AS DOUBLE) AS n_sf,
+                CAST(GREATEST(len({_TOK}), 1) AS DOUBLE) AS n_toks,
+                length(coalesce(text, '')) AS n
+              FROM documents
+            ),
+            q AS (
+              SELECT doc_id, n,
+                ROUND(length(regexp_replace(txt, '[^.,;:!?]', '', 'g')) / n_sf, 6)
+                  AS punct_ratio,
+                ROUND(length(regexp_replace(txt, '[^A-Z]', '', 'g')) / n_sf, 6)
+                  AS upper_ratio,
+                ROUND(length(regexp_replace(txt, '[^0-9]', '', 'g')) / n_sf, 6)
+                  AS digit_ratio,
+                ROUND(len(list_filter(
+                  list_filter(string_split_regex(lower(txt), '[^a-z0-9]+'),
+                              x -> x <> ''),
+                  x -> list_contains(
+                    ['the','and','of','to','is','in','that','it','for'], x)))
+                  / n_toks, 6) AS stopword_ratio
+              FROM r
+            )
+            SELECT doc_id, punct_ratio, upper_ratio, digit_ratio, stopword_ratio,
+              ROUND(
+                (CASE WHEN n < 10 THEN 0.0 WHEN n < 50 THEN 0.5
+                      WHEN n < 5000 THEN 1.0 ELSE 0.5 END) * 0.4
+                + (1 - LEAST(punct_ratio * 5, 1.0)) * 0.2
+                + (1 - LEAST(digit_ratio * 4, 1.0)) * 0.2
+                + LEAST(stopword_ratio * 3, 1.0) * 0.2, 6) AS quality_score
+            FROM q
+        """,
+        "join_agg": """
+            SELECT c_custkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   COUNT(*) AS n_items
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY c_custkey
+        """,
+        "ann_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qe
+              FROM embeddings WHERE vec_id < 5
+            ),
+            pairs AS (
+              SELECT q.query_id, c.vec_id AS neighbor_id,
+                ROUND(
+                  (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                   FROM (SELECT UNNEST(q.qe) x, UNNEST(c.embedding) y))
+                  / (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                           FROM (SELECT UNNEST(c.embedding) x)))
+                     * sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                             FROM (SELECT UNNEST(q.qe) x)))), 6) AS cos
+              FROM q, embeddings c
+            )
+            SELECT query_id, rk, neighbor_id, cos FROM (
+              SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rk
+              FROM pairs
+            ) WHERE rk <= 10
         """,
     }

@@ -75,3 +75,4 @@ class FeatureConfig:
     batch_size: int = 1000
     salt_buckets: int = 8
     hot_key_threshold: float = 0.05
+    merge_rows_per_bucket: int = 65536

@@ -1,0 +1,90 @@
+"""Gap-based sessionization with monotonic session_id + lag/lead features.
+
+Reference analog: sessions arrive labeled in the MINC logs and are
+split/validated by running counters (`prevSessionID`/`queryID`,
+enc/IntentCreatorMultiThread.java:73-78, 339-394; validity filter
+2 ≤ n < 50 at :249-253).  The transcript engine derives sessions from
+event-time gaps: a new session starts when ts − prev_ts > gap.
+
+Spark-first: one window spec (partitionBy conv_id, orderBy ts,
+turn_idx) feeds lag + a running sum of gap-exceeded flags — a single
+shuffle, whole-stage codegen throughout, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+TURN_ORDER = ["ts", "turn_idx"]
+
+
+def _epoch(col):
+    return F.col(col).cast("timestamp").cast("long")
+
+
+def sessionize(
+    df: DataFrame,
+    gap_s: int = 1800,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    order_cols: tuple = ("turn_idx",),
+) -> DataFrame:
+    """Append session_id (0-based, monotonic per entity) and gap_s lag."""
+    w = Window.partitionBy(entity_col).orderBy(ts_col, *order_cols)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap = _epoch(ts_col) - F.lag(_epoch(ts_col)).over(w)
+    flag = F.when(gap > gap_s, F.lit(1)).otherwise(F.lit(0))
+    return df.withColumn("prev_gap_s", gap).withColumn(
+        "session_id", F.sum(flag).over(run)
+    )
+
+
+def session_stats(
+    sess: DataFrame, entity_col: str = "conv_id"
+) -> DataFrame:
+    """Per-session aggregates (analog of session query counting,
+    enc/APMFragmentIntent.java:835-846)."""
+    return sess.groupBy(entity_col, "session_id").agg(
+        F.count("*").alias("n_turns"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.max(_epoch("ts")) - F.min(_epoch("ts"))).alias("duration_s"),
+    )
+
+
+def filter_valid_sessions(
+    sess: DataFrame,
+    min_turns: int = 2,
+    max_turns: int = 50,
+    entity_col: str = "conv_id",
+) -> DataFrame:
+    """Session validity gate (reference 2 ≤ n < 50,
+    enc/IntentCreatorMultiThread.java:249-253) — a windowed count +
+    filter, no join."""
+    w = Window.partitionBy(entity_col, "session_id")
+    return (
+        sess.withColumn("_n", F.count("*").over(w))
+        .where((F.col("_n") >= min_turns) & (F.col("_n") < max_turns))
+        .drop("_n")
+    )
+
+
+def with_lag_lead_features(
+    df: DataFrame,
+    value_cols: tuple = (),
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    order_cols: tuple = ("turn_idx",),
+) -> DataFrame:
+    """W10 lag/lead: trailing gap, leading gap, plus lag/lead of any
+    value columns — all codegen'd window functions."""
+    w = Window.partitionBy(entity_col).orderBy(ts_col, *order_cols)
+    out = df.withColumn(
+        "lag_gap_s", _epoch(ts_col) - F.lag(_epoch(ts_col)).over(w)
+    ).withColumn("lead_gap_s", F.lead(_epoch(ts_col)).over(w) - _epoch(ts_col))
+    for c in value_cols:
+        out = out.withColumn(f"lag_{c}", F.lag(c).over(w)).withColumn(
+            f"lead_{c}", F.lead(c).over(w)
+        )
+    return out

@@ -1,0 +1,118 @@
+"""FIXED (tumbling + stride) event-time windows and empty-window backfill.
+
+Reference analogs:
+  W1 FIXED windows — enc/APMWindowFragmentIntent.java:210-263: windows
+     [start, start+W) advanced by a stride (the reference's loop has a
+     stride bug, SURVEY §4.4.1 — `plus()` result discarded; we
+     implement the documented intent: stride = slide_s).  Reference
+     membership is (start, end] right-closed (:340-347), which Spark's
+     `F.window` (left-closed) cannot express — so windows are derived
+     arithmetically on epoch seconds.
+  W4 window expansion — :237-252 (data augmentation by shifted copies).
+  W5 empty-window backfill — :102-119,163-178: windows after the
+     business-hours gate with no rows get synthesized zero-vector
+     records.  Spark-first: dense time spine via sequence()+explode,
+     left join observed windows, coalesce to zero vector.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sqlfeatureextraction_spark.config import FeatureConfig
+
+
+def _epoch(col):
+    return F.col(col).cast("timestamp").cast("long")
+
+
+def assign_fixed_windows(
+    df: DataFrame, cfg: FeatureConfig, ts_col: str = "ts"
+) -> DataFrame:
+    """Tag each row with every strided window (start, end] containing it.
+
+    Right-closed membership: row at t belongs to windows with
+    start ∈ [t − W, t), start ≡ 0 (mod slide) — i.e. at most
+    ceil(W/slide) windows; generated per-row with sequence()+explode
+    (no join, no shuffle).  With slide == window this is tumbling.
+    """
+    w, s = cfg.window_size_s, cfg.slide_s
+    t = _epoch(ts_col)
+    # smallest window start ≥ t − W aligned to slide; largest start < t
+    # (right-closed membership: start < t ≤ start + W ⇔ start ∈ [t−W, t))
+    first = F.ceil((t - w) / s) * s
+    last = F.ceil(t / s) * s - s
+    starts = F.sequence(first, last, F.lit(s))
+    out = df.withColumn("window_start_sec", F.explode(starts)).withColumn(
+        "window_end_sec", F.col("window_start_sec") + w
+    )
+    if cfg.business_hour_min is not None:
+        out = out.where(
+            F.hour(F.timestamp_seconds("window_start_sec"))
+            > cfg.business_hour_min
+        )
+    return out
+
+
+def expand_windows(df: DataFrame, cfg: FeatureConfig, factor: int) -> DataFrame:
+    """W4 augmentation: replicate each (window, row) pair at
+    `factor − 1` extra shifted window positions."""
+    if factor <= 1:
+        return df
+    shift = F.explode(
+        F.sequence(F.lit(0), F.lit(factor - 1), F.lit(1))
+    ).alias("_shift")
+    out = df.select("*", shift)
+    step = cfg.slide_s
+    return (
+        out.withColumn(
+            "window_start_sec", F.col("window_start_sec") - F.col("_shift") * step
+        )
+        .withColumn("window_end_sec", F.col("window_start_sec") + cfg.window_size_s)
+        .drop("_shift")
+    )
+
+
+def time_spine(
+    df: DataFrame,
+    cfg: FeatureConfig,
+    entity_col: str | None = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Dense strided window spine from min to max event time (per entity
+    when entity_col is set, else global).  The generator side of W5."""
+    s = cfg.slide_s
+    keys = [entity_col] if entity_col else []
+    bounds = df.groupBy(*keys).agg(
+        (F.floor(F.min(_epoch(ts_col)) / s) * s).alias("mn"),
+        (F.ceil(F.max(_epoch(ts_col)) / s) * s).alias("mx"),
+    )
+    spine = bounds.select(
+        *keys, F.explode(F.sequence("mn", "mx", F.lit(s))).alias("window_start_sec")
+    ).withColumn("window_end_sec", F.col("window_start_sec") + cfg.window_size_s)
+    if cfg.business_hour_min is not None:
+        spine = spine.where(
+            F.hour(F.timestamp_seconds("window_start_sec"))
+            > cfg.business_hour_min
+        )
+    return spine
+
+
+def backfill_zero_vectors(
+    spine: DataFrame,
+    observed: DataFrame,
+    vector_col: str,
+    width: int,
+    keys: tuple = ("conv_id", "window_start_sec"),
+) -> DataFrame:
+    """W5: left-join observed window features onto the dense spine;
+    missing windows get the zero vector (reference zeroes all bits for
+    synthesized records, enc/APMWindowFragmentIntent.java:444-446).
+    Adds is_backfilled flag (the reference logs an empty-window rate,
+    :261,301 — we surface it as a column/metric)."""
+    zero = F.array_repeat(F.lit(0.0), width)
+    joined = spine.join(observed, list(keys), "left")
+    return joined.withColumn(
+        "is_backfilled", F.col(vector_col).isNull()
+    ).withColumn(vector_col, F.coalesce(F.col(vector_col), zero))

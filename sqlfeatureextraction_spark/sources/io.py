@@ -1,0 +1,103 @@
+"""Scans and sinks (SURVEY §2.1).
+
+S1  raw log TSV scan           read_raw_log_tsv
+S5  encoded-line sink          write_encoded_lines
+S6  encoded-line source        read_encoded_lines (round-trip)
+    parquet/Iceberg scan       read_transcripts (Iceberg jars absent in
+                               this sandbox → parquet fallback behind an
+                               import/config try)
+
+The reference's S1 (tools/IOUtil.java:53-100) reads a header TSV,
+applies ORDER-DEPENDENT seeded jitter (shared Random(999) — SURVEY
+§4.4.2) and sorts globally in heap.  Here jitter, when requested, is a
+pure hash of the row key (order-independent), filtering/parse are
+column expressions pushed to the scan, and nothing is materialized
+driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TRANSCRIPT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    """Read a transcripts table.  Tries Iceberg (`catalog.db.table`
+    identifiers) when the runtime has it; falls back to parquet paths."""
+    if "/" not in path and "." in path:
+        try:
+            return spark.read.format("iceberg").load(path)
+        except Exception:  # Iceberg jars not on classpath in sandbox
+            pass
+    return spark.read.parquet(path)
+
+
+def read_raw_log_tsv(
+    spark: SparkSession,
+    path: str,
+    ts_col: str = "event_time",
+    ts_fmt: str = "yyyy/M/d HH:mm",
+    jitter: bool = False,
+) -> DataFrame:
+    """S1: header TSV scan with typed parse + optional deterministic
+    sub-minute jitter keyed by row content hash (replaces the
+    reference's order-dependent Random(999), tools/IOUtil.java:63-81)."""
+    df = spark.read.option("sep", "\t").option("header", True).csv(path)
+    ts = F.to_timestamp(F.col(ts_col), ts_fmt)
+    if jitter:
+        h = F.xxhash64(*[F.col(c) for c in df.columns])
+        ts = F.timestamp_seconds(
+            ts.cast("long") + F.pmod(h, F.lit(60))
+        )
+    return df.withColumn("ts", ts)
+
+
+def write_encoded_lines(
+    features: DataFrame,
+    path: str,
+    batch_size: int = 1000,
+    vector_col: str = "window_features",
+) -> None:
+    """S5: line-oriented sink, one text line per feature row:
+    ``Session <conv_id>, Query <epoch>; OrigQuery:<text>;<bits>``
+    (format: enc/APMWindowFragmentIntent.java:183-199).  File size is
+    bounded per task via maxRecordsPerFile — the Spark-native version
+    of the reference's 1000-line batch files."""
+    bits = F.array_join(
+        F.transform(F.col(vector_col), lambda v: v.cast("int").cast("string")),
+        "",
+    )
+    line = F.format_string(
+        "Session %s, Query %d; OrigQuery:%s;%s",
+        F.col("conv_id"),
+        F.col("ts").cast("timestamp").cast("long"),
+        F.coalesce(F.col("text"), F.lit("")),
+        bits,
+    )
+    (
+        features.select(line.alias("value"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", batch_size)
+        .text(path)
+    )
+
+
+def read_encoded_lines(spark: SparkSession, path: str) -> DataFrame:
+    """S6 round-trip: parse encoded lines back into
+    (conv_id, ts, text, vector) — regexp extraction, all JVM-side
+    (reference parser: tools/IOUtil.java:177-206)."""
+    raw = spark.read.text(path)
+    pat = r"^Session (.+?), Query (\d+); OrigQuery:(.*);([01]*)$"
+    vec_str = F.regexp_extract("value", pat, 4)
+    return raw.select(
+        F.regexp_extract("value", pat, 1).alias("conv_id"),
+        F.timestamp_seconds(
+            F.regexp_extract("value", pat, 2).cast("long")
+        ).alias("ts"),
+        F.regexp_extract("value", pat, 3).alias("text"),
+        F.transform(
+            F.split(vec_str, "(?!$)"), lambda c: c.cast("double")
+        ).alias("window_features"),
+    )

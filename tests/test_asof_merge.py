@@ -1,0 +1,107 @@
+"""The salted sort-merge path must equal the built-in rangeBetween path
+(and therefore the pandas oracle) at every (conv_id, ts)."""
+
+import numpy as np
+import pandas as pd
+
+from sqlfeatureextraction_spark.config import FeatureConfig
+from sqlfeatureextraction_spark.operators.asof_merge import window_features_merge
+from sqlfeatureextraction_spark.operators.pit_window import window_features_builtin
+from sqlfeatureextraction_spark.operators.vectorize import with_turn_features
+from sqlfeatureextraction_spark.vocab import fit_vocabulary
+
+
+def _both(transcripts_df, cfg):
+    v = fit_vocabulary(transcripts_df)
+    vec, layout = with_turn_features(transcripts_df, v, cfg)
+    a = window_features_builtin(vec, v, cfg, layout).toPandas()
+    b = window_features_merge(vec, v, cfg, layout).toPandas()
+    a = a.sort_values(["conv_id", "ts"]).reset_index(drop=True)
+    b = b.sort_values(["conv_id", "ts"]).reset_index(drop=True)
+    return a, b
+
+
+def _assert_equal(a: pd.DataFrame, b: pd.DataFrame):
+    assert len(a) == len(b), (len(a), len(b))
+    assert (a["conv_id"] == b["conv_id"]).all()
+    assert (
+        pd.to_datetime(a["ts"]).to_numpy() == pd.to_datetime(b["ts"]).to_numpy()
+    ).all()
+    ma = np.vstack(a["window_features"].to_numpy())
+    mb = np.vstack(b["window_features"].to_numpy())
+    assert ma.shape == mb.shape
+    bad = ~np.isclose(ma, mb).all(axis=1)
+    assert not bad.any(), a.loc[bad, ["conv_id", "ts"]].head(10).to_string()
+
+
+def test_merge_equals_builtin(transcripts_df):
+    a, b = _both(transcripts_df, FeatureConfig())
+    _assert_equal(a, b)
+
+
+def test_merge_equals_builtin_topk2_topn3(transcripts_df):
+    a, b = _both(
+        transcripts_df, FeatureConfig(top_k_entities=2, top_n_members=3)
+    )
+    _assert_equal(a, b)
+
+
+def test_merge_equals_builtin_tiny_window(transcripts_df):
+    """W=61s: salting span shrinks, replication kicks in at many edges."""
+    a, b = _both(transcripts_df, FeatureConfig(window_size_s=61))
+    _assert_equal(a, b)
+
+
+def test_merge_equals_builtin_forced_salting(transcripts_df):
+    """merge_rows_per_bucket=8 forces every conversation to split into
+    many salt buckets — overlap replication is exercised everywhere."""
+    a, b = _both(
+        transcripts_df, FeatureConfig(merge_rows_per_bucket=8)
+    )
+    _assert_equal(a, b)
+
+
+def test_merge_salt_boundary_anchor(spark):
+    """Anchors right after a salt-bucket boundary must see context from
+    the previous bucket (overlap replication correctness)."""
+    from pyspark.sql import types as T
+
+    cfg = FeatureConfig(window_size_s=300)
+    span = 8 * 300
+    base = 1704067200
+    # align so rows straddle a span boundary within one window
+    rows = []
+    for i, off in enumerate([span - 250, span - 100, span + 10, span + 40]):
+        rows.append(
+            ("c1", i, "user", f"tok{i}", "search", 100 + i, base // span * span + off)
+        )
+    pdf = pd.DataFrame(
+        rows,
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "duration_ms", "ts_sec"],
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts_sec"], unit="s")
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    df = spark.createDataFrame(pdf[[f.name for f in schema.fields]], schema)
+    v = fit_vocabulary(df)
+    vec, layout = with_turn_features(df, v, cfg)
+    a = window_features_builtin(vec, v, cfg, layout).toPandas()
+    b = window_features_merge(vec, v, cfg, layout).toPandas()
+    _assert_equal(
+        a.sort_values(["conv_id", "ts"]).reset_index(drop=True),
+        b.sort_values(["conv_id", "ts"]).reset_index(drop=True),
+    )
+    # the anchor at span+10 must include the (span-250, span-100) members:
+    # its window vector cannot be all-zero beyond the tool intent bits
+    m = np.vstack(b.sort_values("ts")["window_features"].to_numpy())
+    n_tools = layout.seg("tool").width
+    assert m[2, n_tools:].sum() > layout.width / 10  # members present

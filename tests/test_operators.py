@@ -1,0 +1,269 @@
+"""Unit tests: sessionize, fixed windows, backfill, dedup family,
+similarity search, text stats — vs hand-computed / pandas oracles."""
+
+import numpy as np
+import pandas as pd
+import datetime as dt
+import pytest
+from pyspark.sql import functions as F
+
+from oracle import pandas_oracle as O
+from sqlfeatureextraction_spark.config import FeatureConfig
+from sqlfeatureextraction_spark.operators import dedup as D
+from sqlfeatureextraction_spark.operators import sessionize as S
+from sqlfeatureextraction_spark.operators import similarity as SIM
+from sqlfeatureextraction_spark.operators import textstats as TS
+from sqlfeatureextraction_spark.operators import windows as W
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------- sessionize
+
+
+def test_sessionize_matches_oracle(transcripts_df, transcripts_pdf):
+    got = (
+        S.sessionize(transcripts_df, gap_s=1800)
+        .select("conv_id", "turn_idx", "session_id")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        O.sessionize(transcripts_pdf, gap_s=1800)[
+            ["conv_id", "turn_idx", "session_id"]
+        ]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert (got["session_id"].to_numpy() == exp["session_id"].to_numpy()).all()
+
+
+def test_session_validity_filter(spark, transcripts_df):
+    sess = S.sessionize(transcripts_df, gap_s=1800)
+    valid = S.filter_valid_sessions(sess, min_turns=2, max_turns=50)
+    counts = (
+        valid.groupBy("conv_id", "session_id").count().toPandas()["count"]
+    )
+    assert (counts >= 2).all() and (counts < 50).all()
+
+
+# ----------------------------------------------------------- fixed windows
+
+
+def test_fixed_window_membership_right_closed(spark):
+    cfg = FeatureConfig(window_size_s=300, slide_s=60)
+    df = spark.createDataFrame(
+        [("c", 0, dt.datetime(2024, 1, 1, 10, 5))],
+        "conv_id string, turn_idx int, ts timestamp",
+    )
+    wins = (
+        W.assign_fixed_windows(df, cfg)
+        .select("window_start_sec", "window_end_sec")
+        .toPandas()
+    )
+    t = pd.Timestamp("2024-01-01 10:05:00", tz="UTC").timestamp()
+    # membership (start, end]: start ∈ [t−300, t), exactly 300/60 = 5 windows
+    assert len(wins) == 5
+    assert (wins["window_start_sec"] >= t - 300).all()
+    assert (wins["window_start_sec"] < t).all()
+    assert (wins["window_end_sec"] - wins["window_start_sec"] == 300).all()
+    # boundary: a row AT a window end belongs to it (right-closed) —
+    # start = t−300 is included
+    assert (wins["window_start_sec"] == t - 300).any()
+
+
+def test_business_hours_gate(spark):
+    cfg = FeatureConfig(window_size_s=300, slide_s=300, business_hour_min=9)
+    df = spark.createDataFrame(
+        [
+            ("c", 0, dt.datetime(2024, 1, 1, 3, 0)),
+            ("c", 1, dt.datetime(2024, 1, 1, 12, 0)),
+        ],
+        "conv_id string, turn_idx int, ts timestamp",
+    )
+    wins = W.assign_fixed_windows(df, cfg).toPandas()
+    hours = pd.to_datetime(wins["window_start_sec"], unit="s").dt.hour
+    assert (hours > 9).all()
+    assert (wins["turn_idx"] == 1).all()  # 03:00 row gated out entirely
+
+
+def test_time_spine_and_backfill(spark):
+    cfg = FeatureConfig(window_size_s=300, slide_s=300)
+    df = spark.createDataFrame(
+        [
+            ("c", 0, dt.datetime(2024, 1, 1, 10, 0)),
+            ("c", 1, dt.datetime(2024, 1, 1, 10, 20)),
+        ],
+        "conv_id string, turn_idx int, ts timestamp",
+    )
+    spine = W.time_spine(df, cfg, entity_col="conv_id")
+    observed = spark.createDataFrame(
+        [("c", 1704103200, [1.0, 2.0])],
+        "conv_id string, window_start_sec long, vec array<double>",
+    )
+    filled = W.backfill_zero_vectors(
+        spine, observed, "vec", 2, keys=("conv_id", "window_start_sec")
+    ).toPandas()
+    assert len(filled) == 5  # 10:00..10:20 every 300s inclusive
+    assert filled["is_backfilled"].sum() == 4
+    z = filled[filled["is_backfilled"]]["vec"].iloc[0]
+    assert list(z) == [0.0, 0.0]
+
+
+# ------------------------------------------------------------------ dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (3, "completely different text about spark engines"),
+        (4, "spark engines are completely different text about"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact(docs):
+    got = D.dedup_exact(docs).toPandas()
+    dup = got[got["n_copies"] == 2]
+    assert len(dup) == 1 and dup["keep_id"].iloc[0] == 0
+    kept = D.drop_exact_duplicates(docs).toPandas()
+    assert sorted(kept["doc_id"]) == [0, 2, 3, 4, 5]
+
+
+def test_minhash_neardup(docs):
+    pairs = D.minhash_dedup(
+        docs, n=3, num_hashes=64, bands=32, threshold=0.5
+    ).toPandas()
+    got_pairs = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 1) in got_pairs  # identical
+    assert (0, 2) in got_pairs or (1, 2) in got_pairs  # near dup
+    assert not any(3 in p and 0 in p for p in got_pairs)
+    # jaccard of identical docs is exactly 1
+    j01 = pairs[(pairs["id_a"] == 0) & (pairs["id_b"] == 1)]["jaccard"]
+    assert len(j01) and abs(j01.iloc[0] - 1.0) < 1e-9
+
+
+def test_jaccard_value_exact(spark):
+    # hand-computed: shingle-3 sets of "a b c d" vs "a b c e":
+    # {abc,bcd} vs {abc,bce} → |∩|=1, |∪|=3 → 1/3
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c e")], "doc_id long, text string"
+    )
+    sh = D.with_shingles(docs, n=3)
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    j = D.jaccard_verify(pairs, sh, threshold=0.0).toPandas()
+    assert abs(j["jaccard"].iloc[0] - 1 / 3) < 1e-9
+
+
+def test_simhash_dedup(docs):
+    got = D.simhash_dedup(docs).toPandas()
+    assert len(got[got["n_copies"] >= 2]) >= 1
+    sh = D.with_simhash(docs).toPandas().set_index("doc_id")["simhash"]
+    assert sh[0] == sh[1]
+    assert sh[0] != sh[3]
+
+
+def test_embedding_neardup(spark):
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(16)
+    rows = [
+        (0, (base + 0.0).tolist()),
+        (1, (base * 1.001 + 0.001).tolist()),  # near dup of 0
+        (2, rng.standard_normal(16).tolist()),
+        (3, (-base).tolist()),  # anti-parallel
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = D.embedding_neardup_pairs(df, threshold=0.95, n_planes=8).toPandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 1) in got
+    assert (0, 3) not in got
+
+
+# ------------------------------------------------------------- similarity
+
+
+def test_brute_force_topk_exact(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pdf = emb.toPandas()
+    qid = int(pdf["vec_id"].iloc[0])
+    qv = np.asarray(pdf["embedding"].iloc[0], dtype=np.float64)
+    got = SIM.brute_force_topk(emb, [(qid, qv.tolist())], k=5).toPandas()
+
+    mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    qn = qv / np.linalg.norm(qv)
+    sims = (mat / np.linalg.norm(mat, axis=1, keepdims=True)) @ qn
+    order = sorted(
+        zip(np.round(sims, 6), -pdf["vec_id"].to_numpy()), reverse=True
+    )[:5]
+    exp_ids = [-int(x[1]) for x in order]
+    assert list(got.sort_values("rk")["neighbor_id"]) == exp_ids
+    assert got[got["rk"] == 1]["neighbor_id"].iloc[0] == qid  # self first
+
+
+def test_lsh_topk_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pdf = emb.toPandas()
+    queries = [
+        (int(pdf["vec_id"].iloc[i]), list(map(float, pdf["embedding"].iloc[i])))
+        for i in range(5)
+    ]
+    exact = SIM.brute_force_topk(emb, queries, k=10).toPandas()
+    approx = SIM.lsh_topk(emb, queries, k=10, n_planes=4).toPandas()
+    # multi-probe LSH must find the query itself and beat random recall
+    # (random 10-of-500 candidates would give ~0.06 expected recall)
+    recall = []
+    for qid, _ in queries:
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        assert qid in a
+        recall.append(len(e & a) / len(e))
+    assert np.mean(recall) >= 0.4, recall
+
+
+# -------------------------------------------------------------- textstats
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello, world! 123"), (1, None), (2, "")],
+        "doc_id long, text string",
+    )
+    got = TS.with_token_stats(df).toPandas().set_index("doc_id")
+    assert got.loc[0, "n_tokens"] == 3  # hello, world, 123
+    assert got.loc[1, "n_tokens"] == 0
+    assert got.loc[2, "n_tokens"] == 0
+    assert got.loc[0, "n_chars"] == 17
+
+
+def test_quality_and_lang(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog sat in the garden for hours"),
+            (1, "el gato y la casa de los perros era una con historia"),
+            (2, "!!!???...;;;"),
+        ],
+        "doc_id long, text string",
+    )
+    q = TS.with_quality_score(df).toPandas().set_index("doc_id")
+    assert q.loc[0, "quality_score"] > q.loc[2, "quality_score"]
+    lang = TS.with_language_id(df).toPandas().set_index("doc_id")
+    assert lang.loc[0, "lang_pred"] == "en"
+    assert lang.loc[1, "lang_pred"] == "es"
+    assert lang.loc[2, "lang_pred"] == "und"
+
+
+def test_fingerprint_deterministic(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g h i j"), (1, "a b c d e f g h i j"), (2, "x y")],
+        "doc_id long, text string",
+    )
+    fp = TS.with_fingerprint(df, k=4).toPandas().set_index("doc_id")
+    assert fp.loc[0, "fingerprint"] == fp.loc[1, "fingerprint"]
+    assert fp.loc[0, "winnow_min"] == fp.loc[1, "winnow_min"]
+    assert fp.loc[0, "fingerprint"] != fp.loc[2, "fingerprint"]
+    assert pd.isna(fp.loc[2, "winnow_min"])  # < k tokens → empty sketch

@@ -1,0 +1,117 @@
+"""End-to-end pipeline, leakage audit, checkpoint kill-and-resume."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from sqlfeatureextraction_spark.audit import audit_member_bound, audit_truncation
+from sqlfeatureextraction_spark.checkpoint import CheckpointedRun
+from sqlfeatureextraction_spark.config import FeatureConfig
+from sqlfeatureextraction_spark.operators.asof_merge import window_features_merge
+from sqlfeatureextraction_spark.plans.pipeline import FeaturePipeline
+
+CFG = FeatureConfig()
+
+
+@pytest.fixture(scope="module")
+def fitted(transcripts_df):
+    return FeaturePipeline(CFG).fit(transcripts_df)
+
+
+def test_pipeline_transform_shape(fitted, transcripts_df):
+    feats = fitted.transform(transcripts_df).toPandas()
+    # one row per distinct (conv_id, ts)
+    assert not feats.duplicated(["conv_id", "ts"]).any()
+    assert {"features", "window_features", "session_id"} <= set(feats.columns)
+    w = np.vstack(feats["window_features"].to_numpy())
+    from sqlfeatureextraction_spark.layout import window_vector_width
+
+    assert w.shape[1] == window_vector_width(
+        fitted.layout, CFG.top_k_entities, CFG.top_n_members
+    )
+
+
+def test_split_deterministic_and_ratio(fitted, transcripts_df):
+    feats = fitted.transform(transcripts_df)
+    s1 = fitted.split(feats).select("conv_id", "split").distinct().toPandas()
+    s2 = fitted.split(feats).select("conv_id", "split").distinct().toPandas()
+    m = s1.merge(s2, on="conv_id")
+    assert (m["split_x"] == m["split_y"]).all()  # stable
+    # each conversation lands wholly in one split
+    assert not s1.duplicated("conv_id").any()
+    ratio = (s1["split"] == "train").mean()
+    assert 0.6 < ratio < 0.95
+
+
+def test_audit_member_bound(fitted, transcripts_df):
+    vec = fitted.turn_features(transcripts_df)
+    wf = window_features_merge(
+        vec, fitted.vocab, CFG, fitted.layout, audit=True
+    )
+    res = audit_member_bound(wf)
+    assert res["ok"], res
+
+
+def test_audit_truncation(fitted, transcripts_df, transcripts_pdf):
+    full = fitted.transform(transcripts_df)
+    cutoff = transcripts_pdf["ts"].quantile(0.4)
+    trunc_in = transcripts_df.where(f"ts <= timestamp'{cutoff}'")
+    trunc = fitted.transform(trunc_in)
+    res = audit_truncation(full, trunc)
+    assert res["ok"], res
+    assert res["rows_compared"] > 0
+
+
+def test_checkpoint_kill_and_resume(tmp_path, spark, fitted, transcripts_df):
+    def compute(part):
+        return fitted.transform(part).select(
+            "conv_id",
+            "ts",
+            "session_id",
+            "window_features",
+        )
+
+    # uninterrupted reference run
+    ref_dir = str(tmp_path / "ref")
+    ref = CheckpointedRun(ref_dir, n_buckets=4, snapshot_id="snap1")
+    assert ref.run(transcripts_df, compute) == 4
+
+    # killed after 2 buckets, then resumed
+    out_dir = str(tmp_path / "resumable")
+    run1 = CheckpointedRun(out_dir, n_buckets=4, snapshot_id="snap1")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run1.run(transcripts_df, compute, fail_after=2)
+    assert len(run1.read_manifest()) == 2
+
+    run2 = CheckpointedRun(out_dir, n_buckets=4, snapshot_id="snap1")
+    n = run2.run(transcripts_df, compute)
+    assert n == 2  # only the remaining buckets
+
+    # identical digests per bucket vs the uninterrupted run
+    ref_m = ref.read_manifest()
+    res_m = run2.read_manifest()
+    assert set(ref_m) == set(res_m) == {0, 1, 2, 3}
+    for b in range(4):
+        assert ref_m[b]["digest"] == res_m[b]["digest"], b
+        assert ref_m[b]["row_count_out"] == res_m[b]["row_count_out"]
+
+    # snapshot change invalidates completed buckets
+    run3 = CheckpointedRun(out_dir, n_buckets=4, snapshot_id="snap2")
+    assert len(run3.read_manifest()) == 0
+
+
+def test_write_batched_files(tmp_path, fitted, transcripts_df):
+    feats = fitted.split(fitted.transform(transcripts_df))
+    out = str(tmp_path / "out")
+    fitted.write(feats, out, batch_size=200)
+    files = glob.glob(os.path.join(out, "split=*", "*.parquet"))
+    assert files, "no parquet written"
+    spark = transcripts_df.sparkSession
+    back = spark.read.parquet(out)
+    assert back.count() == feats.count()
+    assert set(r["split"] for r in back.select("split").distinct().collect()) == {
+        "train",
+        "test",
+    }
