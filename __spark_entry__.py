@@ -398,6 +398,62 @@ def _q_transcript_wf_merge(spark, sf_dir):
     return window_features_merge(vec, vocab, cfg, layout)
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_merge_intervals(spark, sf_dir):
+    """F13 interval union: [ts, ts+600] per event, merged per user
+    (gaps-and-islands with window functions)."""
+    from sqlfeatureextraction_spark.operators.intervals import merge_intervals
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts_sec").alias("start_s"),
+        (F.col("ts_sec") + 600).alias("end_s"),
+    )
+    return merge_intervals(ev, key_col="user_id")
+
+
+def _q_neardup_prune(spark, sf_dir):
+    """D4 consecutive near-dup pruning: token-set cosine vs previous doc
+    of the same source; survivors with their prev_cos."""
+    from sqlfeatureextraction_spark.operators.intervals import (
+        prune_consecutive_neardups,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = prune_consecutive_neardups(
+        docs,
+        threshold=0.8,
+        entity_col="source",
+        text_col="text",
+        ts_col="doc_id",
+        order_cols=(),
+    )
+    return kept.select("doc_id", "source", "prev_cos")
+
+
+def _q_pivot_counts(spark, sf_dir):
+    """Pivot: per-user event_type count matrix (explicit value list →
+    deterministic columns)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+def _q_rollup_agg(spark, sf_dir):
+    """ROLLUP aggregation over (l_returnflag, l_linestatus)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pit_window_sum": _q_pit_window_sum,
@@ -421,6 +477,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_dedup": _q_simhash_dedup,
         "embedding_neardup": _q_embedding_neardup,
+        "merge_intervals": _q_merge_intervals,
+        "neardup_prune": _q_neardup_prune,
+        "pivot_counts": _q_pivot_counts,
+        "rollup_agg": _q_rollup_agg,
         "transcript_window_features": _q_transcript_window_features,
         "transcript_wf_merge": _q_transcript_wf_merge,
     }
@@ -660,5 +720,71 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rk
               FROM pairs
             ) WHERE rk <= 10
+        """,
+        "merge_intervals": f"""
+            WITH iv AS (
+              SELECT user_id, ts_sec AS start_s, ts_sec + 600 AS end_s
+              FROM ({_EV_TS})
+            ),
+            flagged AS (
+              SELECT user_id, start_s, end_s,
+                CASE WHEN MAX(end_s) OVER
+                  (PARTITION BY user_id ORDER BY start_s, end_s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR start_s > MAX(end_s) OVER
+                  (PARTITION BY user_id ORDER BY start_s, end_s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS new_island
+              FROM iv
+            ),
+            islands AS (
+              SELECT user_id, start_s, end_s,
+                SUM(new_island) OVER
+                  (PARTITION BY user_id ORDER BY start_s, end_s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+              FROM flagged
+            )
+            SELECT user_id, MIN(start_s) AS island_start,
+                   MAX(end_s) AS island_end, COUNT(*) AS n_merged
+            FROM islands GROUP BY user_id, isl
+        """,
+        "neardup_prune": f"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     list_distinct({_TOK}) AS toks
+              FROM documents
+            ),
+            l AS (
+              SELECT doc_id, source, toks,
+                     LAG(toks) OVER (PARTITION BY source ORDER BY doc_id)
+                       AS prev
+              FROM t
+            ),
+            c AS (
+              SELECT doc_id, source,
+                CASE WHEN prev IS NULL THEN NULL
+                     WHEN sqrt(len(toks) * len(prev)) > 0 THEN
+                       ROUND(len(list_intersect(toks, prev))
+                             / sqrt(len(toks) * len(prev)), 6)
+                     ELSE 0.0 END AS prev_cos
+              FROM l
+            )
+            SELECT doc_id, source, prev_cos FROM c
+            WHERE prev_cos IS NULL OR prev_cos <= 0.8
+        """,
+        "pivot_counts": f"""
+            SELECT user_id,
+              {", ".join(
+                  f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}"
+                  for t in EVENT_TYPES
+              )}
+            FROM events GROUP BY user_id
+        """,
+        "rollup_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 4) AS sum_qty,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
     }

@@ -130,24 +130,22 @@ def window_features_builtin(
         F.min(F.struct("m_ts_sec", "m_turn_idx")).alias("g_ord"),
     )
 
-    # W6: top-K entities (tools) by summed cost.
-    tool_w = Window.partitionBy("conv_id", "ts_sec").orderBy(
+    # W6 + W7 as window functions over ONE pipeline — a join of
+    # top-tools back onto dedup would make Catalyst compute the whole
+    # upstream (scan + Arrow vectorizer) twice; dense_rank over the
+    # same (conv_id, ts_sec) partitioning keeps it single-pass and
+    # reuses the groupBy's hash partitioning (no extra shuffle).
+    tool_cost_w = Window.partitionBy("conv_id", "ts_sec", "m_tool")
+    slot_w = Window.partitionBy("conv_id", "ts_sec").orderBy(
         F.desc("tool_cost"), F.asc("m_tool")
     )
-    top_tools = (
-        dedup.groupBy("conv_id", "ts", "ts_sec", "m_tool")
-        .agg(F.sum("g_cost").alias("tool_cost"))
-        .withColumn("slot_idx", F.row_number().over(tool_w) - 1)
-        .where(F.col("slot_idx") < cfg.top_k_entities)
-        .select("conv_id", "ts_sec", "m_tool", "slot_idx")
-    )
-
-    # W7: top-N members per selected entity.
     mem_w = Window.partitionBy("conv_id", "ts_sec", "m_tool").orderBy(
         F.desc("g_cost"), F.asc("g_ord")
     )
     members = (
-        dedup.join(top_tools, ["conv_id", "ts_sec", "m_tool"])
+        dedup.withColumn("tool_cost", F.sum("g_cost").over(tool_cost_w))
+        .withColumn("slot_idx", F.dense_rank().over(slot_w) - 1)
+        .where(F.col("slot_idx") < cfg.top_k_entities)
         .withColumn("member_idx", F.row_number().over(mem_w) - 1)
         .where(F.col("member_idx") < cfg.top_n_members)
     )

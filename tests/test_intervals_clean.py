@@ -1,0 +1,90 @@
+"""Interval merge, consecutive near-dup pruning, P1-P4 text transforms."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from sqlfeatureextraction_spark.functions.sqlclean import (
+    clean_sql_text,
+    extract_table,
+    filter_ddl_dml,
+    prune_recurring,
+    statement_gate,
+)
+from sqlfeatureextraction_spark.operators.intervals import (
+    merge_intervals,
+    prune_consecutive_neardups,
+)
+
+
+def test_merge_intervals_hand_case(spark):
+    rows = [
+        (1, 0, 10),
+        (1, 5, 20),   # overlaps → island [0,20]
+        (1, 21, 30),  # gap of 1 → new island
+        (1, 25, 26),  # inside
+        (2, 0, 1),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, start_s long, end_s long")
+    got = (
+        merge_intervals(df)
+        .toPandas()
+        .sort_values(["user_id", "island_start"])
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == [
+        [1, 0, 20, 2],
+        [1, 21, 30, 2],
+        [2, 0, 1, 1],
+    ]
+
+
+def test_prune_consecutive_neardups(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c", 0, "alpha beta gamma", base),
+        ("c", 1, "alpha beta gamma", base + dt.timedelta(seconds=10)),  # dup
+        ("c", 2, "alpha beta delta", base + dt.timedelta(seconds=20)),  # 2/3
+        ("c", 3, "totally different words", base + dt.timedelta(seconds=30)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, ts timestamp"
+    )
+    kept = prune_consecutive_neardups(df, threshold=0.8).toPandas()
+    assert sorted(kept["turn_idx"]) == [0, 2, 3]
+    # cos(alpha beta gamma, alpha beta delta) = 2/3 survives 0.8
+    assert abs(
+        kept.set_index("turn_idx").loc[2, "prev_cos"] - 2 / 3
+    ) < 1e-6
+
+
+def test_clean_and_gates(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "select * from `db`.events_cluster; -- x\n"),
+            (1, "CREATE TABLE t (x int)"),
+            (2, "insert into t values (1)"),
+            (3, "drop table t"),
+            (4, "with cte as (select 1) select * from cte"),
+        ],
+        "id long, text string",
+    )
+    cleaned = df.select("id", clean_sql_text(F.col("text")).alias("c")).toPandas()
+    assert cleaned.set_index("id").loc[0, "c"] == "select * from db.events -- x"
+    assert set(filter_ddl_dml(df).toPandas()["id"]) == {0, 2, 4}
+    assert set(statement_gate(df).toPandas()["id"]) == {0, 2}
+    pruned = prune_recurring(df, [r"^drop\b", r"^CREATE\b"])
+    assert set(pruned.toPandas()["id"]) == {0, 2, 4}
+
+
+def test_extract_table(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "['db.events_cluster']"),
+            (1, '["apm.spans"]'),
+            (2, "plain_table"),
+        ],
+        "id long, tables string",
+    )
+    got = df.select("id", extract_table(F.col("tables")).alias("t")).toPandas()
+    assert list(got.sort_values("id")["t"]) == ["events", "spans", "plain_table"]

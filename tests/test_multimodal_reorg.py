@@ -1,0 +1,125 @@
+"""Multimodal plumbing, W9 lead-chaining, A4 OR-combine."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sqlfeatureextraction_spark.config import FeatureConfig
+from sqlfeatureextraction_spark.operators.multimodal import (
+    extract_media_features,
+    sample_frames,
+    synth_media,
+)
+from sqlfeatureextraction_spark.operators.reorganize import (
+    or_combine_window_features,
+    reorganize_sessions,
+)
+
+
+# -------------------------------------------------------------- multimodal
+
+
+def test_media_feature_extraction_deterministic(spark):
+    media = synth_media(spark, n=30)
+    f1 = extract_media_features(media, fake=True).toPandas().sort_values("media_id")
+    f2 = extract_media_features(media, fake=True).toPandas().sort_values("media_id")
+    assert len(f1) == 10  # every 3rd row is an image
+    h1 = np.vstack(f1["feat_hist"].to_numpy())
+    h2 = np.vstack(f2["feat_hist"].to_numpy())
+    assert np.allclose(h1, h2)
+    assert np.allclose(h1.sum(axis=1), 1.0)  # normalized histograms
+    assert (f1["kind"] == "image").all()
+
+
+def test_media_real_decode_is_stubbed(spark):
+    media = synth_media(spark, n=6)
+    with pytest.raises(Exception, match="NotImplementedError|decoding"):
+        extract_media_features(media, fake=False).collect()
+
+
+def test_frame_sampling(spark):
+    media = synth_media(spark, n=30)
+    frames = sample_frames(media, every_n=4, fake=True).toPandas()
+    metas = media.where("kind='video'").select("media_id", "meta.n_frames").toPandas()
+    exp = sum(len(range(0, int(n), 4)) for n in metas["n_frames"])
+    assert len(frames) == exp
+    assert (frames["frame_idx"] % 4 == 0).all()
+    # same payload+index → same hash (determinism)
+    again = sample_frames(media, every_n=4, fake=True).toPandas()
+    m = frames.merge(again, on=["media_id", "frame_idx"])
+    assert (m["frame_hash_x"] == m["frame_hash_y"]).all()
+
+
+# ----------------------------------------------------------- W9 lead-chain
+
+
+def test_reorganize_sessions_hand_case(spark):
+    # ts = 0, 100, 400, 900 (s); W = 300
+    # chain from 0:   0 → first ts > 300 → 400 → first > 700 → 900
+    # chain from 100: 100 → first > 400 → 900
+    # chain from 400: 400 → first > 700 → 900
+    # chain from 900: 900
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("c", base + dt.timedelta(seconds=s)) for s in (0, 100, 400, 900)]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp")
+    got = reorganize_sessions(df, window_s=300).toPandas()
+    got["ts_s"] = (
+        got["ts"].astype("datetime64[s]").astype("int64")
+        - int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+    )
+    base_sec = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+    chains = {
+        int(s - base_sec): list(g.sort_values("seq")["ts_s"])
+        for s, g in got.groupby("chain_start_sec")
+    }
+    assert chains == {
+        0: [0, 400, 900],
+        100: [100, 900],
+        400: [400, 900],
+        900: [900],
+    }
+
+
+# ----------------------------------------------------------- A4 OR-combine
+
+
+def test_or_combine_matches_oracle(transcripts_df, transcripts_pdf):
+    from oracle import pandas_oracle as O
+    from sqlfeatureextraction_spark.operators.vectorize import with_turn_features
+    from sqlfeatureextraction_spark.vocab import fit_vocabulary
+
+    cfg = FeatureConfig()
+    v = fit_vocabulary(transcripts_df)
+    vec, layout = with_turn_features(transcripts_df, v, cfg)
+    got = (
+        or_combine_window_features(vec, cfg)
+        .toPandas()
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+
+    tokens, roles, tools = O.fit_vocab(transcripts_pdf)
+    tv = O.turn_vectors(transcripts_pdf, tokens, roles, tools)
+    # oracle: per distinct (conv, ts), OR of member vectors
+    exp_rows = []
+    for conv_id, g in tv.groupby("conv_id", sort=True):
+        g = g.sort_values(["ts_sec", "turn_idx"])
+        for ts_end in sorted(g["ts_sec"].unique()):
+            mem = g[(g["ts_sec"] > ts_end - 300) & (g["ts_sec"] <= ts_end)]
+            exp_rows.append(
+                {
+                    "conv_id": conv_id,
+                    "ts_sec": ts_end,
+                    "v": np.maximum.reduce(np.vstack(mem["vector"].to_numpy())),
+                }
+            )
+    exp = pd.DataFrame(exp_rows).sort_values(["conv_id", "ts_sec"]).reset_index(
+        drop=True
+    )
+    assert len(got) == len(exp)
+    gm = np.vstack(got["window_features_or"].to_numpy())
+    em = np.vstack(exp["v"].to_numpy())
+    assert np.allclose(gm, em)
