@@ -401,6 +401,53 @@ def _q_transcript_wf_merge(spark, sf_dir):
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def _q_asof_join_orders(spark, sf_dir):
+    """J4 generic two-table as-of join: newest order (by custkey) at or
+    before each event ts — union-trick formulation; right side deduped
+    per (key, ts) for cross-engine determinism."""
+    from sqlfeatureextraction_spark.operators.asof_join import asof_join
+
+    e = _events(spark, sf_dir).select("event_id", "user_id", "ts_sec")
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("ts_sec"),
+            F.col("o_totalprice").alias("price"),
+        )
+        .groupBy("user_id", "ts_sec")
+        .agg(F.max("price").alias("price"))
+    )
+    return asof_join(e, o, on="ts_sec", by="user_id", value_cols=("price",))
+
+
+def _q_oov_stats(spark, sf_dir):
+    """OOV accounting vs a frequency-thresholded (>=5) vocabulary —
+    surfaced as columns (the reference swallows vocab misses,
+    enc/APMFragmentIntent.java:303-305).  Exploded anti-join keeps it
+    scale-safe (no driver-side vocab literal)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = _tokens(F.col("text"))
+    tok_rows = docs.select("doc_id", F.explode(toks).alias("t"))
+    vocab = (
+        tok_rows.groupBy("t").agg(F.count(F.lit(1)).alias("c")).where("c >= 5")
+    )
+    oov = (
+        tok_rows.join(F.broadcast(vocab), "t", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_oov"))
+    )
+    return (
+        docs.select("doc_id", F.size(toks).alias("n_tokens"))
+        .join(oov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_oov"), F.lit(0)).cast("int").alias("n_oov"),
+        )
+    )
+
+
 def _q_merge_intervals(spark, sf_dir):
     """F13 interval union: [ts, ts+600] per event, merged per user
     (gaps-and-islands with window functions)."""
@@ -477,6 +524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_dedup": _q_simhash_dedup,
         "embedding_neardup": _q_embedding_neardup,
+        "asof_join_orders": _q_asof_join_orders,
+        "oov_stats": _q_oov_stats,
         "merge_intervals": _q_merge_intervals,
         "neardup_prune": _q_neardup_prune,
         "pivot_counts": _q_pivot_counts,
@@ -720,6 +769,35 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rk
               FROM pairs
             ) WHERE rk <= 10
+        """,
+        "asof_join_orders": f"""
+            WITH e AS (
+              SELECT event_id, user_id, ts_sec FROM ({_EV_TS})
+            ),
+            o AS (
+              SELECT o_custkey AS user_id,
+                     CAST(floor(epoch(CAST(o_orderdate AS TIMESTAMP)))
+                          AS BIGINT) AS ts_sec,
+                     MAX(o_totalprice) AS price
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id, e.ts_sec,
+                   o.ts_sec AS asof_ts_asof, o.price AS price_asof
+            FROM e ASOF LEFT JOIN o
+              ON e.user_id = o.user_id AND o.ts_sec <= e.ts_sec
+        """,
+        "oov_stats": f"""
+            WITH tok AS (
+              SELECT doc_id, UNNEST({_TOK}) AS t FROM documents
+            ),
+            v AS (SELECT t FROM tok GROUP BY t HAVING COUNT(*) >= 5),
+            o AS (
+              SELECT doc_id, COUNT(*) AS n_oov
+              FROM tok ANTI JOIN v USING (t) GROUP BY doc_id
+            )
+            SELECT d.doc_id, CAST(len({_TOK}) AS INT) AS n_tokens,
+                   CAST(COALESCE(o.n_oov, 0) AS INT) AS n_oov
+            FROM documents d LEFT JOIN o USING (doc_id)
         """,
         "merge_intervals": f"""
             WITH iv AS (

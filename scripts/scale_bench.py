@@ -21,7 +21,8 @@ import sys
 CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, os.environ["REPO_ROOT"])
-par = int(sys.argv[1]); sf_dir = sys.argv[2]
+par = int(sys.argv[1]); sf_dir = sys.argv[2]; rep = int(sys.argv[3])
+from pyspark.sql import functions as F
 from sqlfeatureextraction_spark.session import get_spark
 from sqlfeatureextraction_spark.config import FeatureConfig
 from sqlfeatureextraction_spark.synth import events_as_transcripts
@@ -34,6 +35,14 @@ cfg = FeatureConfig()
 
 def job():
     tx = events_as_transcripts(spark, sf_dir)
+    if rep > 1:
+        # replicate conversations (disjoint conv ids, same timelines) so
+        # the job is throughput-bound, not fixed-overhead-bound
+        tx = tx.withColumn(
+            "_r", F.explode(F.sequence(F.lit(0), F.lit(rep - 1)))
+        ).withColumn(
+            "conv_id", F.concat_ws("_", "conv_id", F.col("_r"))
+        ).drop("_r").repartition(par * 4, "conv_id")
     vocab = fit_vocabulary(tx, max_tokens=256)
     vec, layout = with_turn_features(tx, vocab, cfg)
     return window_features_builtin(vec, vocab, cfg, layout).count()
@@ -45,10 +54,10 @@ print(json.dumps({"parallelism": par, "rows": n, "sec": round(dt, 3),
 """
 
 
-def run_level(par: int, sf_dir: str) -> dict:
+def run_level(par: int, sf_dir: str, rep: int) -> dict:
     env = dict(os.environ, REPO_ROOT=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     out = subprocess.run(
-        [sys.executable, "-c", CHILD, str(par), sf_dir],
+        [sys.executable, "-c", CHILD, str(par), sf_dir, str(rep)],
         capture_output=True,
         text=True,
         env=env,
@@ -60,12 +69,14 @@ def run_level(par: int, sf_dir: str) -> dict:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    lo = run_level(8, sf_dir)
-    hi = run_level(32, sf_dir)
+    rep = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    lo = run_level(8, sf_dir, rep)
+    hi = run_level(32, sf_dir, rep)
     eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / 4
     result = {
         "metric": "scaling efficiency N→4N (local[8] vs local[32])",
         "sf_dir": sf_dir,
+        "replication": rep,
         "local8": lo,
         "local32": hi,
         "efficiency": round(eff, 3),

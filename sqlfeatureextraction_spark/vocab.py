@@ -71,6 +71,35 @@ def _distinct_sorted(df: DataFrame, col) -> list[str]:
     return [r["v"] for r in vals]
 
 
+def with_oov_stats(
+    df: DataFrame, vocab: "Vocabulary", text_col: str = "text"
+) -> DataFrame:
+    """Append n_tokens / n_oov per row.
+
+    The reference swallows vocabulary misses silently (bits just stay
+    unset, enc/APMFragmentIntent.java:303-305,450-459); we surface OOV
+    counts as columns (and via ``observe_oov`` as run metrics).  The
+    membership test is an array_contains on a broadcast-literal token
+    array — JVM-side, no join, no Python."""
+    toks = tokenize_col(F.col(text_col))
+    vocab_arr = F.lit(sorted(vocab.tokens))
+    n_oov = F.size(
+        F.filter(toks, lambda t: ~F.array_contains(vocab_arr, t))
+    )
+    return df.withColumn("n_tokens", F.size(toks)).withColumn("n_oov", n_oov)
+
+
+def observe_oov(df: DataFrame, name: str = "oov_metrics") -> DataFrame:
+    """A6 accumulator analog: attach an observation aggregating OOV
+    totals; read via QueryExecutionListener or `observedMetrics`."""
+    return df.observe(
+        name,
+        F.sum("n_oov").alias("total_oov"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("rows"),
+    )
+
+
 def fit_vocabulary(
     transcripts: DataFrame,
     max_tokens: int | None = None,
