@@ -58,6 +58,7 @@ def entry(spark: SparkSession) -> DataFrame:
     tx = events_as_transcripts(spark, "/root/testdata/sf0.001")
     vocab = fit_vocabulary(tx, max_tokens=256)
     vec, layout = with_turn_features(tx, vocab, cfg)
+    vec = vec.cache()
     wf = window_features_builtin(vec, vocab, cfg, layout)
     return wf.select("conv_id", "ts", F.size("window_features").alias("width"))
 
@@ -213,6 +214,7 @@ def _q_transcript_window_features(spark, sf_dir):
     tx = events_as_transcripts(spark, sf_dir)
     vocab = fit_vocabulary(tx, max_tokens=256)
     vec, layout = with_turn_features(tx, vocab, cfg)
+    vec = vec.cache()  # feeds the narrow window pass + the feature join
     return window_features_builtin(vec, vocab, cfg, layout)
 
 
@@ -395,6 +397,7 @@ def _q_transcript_wf_merge(spark, sf_dir):
     tx = events_as_transcripts(spark, sf_dir)
     vocab = fit_vocabulary(tx, max_tokens=256)
     vec, layout = with_turn_features(tx, vocab, cfg)
+    vec = vec.cache()  # used by the stats pass + base/replica branches
     return window_features_merge(vec, vocab, cfg, layout)
 
 

@@ -45,7 +45,11 @@ def job():
         ).drop("_r").repartition(par * 4, "conv_id")
     vocab = fit_vocabulary(tx, max_tokens=256)
     vec, layout = with_turn_features(tx, vocab, cfg)
-    return window_features_builtin(vec, vocab, cfg, layout).count()
+    vec = vec.cache()  # same as FeaturePipeline: feeds window pass + join
+    try:
+        return window_features_builtin(vec, vocab, cfg, layout).count()
+    finally:
+        vec.unpersist()
 
 n = job()  # warm-up (JVM JIT, parquet footers, Arrow init)
 t0 = time.perf_counter(); n = job(); dt = time.perf_counter() - t0

@@ -18,16 +18,24 @@ salted ``applyInPandas`` sort-merge path lives in asof_merge.py):
      sorted pass per partition; the right-closed ``(ts−W, ts]`` bound
      is ``rangeBetween(-(W−1), 0)`` on integral epoch seconds (Spark's
      own ``F.window`` is left-closed and cannot express this).
+     **Member structs are NARROW** — (ts_sec, turn_idx, tool, cost,
+     vec_hash), NOT the feature array: carrying the ~2KB vector through
+     the window materialization and the dedupe shuffle multiplies
+     shuffle bytes by the mean window size (measured: the dominant cost
+     at 3M rows, and catastrophic for dense windows).
   2. one anchor row per distinct (conv_id, ts) — the reference skips
      windows with an end-ts equal to the previous one (:280-284);
      with ties all peer rows carry identical member lists (RANGE frame
      includes peers), so any representative is exact.
-  3. dedupe/top-K/top-N as relational groupBy/row_number on the
-     (conv_id, ts) key family — Catalyst reuses the hash partitioning
-     across these stages, so steps 2-4 add no extra shuffle of the big
-     table beyond the first window sort.
-  4. final fixed-width assembly: one Arrow pandas UDF, numpy slice
-     scatter (≤ top_k×top_n members per anchor).
+  3. dedupe/top-K/top-N as groupBy + window functions on the
+     (conv_id, ts) key family — dense_rank instead of a top-tools
+     self-join (a join would recompute the whole upstream twice).
+  4. the ≤ top_k×top_n SELECTED members join their feature vectors
+     back by (conv_id, turn_idx) — the full-width vector is shuffled
+     exactly once, on the vec side of this join.  `vec` should be
+     cached/materialized by the caller (FeaturePipeline does) since
+     it feeds both this join and the turn-feature output.
+  5. final fixed-width assembly: one Arrow pandas UDF, numpy scatter.
 
 Tie-breaking is a DEFINED total order (the reference's is JVM-HashMap
 order, SURVEY §4.4.4): entities by (cost desc, tool asc); members by
@@ -47,11 +55,12 @@ from sqlfeatureextraction_spark.config import FeatureConfig
 from sqlfeatureextraction_spark.layout import VectorLayout, window_vector_width
 from sqlfeatureextraction_spark.vocab import Vocabulary
 
-MEMBER_STRUCT = "struct(ts_sec, turn_idx, tool, cost, vec_hash, features)"
+MEMBER_STRUCT = "struct(ts_sec, turn_idx, tool, cost, vec_hash)"
 
 
 def pit_member_pairs(vec: DataFrame, cfg: FeatureConfig) -> DataFrame:
-    """(anchor conv_id, ts, ts_sec) × exploded members with ts' ∈ (ts−W, ts]."""
+    """(anchor conv_id, ts, ts_sec) × exploded NARROW members with
+    ts' ∈ (ts−W, ts]."""
     w = (
         Window.partitionBy("conv_id")
         .orderBy("ts_sec")
@@ -80,7 +89,6 @@ def pit_member_pairs(vec: DataFrame, cfg: FeatureConfig) -> DataFrame:
         F.coalesce(F.col("m.tool"), F.lit("")).alias("m_tool"),
         F.col("m.cost").alias("m_cost"),
         F.col("m.vec_hash").alias("m_vec_hash"),
-        F.col("m.features").alias("m_features"),
     )
 
 
@@ -124,9 +132,6 @@ def window_features_builtin(
     # representative = earliest (ts, turn_idx) member.
     dedup = pairs.groupBy("conv_id", "ts", "ts_sec", "m_tool", "m_vec_hash").agg(
         F.sum("m_cost").alias("g_cost"),
-        F.min_by("m_features", F.struct("m_ts_sec", "m_turn_idx")).alias(
-            "g_features"
-        ),
         F.min(F.struct("m_ts_sec", "m_turn_idx")).alias("g_ord"),
     )
 
@@ -149,6 +154,17 @@ def window_features_builtin(
         .withColumn("member_idx", F.row_number().over(mem_w) - 1)
         .where(F.col("member_idx") < cfg.top_n_members)
     )
+
+    # join the representative's feature vector back — the wide array is
+    # shuffled once (vec side); `members` is ≤ k·n rows per anchor
+    feats = vec.select(
+        "conv_id",
+        F.col("turn_idx").alias("rep_turn_idx"),
+        F.col("features").alias("g_features"),
+    )
+    members = members.withColumn(
+        "rep_turn_idx", F.col("g_ord").getField("m_turn_idx")
+    ).join(feats, ["conv_id", "rep_turn_idx"])
 
     # W8: fixed-width assembly.
     assemble, out_w = _assemble_udf(vocab, cfg, layout)

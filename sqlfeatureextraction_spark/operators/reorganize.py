@@ -87,6 +87,10 @@ def or_combine_window_features(
     """(conv_id, ts) → element-wise OR (max) of all member turn vectors
     in the trailing (ts−W, ts] window."""
     pairs = pit_member_pairs(vec, cfg)
+    feats = vec.select(
+        "conv_id", F.col("turn_idx").alias("m_turn_idx"), "features"
+    )
+    pairs = pairs.join(feats, ["conv_id", "m_turn_idx"])
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def or_reduce(vlists: pd.Series) -> pd.Series:
@@ -97,7 +101,7 @@ def or_combine_window_features(
         return pd.Series(out)
 
     grouped = pairs.groupBy("conv_id", "ts").agg(
-        F.collect_list("m_features").alias("vecs")
+        F.collect_list("features").alias("vecs")
     )
     return grouped.select(
         "conv_id", "ts", or_reduce(F.col("vecs")).alias("window_features_or")

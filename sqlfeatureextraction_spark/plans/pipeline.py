@@ -53,8 +53,12 @@ class FeaturePipeline:
 
     def transform(self, transcripts: DataFrame) -> DataFrame:
         """Full per-(conv_id, ts) feature table: turn-level features of
-        the LAST turn at each distinct ts + the trailing window vector."""
-        vec = self.turn_features(transcripts)
+        the LAST turn at each distinct ts + the trailing window vector.
+
+        The turn-feature table is cached: it feeds the turn-level
+        output, the narrow window pass AND the representative-feature
+        join (at cluster scale: materialize it as a table instead)."""
+        vec = self.turn_features(transcripts).cache()
         wf = self.window_features(vec)
         last = vec.groupBy("conv_id", "ts").agg(
             F.max_by("features", "turn_idx").alias("features"),

@@ -54,6 +54,30 @@ def read_raw_log_tsv(
     return df.withColumn("ts", ts)
 
 
+def read_session_log_lines(
+    spark: SparkSession,
+    path: str,
+    keep_pattern: str = "Query",
+    start_line: int = 0,
+) -> DataFrame:
+    """S4: raw session-log line scan — keep lines containing
+    `keep_pattern`, whitespace-normalize, skip a resume offset
+    (reference: enc/APMFragmentIntent.java:848-1002 countLines* +
+    MINC_START_LINE_NUM resume).  The offset filter uses a monotonic
+    line index; at scale prefer checkpoint.CheckpointedRun."""
+    raw = spark.read.text(path)
+    idx = F.monotonically_increasing_id()
+    out = (
+        raw.withColumn("_idx", idx)
+        .where(F.col("_idx") >= start_line)
+        .where(F.col("value").contains(keep_pattern))
+        .select(
+            F.trim(F.regexp_replace("value", r"\s+", " ")).alias("line")
+        )
+    )
+    return out
+
+
 def write_encoded_lines(
     features: DataFrame,
     path: str,

@@ -72,6 +72,67 @@ def session_windows(
     )
 
 
+def stateful_turn_counter(
+    stream: DataFrame,
+    entity_col: str = "conv_id",
+    gap_s: int = 1800,
+):
+    """Custom stateful operator: running turn counter + monotonic
+    session_id per conversation, kept in GroupState across micro-batches
+    (``applyInPandasWithState``).  The streaming analog of the
+    reference's prevSessionID/queryID counters
+    (enc/IntentCreatorMultiThread.java:73-78).
+
+    State: (n_turns_so_far, last_ts_sec, session_id).
+    Output per input row: conv_id, ts, turn_no (1-based, stable across
+    batches), session_id.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{entity_col} string, ts timestamp, turn_no long, session_id long"
+    )
+    state_schema = "n long, last_ts long, sess long"
+
+    def fn(key, pdfs, state):
+        n, last_ts, sess = state.get if state.exists else (0, None, 0)
+        frames = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
+            ts_sec = (
+                pdf["ts"].astype("datetime64[s]").astype("int64").to_numpy()
+            )
+            turn_no, sess_ids = [], []
+            for t in ts_sec:
+                if last_ts is not None and t - last_ts > gap_s:
+                    sess += 1
+                n += 1
+                last_ts = int(t)
+                turn_no.append(n)
+                sess_ids.append(sess)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        entity_col: key[0],
+                        "ts": pdf["ts"].to_numpy(),
+                        "turn_no": turn_no,
+                        "session_id": sess_ids,
+                    }
+                )
+            )
+        state.update((n, last_ts, sess))
+        yield from frames
+
+    return stream.groupBy(entity_col).applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(agg: DataFrame, name: str):
     """Drive a bounded file-backed stream to completion synchronously;
     results land in the in-memory table `name`."""
