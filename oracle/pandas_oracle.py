@@ -86,8 +86,6 @@ def turn_vectors(
         lag = row["lag_sec"]
         for i, g in enumerate(grans):
             v[l_off + i] = 1.0 if (pd.isna(lag) or lag >= g) else 0.0
-        if not pd.isna(lag):
-            pass
         vecs.append(v)
     df["vector"] = vecs
     df["cost"] = df["duration_ms"].fillna(1).astype(np.int64)

