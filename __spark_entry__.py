@@ -199,9 +199,34 @@ def _q_group_agg(spark, sf_dir):
     )
 
 
+def _wf_scalars(wf: DataFrame, vocab) -> DataFrame:
+    """Project the window vector to driver-hashable scalars that a
+    DuckDB oracle can recompute independently: the fixed width, the
+    tool-intent segment sum and the whole-vector sum.  Every vector
+    element is an exact small integer stored as double, so the sums
+    are exact and the long casts lose nothing."""
+    n_tools = len(vocab.tools)
+    total = F.aggregate(
+        F.col("window_features"), F.lit(0.0), lambda a, v: a + v
+    )
+    tool_seg = F.aggregate(
+        F.slice("window_features", 1, n_tools),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    return wf.select(
+        "conv_id",
+        "ts_sec",
+        F.size("window_features").alias("width"),
+        tool_seg.cast("long").alias("tool_bits"),
+        total.cast("long").alias("feat_sum"),
+    )
+
+
 def _q_transcript_window_features(spark, sf_dir):
-    """Flagship pipeline (non-SQL-expressible: fixed-width vector
-    assembly) — rows-only check."""
+    """Flagship pipeline via the built-in window path, projected to
+    oracle-checkable scalars (width / tool-segment sum / vector sum
+    per (conv_id, ts_sec) anchor)."""
     from sqlfeatureextraction_spark.config import FeatureConfig
     from sqlfeatureextraction_spark.operators.pit_window import (
         window_features_builtin,
@@ -215,7 +240,7 @@ def _q_transcript_window_features(spark, sf_dir):
     vocab = fit_vocabulary(tx, max_tokens=256)
     vec, layout = with_turn_features(tx, vocab, cfg)
     vec = vec.cache()  # feeds the narrow window pass + the feature join
-    return window_features_builtin(vec, vocab, cfg, layout)
+    return _wf_scalars(window_features_builtin(vec, vocab, cfg, layout), vocab)
 
 
 def _q_tumbling_window_agg(spark, sf_dir):
@@ -383,8 +408,9 @@ def _q_embedding_neardup(spark, sf_dir):
 
 
 def _q_transcript_wf_merge(spark, sf_dir):
-    """Flagship via the salted sort-merge throughput path (rows-only;
-    equality with the built-in path is pinned by pytest)."""
+    """Flagship via the salted sort-merge throughput path, projected to
+    the same oracle-checkable scalars (equality of the full vectors
+    between the two paths is additionally pinned by pytest)."""
     from sqlfeatureextraction_spark.config import FeatureConfig
     from sqlfeatureextraction_spark.operators.asof_merge import (
         window_features_merge,
@@ -398,7 +424,7 @@ def _q_transcript_wf_merge(spark, sf_dir):
     vocab = fit_vocabulary(tx, max_tokens=256)
     vec, layout = with_turn_features(tx, vocab, cfg)
     vec = vec.cache()  # used by the stats pass + base/replica branches
-    return window_features_merge(vec, vocab, cfg, layout)
+    return _wf_scalars(window_features_merge(vec, vocab, cfg, layout), vocab)
 
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -547,6 +573,116 @@ _TOK = (
 )
 
 
+def _flagship_oracle_sql() -> str:
+    """Independent DuckDB re-derivation of the flagship scalar
+    projection (width / tool-segment sum / whole-vector sum per
+    (conv_id, ts_sec) anchor).
+
+    The Spark engine dedupes window members by (tool, xxhash64(vector));
+    vector equality is equivalent to equality of the vector's input
+    components — (dow, hour, role, lag-bucket pattern, in-vocab token
+    set) — which SQL canonicalizes as the ``intent`` string (role is
+    constant 'user' in the events-as-transcripts adapter; the lag bit
+    pattern is monotone in the thresholds, so it is determined by its
+    popcount).  Per-turn vector sum = 2 time bits + 1 role bit + 1 tool
+    bit + |in-vocab token set| + lag popcount."""
+    from sqlfeatureextraction_spark.config import FeatureConfig
+
+    cfg = FeatureConfig()
+    grans = cfg.granularities_s
+    n_grans = len(grans)
+    w, k, n = cfg.window_size_s, cfg.top_k_entities, cfg.top_n_members
+    lag_sum = (
+        f"CASE WHEN lag_sec IS NULL THEN {n_grans} ELSE "
+        + " + ".join(
+            f"(CASE WHEN lag_sec >= {g} THEN 1 ELSE 0 END)" for g in grans
+        )
+        + " END"
+    )
+    tok = (
+        "list_filter(string_split_regex(lower(coalesce(props, '')),"
+        " '[^a-z0-9]+'), x -> x <> '')"
+    )
+    return f"""
+        WITH tokt AS (
+          SELECT user_id, event_id, UNNEST({tok}) AS t FROM events
+        ),
+        vcb AS (
+          SELECT t FROM (
+            SELECT t, COUNT(*) AS n FROM tokt GROUP BY t
+            ORDER BY n DESC, t ASC LIMIT 256
+          )
+        ),
+        tools AS (SELECT DISTINCT coalesce(event_type, '') AS tool FROM events),
+        turn AS (
+          SELECT printf('u%05d', user_id) AS conv_id, user_id, event_id,
+                 coalesce(event_type, '') AS tool, ts,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+                 CAST(trunc(value * 1000) AS BIGINT) AS cost
+          FROM events
+        ),
+        ivt AS (
+          SELECT user_id, event_id, list_sort(list(DISTINCT t)) AS iv
+          FROM tokt JOIN vcb USING (t) GROUP BY user_id, event_id
+        ),
+        tf AS (
+          SELECT turn.*,
+                 coalesce(len(iv), 0) AS bow_sum,
+                 coalesce(array_to_string(iv, ' '), '') AS tokkey,
+                 isodow(ts) - 1 AS dow, hour(ts) AS hr,
+                 ts_sec - LAG(ts_sec) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS lag_sec
+          FROM turn LEFT JOIN ivt USING (user_id, event_id)
+        ),
+        tf2 AS (
+          SELECT *, {lag_sum} AS lag_sum,
+                 concat(dow, '|', hr, '|', {lag_sum}, '|', tokkey) AS intent
+          FROM tf
+        ),
+        tf3 AS (SELECT *, 4 + bow_sum + lag_sum AS vec_sum FROM tf2),
+        anch AS (SELECT DISTINCT user_id, conv_id, ts_sec FROM tf3),
+        mem AS (
+          SELECT a.user_id, a.conv_id, a.ts_sec AS a_ts,
+                 f.tool, f.intent, f.cost, f.ts_sec AS m_ts,
+                 f.event_id AS m_turn, f.vec_sum
+          FROM anch a JOIN tf3 f ON a.user_id = f.user_id
+           AND f.ts_sec > a.ts_sec - {w} AND f.ts_sec <= a.ts_sec
+        ),
+        ddr AS (
+          SELECT *,
+            SUM(cost) OVER (PARTITION BY user_id, a_ts, tool, intent)
+              AS g_cost,
+            ROW_NUMBER() OVER (PARTITION BY user_id, a_ts, tool, intent
+                               ORDER BY m_ts, m_turn) AS rn
+          FROM mem
+        ),
+        dd AS (SELECT * FROM ddr WHERE rn = 1),
+        rk AS (
+          SELECT *,
+            SUM(g_cost) OVER (PARTITION BY user_id, a_ts, tool) AS tool_cost
+          FROM dd
+        ),
+        rk2 AS (
+          SELECT *,
+            DENSE_RANK() OVER (PARTITION BY user_id, a_ts
+                               ORDER BY tool_cost DESC, tool ASC) AS slot,
+            ROW_NUMBER() OVER (PARTITION BY user_id, a_ts, tool
+                               ORDER BY g_cost DESC, m_ts ASC, m_turn ASC)
+              AS mi
+          FROM rk
+        ),
+        sel AS (SELECT * FROM rk2 WHERE slot <= {k} AND mi <= {n})
+        SELECT conv_id, a_ts AS ts_sec,
+          CAST((SELECT COUNT(*) FROM tools)
+               + {k * n} * (31 + 1 + (SELECT COUNT(*) FROM tools)
+                            + (SELECT COUNT(*) FROM vcb) + {n_grans})
+               AS INT) AS width,
+          CAST(COUNT(DISTINCT tool) AS BIGINT) AS tool_bits,
+          CAST(COUNT(DISTINCT tool) + SUM(vec_sum) AS BIGINT) AS feat_sum
+        FROM sel GROUP BY conv_id, a_ts
+    """
+
+
 def _lang_case_sql() -> str:
     """DuckDB argmax over marker counts, tie-break = language code asc
     (mirrors textstats.with_language_id exactly)."""
@@ -585,10 +721,11 @@ def oracle_sql() -> dict[str, str]:
               FROM ({_EV_TS})
             )
             SELECT event_id, user_id, ts_sec,
-                   SUM(CASE WHEN gap > {SESSION_GAP_S} THEN 1 ELSE 0 END) OVER
+                   CAST(SUM(CASE WHEN gap > {SESSION_GAP_S} THEN 1 ELSE 0 END)
+                        OVER
                      (PARTITION BY user_id ORDER BY ts_sec, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS session_id
+                     AS BIGINT) AS session_id
             FROM g
         """,
         "lag_lead": f"""
@@ -682,10 +819,11 @@ def oracle_sql() -> dict[str, str]:
             ),
             s AS (
               SELECT user_id, ts_sec,
-                     SUM(CASE WHEN gap > {SESSION_GAP_S} THEN 1 ELSE 0 END)
+                     CAST(SUM(CASE WHEN gap > {SESSION_GAP_S} THEN 1 ELSE 0
+                              END)
                        OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS session_id
+                       AS BIGINT) AS session_id
               FROM g
             )
             SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -868,4 +1006,8 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
+        # both flagship paths compute the same vectors (path equality is
+        # pinned by pytest), so they share one independent SQL oracle
+        "transcript_window_features": _flagship_oracle_sql(),
+        "transcript_wf_merge": _flagship_oracle_sql(),
     }

@@ -68,9 +68,9 @@ def turn_vectors(
     for _, row in df.iterrows():
         v = np.zeros(width)
         ts = pd.Timestamp(row["ts"])
-        # dayofweek: Spark dayofweek() is 1=Sunday..7=Saturday; bit = that-1
-        dow_spark = (ts.dayofweek + 1) % 7  # pandas Monday=0 → Sunday=0
-        v[dow_spark] = 1.0
+        # ISO day-of-week, Monday=bit 0 (reference getDayOfWeek().getValue()-1,
+        # enc/APMFragmentIntent.java:752-777; Spark side uses F.weekday)
+        v[ts.dayofweek] = 1.0
         v[7 + ts.hour] = 1.0
         if row["role"] in roles:
             v[r_off + roles[row["role"]]] = 1.0

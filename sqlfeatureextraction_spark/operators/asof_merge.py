@@ -111,7 +111,12 @@ def _window_merge_fn(
         anchor_ts = np.unique(ts[pdf["is_anchor"].to_numpy(bool)])
         if len(anchor_ts) == 0:
             return pd.DataFrame(
-                {"conv_id": pd.Series(dtype=object), "ts": pd.Series(dtype="datetime64[us]"), "window_features": pd.Series(dtype=object)}
+                {
+                    "conv_id": pd.Series(dtype=object),
+                    "ts_sec": pd.Series(dtype=np.int64),
+                    "ts": pd.Series(dtype="datetime64[us]"),
+                    "window_features": pd.Series(dtype=object),
+                }
             )
         lo = np.searchsorted(ts, anchor_ts - win, side="right")
         hi = np.searchsorted(ts, anchor_ts, side="right")
@@ -169,10 +174,12 @@ def _window_merge_fn(
         pos = starts[:, None] + np.arange(turn_w)[None, :]
         out[mm["a"].to_numpy()[:, None], pos] = feats[mm["row"].to_numpy()]
 
-        # anchor timestamps: first pdf ts value at each anchor epoch
+        # anchor representative = first (min turn_idx) row at each
+        # anchor epoch — same convention as the builtin path/oracle
         first_at = np.searchsorted(ts, anchor_ts, side="left")
         res = {
             "conv_id": pdf["conv_id"].iloc[0],
+            "ts_sec": anchor_ts,
             "ts": pdf["ts"].to_numpy()[first_at],
             "window_features": list(out),
         }
@@ -208,7 +215,10 @@ def window_features_merge(
     ]
     salted = _salted(vec.select(*cols), cfg)
     fn = _window_merge_fn(vocab, cfg, layout, audit=audit)
-    out_schema = "conv_id string, ts timestamp, window_features array<double>"
+    out_schema = (
+        "conv_id string, ts_sec long, ts timestamp,"
+        " window_features array<double>"
+    )
     if audit:
         out_schema += ", max_member_ts_sec long"
     return salted.groupBy("conv_id", "salt").applyInPandas(fn, out_schema)

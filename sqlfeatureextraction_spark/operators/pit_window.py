@@ -66,7 +66,11 @@ def pit_member_pairs(vec: DataFrame, cfg: FeatureConfig) -> DataFrame:
         .orderBy("ts_sec")
         .rangeBetween(-(cfg.window_size_s - 1), 0)
     )
-    tie = Window.partitionBy("conv_id", "ts_sec").orderBy(F.desc("turn_idx"))
+    # anchor representative at each distinct (conv_id, ts_sec) = the
+    # MIN-turn_idx row (its full-precision ts becomes the output ts) —
+    # the same convention as the merge path and the pandas oracle, so
+    # sub-second timestamps cannot make the two paths disagree
+    tie = Window.partitionBy("conv_id", "ts_sec").orderBy(F.asc("turn_idx"))
     anchors = (
         vec.select(
             "conv_id",
@@ -166,9 +170,11 @@ def window_features_builtin(
         "rep_turn_idx", F.col("g_ord").getField("m_turn_idx")
     ).join(feats, ["conv_id", "rep_turn_idx"])
 
-    # W8: fixed-width assembly.
+    # W8: fixed-width assembly.  ts_sec rides along (1:1 with ts per
+    # conv — the anchor key family) so downstream joins can normalize
+    # on the epoch key even with sub-second timestamps.
     assemble, out_w = _assemble_udf(vocab, cfg, layout)
-    slots = members.groupBy("conv_id", "ts").agg(
+    slots = members.groupBy("conv_id", "ts_sec", "ts").agg(
         F.collect_list(
             F.struct(
                 F.col("slot_idx"),
@@ -179,5 +185,8 @@ def window_features_builtin(
         ).alias("slots")
     )
     return slots.select(
-        "conv_id", "ts", assemble(F.col("slots")).alias("window_features")
+        "conv_id",
+        "ts_sec",
+        "ts",
+        assemble(F.col("slots")).alias("window_features"),
     )

@@ -135,7 +135,9 @@ def with_turn_features(
     df = df.withColumn(
         "features",
         encode(
-            (F.dayofweek("ts") - F.lit(1)).cast("int"),
+            # ISO day-of-week, Monday=bit 0 — matches the reference's
+            # getDayOfWeek().getValue()-1 (enc/APMFragmentIntent.java:752-777)
+            F.weekday("ts").cast("int"),
             F.hour("ts").cast("int"),
             F.col("role"),
             F.col("tool"),

@@ -60,12 +60,16 @@ class FeaturePipeline:
         join (at cluster scale: materialize it as a table instead)."""
         vec = self.turn_features(transcripts).cache()
         wf = self.window_features(vec)
-        last = vec.groupBy("conv_id", "ts").agg(
+        # join on the epoch key (conv_id, ts_sec) — the window anchors
+        # are per distinct epoch second; joining on full-precision ts
+        # would silently drop rows when timestamps carry sub-second
+        # components (window output ts = the min-turn_idx row's ts)
+        last = vec.groupBy("conv_id", "ts_sec").agg(
             F.max_by("features", "turn_idx").alias("features"),
             F.max_by("session_id", "turn_idx").alias("session_id"),
             F.max("turn_idx").alias("turn_idx"),
         )
-        return last.join(wf, ["conv_id", "ts"])
+        return last.join(wf, ["conv_id", "ts_sec"])
 
     def split(self, features: DataFrame) -> DataFrame:
         """Deterministic per-conversation split: xxhash64(conv_id)
