@@ -381,15 +381,22 @@ def _q_ann_topk(spark, sf_dir):
 
 
 def _q_minhash_pairs(spark, sf_dir):
-    """MinHash+LSH near-duplicate pairs on documents (rows-only)."""
+    """MinHash+LSH near-duplicate pairs, exact-Jaccard verified.
+    Oracle = exact all-pairs n-gram Jaccard: at 32 bands × 2 rows the
+    LSH miss probability for a J≥0.5 pair is (1−J²)^32 ≤ 1e-4 (and the
+    synthetic near-dups all have J≥0.9, miss ≤ 1e-23), so LSH recall
+    is exhaustive at verification scale while staying an equi-join at
+    corpus scale."""
     from sqlfeatureextraction_spark.operators.dedup import minhash_dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_dedup(docs, threshold=0.5)
+    pairs = minhash_dedup(docs, threshold=0.5, num_hashes=64, bands=32)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def _q_simhash_dedup(spark, sf_dir):
-    """SimHash duplicate groups on documents (rows-only)."""
+    """SimHash duplicate groups (Hamming-0).  The 60-bit fingerprint is
+    md5-derived and fully JVM-side, so DuckDB recomputes it exactly."""
     from sqlfeatureextraction_spark.operators.dedup import simhash_dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -397,14 +404,17 @@ def _q_simhash_dedup(spark, sf_dir):
 
 
 def _q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only)."""
-    from sqlfeatureextraction_spark.operators.dedup import embedding_neardup_pairs
+    """Exact embedding-cosine near-dup pairs (the correctness baseline;
+    the hyperplane-LSH variant is the corpus-scale path, with recall vs
+    this baseline pinned by pytest).  Synthetic embeddings have no true
+    near-dups (max pairwise cos ≈ 0.51); threshold 0.4 keeps the output
+    non-trivial."""
+    from sqlfeatureextraction_spark.operators.dedup import (
+        embedding_neardup_exact,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    # synthetic embeddings have no true near-dups (max pairwise cos
-    # ≈ 0.51) — a low threshold + few planes keeps the LSH+verify path
-    # exercised with non-empty output
-    return embedding_neardup_pairs(emb, threshold=0.3, n_planes=4)
+    return embedding_neardup_exact(emb, threshold=0.4)
 
 
 def _q_transcript_wf_merge(spark, sf_dir):
@@ -1010,4 +1020,76 @@ def oracle_sql() -> dict[str, str]:
         # pinned by pytest), so they share one independent SQL oracle
         "transcript_window_features": _flagship_oracle_sql(),
         "transcript_wf_merge": _flagship_oracle_sql(),
+        # exact all-pairs token-3-gram Jaccard; Spark shingles are
+        # xxhash64 of the separator-less token concat, so the DuckDB
+        # side concatenates identically (hash is injective in practice)
+        "minhash_pairs": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            s AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) >= 3 THEN
+                  list_distinct(list_transform(range(len(toks) - 2),
+                    i -> toks[i+1] || toks[i+2] || toks[i+3]))
+                ELSE [] END AS sh
+              FROM t
+            ),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.sh, b.sh)) AS ni,
+                     len(a.sh) + len(b.sh)
+                       - len(list_intersect(a.sh, b.sh)) AS nu
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, ROUND(ni * 1.0 / nu, 6) AS jaccard
+            FROM p WHERE nu > 0 AND ni * 1.0 / nu >= 0.5
+        """,
+        # identical md5-derived 60-bit simhash recomputed in SQL
+        "simhash_dedup": f"""
+            WITH tok AS (
+              SELECT doc_id, UNNEST({_TOK}) AS t FROM documents
+            ),
+            h AS (
+              SELECT doc_id,
+                list_aggregate(list_transform(range(0, 15),
+                  i -> CAST(strpos('0123456789abcdef',
+                         substr(md5(t), CAST(i + 1 AS INT), 1)) - 1
+                       AS BIGINT) * (1::BIGINT << CAST((14 - i) * 4 AS INT))),
+                  'sum') AS hv
+              FROM tok
+            ),
+            bits AS (
+              SELECT doc_id, b,
+                     SUM(CASE WHEN (hv >> CAST(b AS INT)) & 1 = 1
+                         THEN 1 ELSE -1 END) AS acc
+              FROM h CROSS JOIN (SELECT UNNEST(range(60)) AS b)
+              GROUP BY doc_id, b
+            ),
+            sim AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN acc > 0
+                         THEN 1::BIGINT << CAST(b AS INT)
+                         ELSE 0 END) AS simhash
+              FROM bits GROUP BY doc_id
+            ),
+            alldocs AS (
+              SELECT d.doc_id,
+                     CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash
+              FROM documents d LEFT JOIN sim s USING (doc_id)
+            )
+            SELECT simhash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+            FROM alldocs GROUP BY simhash HAVING COUNT(*) > 1
+        """,
+        # exact all-pairs cosine at the same threshold
+        "embedding_neardup": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            )
+            SELECT id_a, id_b, ROUND(c, 6) AS cos FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_cosine_similarity(a.v, b.v) AS c
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+            ) WHERE c >= 0.4
+        """,
     }
