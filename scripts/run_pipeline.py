@@ -42,10 +42,13 @@ def main() -> None:
     spark = SparkSession.builder.getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     from sqlfeatureextraction_spark.checkpoint import CheckpointedRun
     from sqlfeatureextraction_spark.config import FeatureConfig
     from sqlfeatureextraction_spark.plans.pipeline import FeaturePipeline
-    from sqlfeatureextraction_spark.vocab import observe_oov, with_oov_stats
+    from sqlfeatureextraction_spark.vocab import with_oov_stats
 
     cfg = FeatureConfig(window_size_s=args.window)
     if args.events_shape:
@@ -57,7 +60,13 @@ def main() -> None:
 
     t0 = time.time()
     pipe = FeaturePipeline(cfg).fit(tx, max_tokens=args.max_tokens)
-    tx_o = observe_oov(with_oov_stats(tx, pipe.vocab))
+    oov_obs = Observation("oov_metrics")
+    tx_o = with_oov_stats(tx, pipe.vocab).observe(
+        oov_obs,
+        F.sum("n_oov").alias("total_oov"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("rows"),
+    )
 
     def compute(part):
         return pipe.split(pipe.transform(part))
@@ -76,15 +85,17 @@ def main() -> None:
 
     pipe.write(feats, args.output)
     n_out = spark.read.parquet(args.output).count()
-    n_in = tx_o.count()  # triggers the OOV observation
-    try:
-        obs = tx_o.collect  # observation values are exposed per-action
-    except Exception:
-        pass
+    n_in = tx_o.count()  # the action that materializes the observation
+    oov = oov_obs.get  # dict: total_oov / total_tokens / rows
     metrics.update(
         {
             "rows_in": n_in,
             "rows_out": n_out,
+            "total_oov": int(oov["total_oov"] or 0),
+            "total_tokens": int(oov["total_tokens"] or 0),
+            "oov_rate": round(
+                (oov["total_oov"] or 0) / max(oov["total_tokens"] or 0, 1), 6
+            ),
             "wall_sec": round(time.time() - t0, 2),
             "vector_width": pipe.layout.width,
         }

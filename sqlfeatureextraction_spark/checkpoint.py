@@ -99,6 +99,8 @@ class CheckpointedRun:
         """Compute per bucket, skipping completed ones.  `fail_after`
         aborts after N buckets (for kill-and-resume tests).  Returns the
         number of buckets computed this invocation."""
+        from pyspark.sql import Observation
+
         done = self.read_manifest()
         computed = 0
         with_bucket = transcripts.withColumn(
@@ -109,11 +111,19 @@ class CheckpointedRun:
                 continue
             if fail_after is not None and computed >= fail_after:
                 raise RuntimeError(f"injected failure after {computed} buckets")
-            part_in = with_bucket.where(F.col("_bucket") == b).drop("_bucket")
-            n_in = part_in.count()
+            # row_count_in via observe() on the compute plan — piggybacks
+            # on the write job instead of a separate count() scan (the
+            # input is read ONCE per bucket, not twice)
+            obs = Observation()
+            part_in = (
+                with_bucket.where(F.col("_bucket") == b)
+                .drop("_bucket")
+                .observe(obs, F.count(F.lit(1)).alias("n_in"))
+            )
             out = compute(part_in)
             out_path = os.path.join(self.root, "data", f"bucket={b}")
             out.write.mode("overwrite").parquet(out_path)
+            n_in = obs.get["n_in"]
             spark = transcripts.sparkSession
             written = spark.read.parquet(out_path)
             digest, n_out = _digest(written)
@@ -130,6 +140,68 @@ class CheckpointedRun:
             )
             computed += 1
         return computed
+
+    def run_all(
+        self,
+        transcripts: DataFrame,
+        compute: Callable[[DataFrame], DataFrame],
+        key_col: str = "conv_id",
+    ) -> int:
+        """Single-job variant: compute + write ALL pending buckets at
+        once with ``partitionBy(bucket)`` (one scan of the input total,
+        vs one per bucket in ``run``), then record per-bucket manifest
+        rows from the written files.  Coarser failure granularity (the
+        one job is all-or-nothing) but n_buckets× cheaper on input I/O
+        — the right default when the input isn't pre-bucketed.
+        Requires ``compute`` to preserve ``key_col`` in its output so
+        the bucket column can be re-derived.  Output layout
+        (``data/bucket=<i>/``) and per-bucket digests are identical to
+        ``run``'s, so the two paths are interchangeable and resumable
+        across each other."""
+        done = self.read_manifest()
+        pending = [b for b in range(self.n_buckets) if b not in done]
+        if not pending:
+            return 0
+        with_bucket = transcripts.withColumn(
+            "bucket", bucket_of(F.col(key_col), self.n_buckets)
+        ).where(F.col("bucket").isin(pending))
+        # per-bucket input counts: ONE small agg job over the pending
+        # slice (vs one count job per bucket in the naive formulation)
+        n_in = {
+            r["bucket"]: r["n"]
+            for r in with_bucket.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        out = compute(with_bucket.drop("bucket")).withColumn(
+            "bucket", bucket_of(F.col(key_col), self.n_buckets)
+        )
+        data_root = os.path.join(self.root, "data")
+        # dynamic overwrite: only the pending bucket= dirs are replaced
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(data_root)
+        )
+        spark = transcripts.sparkSession
+        for b in pending:
+            written = spark.read.parquet(
+                os.path.join(data_root, f"bucket={b}")
+            )
+            digest, n_out = _digest(written)
+            self._append(
+                {
+                    "bucket": b,
+                    "snapshot_id": self.snapshot_id,
+                    "row_count_in": int(n_in.get(b, 0)),
+                    "row_count_out": n_out,
+                    "digest": digest,
+                    "status": "done",
+                    "ts": time.time(),
+                }
+            )
+        return len(pending)
 
     def read_output(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.root, "data"))

@@ -47,10 +47,15 @@ class FeatureConfig:
                        (reference topQueryN=2, :376-386).
     session_gap_s      gap threshold for sessionization (new session when
                        ts - prev_ts > gap).
-    business_hour_min  windows starting at hour <= business_hour_min are
-                       skipped / not backfilled (reference gate hour<=9 at
-                       :226-229; parameterized per SURVEY §4.4.5; None
-                       disables the gate).
+    business_hour_min  FIXED-mode windows starting at hour <=
+                       business_hour_min are skipped / not backfilled
+                       (reference gate hour<=9 at :226-229; parameterized
+                       per SURVEY §4.4.5; None disables).  Applies to the
+                       FIXED window/time-spine path only — the SLIDING
+                       per-event paths emit every anchor (the reference's
+                       per-query path applies the gate when selecting
+                       windows to MATERIALIZE, which corresponds to the
+                       FIXED spine here).
     binary_bow         True → presence bits for the text bag-of-token
                        segment (reference one-hot); False → counts.
     granularities_s    lag-bucket granularities (seconds).

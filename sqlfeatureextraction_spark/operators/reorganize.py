@@ -6,8 +6,14 @@ test/APMWindowFragmentIntentTest.java:17-19): for each output row i,
 synthesize a "session": row i, then repeatedly the first row whose ts
 exceeds the running window end, advancing the end by W seconds each
 hop.  One input row → many output rows (UDTF shape) — applyInPandas
-per conversation, two-pointer ``np.searchsorted`` per hop (O(log n)
-per hop, not a rescan).
+per conversation; the hop map is ONE vectorized ``np.searchsorted``
+and chains materialize level-synchronously (≤ max_hops numpy rounds,
+zero per-row Python).  Time-range salting à la asof_merge._salted is
+deliberately NOT applied: a forward chain's next hop is the first row
+past the running end, which under large gaps can live arbitrarily far
+in the future, so no bounded overlap replication is correct; a hot
+conversation instead costs O(n·max_hops) vectorized work in one task
+(measured ≈ hundreds of ms per million rows).
 
 or_combine_window_features — reference "merge" combine mode
 (enc/MinWindowQueryIntent.java:124-153 ``updateMinBitSet``; the
@@ -41,34 +47,39 @@ def reorganize_sessions(
     (chain_start_sec, seq, ts) rows."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        # The hop target nxt[i] = first row with ts > ts[i] + W is
+        # independent of which chain reaches row i, so chains are
+        # materialized LEVEL-synchronously: one searchsorted for the
+        # whole group, then <= max_hops vectorized pointer-follow
+        # rounds (nxt is strictly advancing, so every chain terminates)
+        # — no per-row Python, a hot conversation costs O(n·hops)
+        # numpy ops, not interpreter iterations.
         pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
         ts = pdf[ts_col].astype("datetime64[s]").astype("int64").to_numpy()
         conv = pdf[entity_col].iloc[0]
-        starts, seqs, out_ts = [], [], []
         n = len(ts)
-        for i in range(n):
-            end = ts[i] + window_s
-            starts.append(ts[i])
-            seqs.append(0)
-            out_ts.append(pdf[ts_col].iloc[i])
-            seq = 1
-            j = i
-            while seq < max_hops:
-                # first row strictly past the running window end
-                j = int(np.searchsorted(ts, end, side="right"))
-                if j >= n:
-                    break
-                starts.append(ts[i])
-                seqs.append(seq)
-                out_ts.append(pdf[ts_col].iloc[j])
-                end = ts[j] + window_s
-                seq += 1
+        nxt = np.searchsorted(ts, ts + window_s, side="right")
+        orig = np.arange(n)
+        cur = np.arange(n)
+        res_start = [ts.copy()]
+        res_seq = [np.zeros(n, dtype=np.int32)]
+        res_row = [cur]
+        for seq in range(1, max_hops):
+            cand = nxt[cur]
+            keep = cand < n
+            orig, cur = orig[keep], cand[keep]
+            if len(cur) == 0:
+                break
+            res_start.append(ts[orig])
+            res_seq.append(np.full(len(cur), seq, dtype=np.int32))
+            res_row.append(cur)
+        rows = np.concatenate(res_row)
         return pd.DataFrame(
             {
                 entity_col: conv,
-                "chain_start_sec": np.asarray(starts, dtype=np.int64),
-                "seq": np.asarray(seqs, dtype=np.int32),
-                ts_col: out_ts,
+                "chain_start_sec": np.concatenate(res_start),
+                "seq": np.concatenate(res_seq),
+                ts_col: pdf[ts_col].to_numpy()[rows],
             }
         )
 

@@ -63,19 +63,24 @@ def read_session_log_lines(
     """S4: raw session-log line scan — keep lines containing
     `keep_pattern`, whitespace-normalize, skip a resume offset
     (reference: enc/APMFragmentIntent.java:848-1002 countLines* +
-    MINC_START_LINE_NUM resume).  The offset filter uses a monotonic
-    line index; at scale prefer checkpoint.CheckpointedRun."""
+    MINC_START_LINE_NUM resume).
+
+    The resume offset needs a REAL contiguous line number:
+    ``monotonically_increasing_id`` jumps by 2^33 per partition, so a
+    ``>= start_line`` filter on it would only ever drop rows from
+    partition 0 of a multi-partition input.  ``zipWithIndex`` assigns
+    the true global index (one extra partition-size count job — the
+    price of sequential resume semantics over a line-oriented log; at
+    scale prefer checkpoint.CheckpointedRun's keyed buckets)."""
     raw = spark.read.text(path)
-    idx = F.monotonically_increasing_id()
-    out = (
-        raw.withColumn("_idx", idx)
-        .where(F.col("_idx") >= start_line)
-        .where(F.col("value").contains(keep_pattern))
-        .select(
-            F.trim(F.regexp_replace("value", r"\s+", " ")).alias("line")
+    if start_line > 0:
+        indexed = raw.rdd.zipWithIndex().map(lambda p: (p[0]["value"], p[1]))
+        raw = spark.createDataFrame(indexed, "value string, _idx long").where(
+            F.col("_idx") >= start_line
         )
+    return raw.where(F.col("value").contains(keep_pattern)).select(
+        F.trim(F.regexp_replace("value", r"\s+", " ")).alias("line")
     )
-    return out
 
 
 def write_encoded_lines(

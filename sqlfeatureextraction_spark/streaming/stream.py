@@ -95,7 +95,11 @@ def stateful_turn_counter(
     )
     state_schema = "n long, last_ts long, sess long"
 
+    import numpy as np
+
     def fn(key, pdfs, state):
+        # vectorized within each micro-batch: gap flags → cumsum; only
+        # the scalar (n, last_ts, sess) carries across batches
         n, last_ts, sess = state.get if state.exists else (0, None, 0)
         frames = []
         for pdf in pdfs:
@@ -103,14 +107,17 @@ def stateful_turn_counter(
             ts_sec = (
                 pdf["ts"].astype("datetime64[s]").astype("int64").to_numpy()
             )
-            turn_no, sess_ids = [], []
-            for t in ts_sec:
-                if last_ts is not None and t - last_ts > gap_s:
-                    sess += 1
-                n += 1
-                last_ts = int(t)
-                turn_no.append(n)
-                sess_ids.append(sess)
+            if len(ts_sec) == 0:
+                continue
+            prev = np.empty_like(ts_sec)
+            prev[1:] = ts_sec[:-1]
+            prev[0] = last_ts if last_ts is not None else ts_sec[0]
+            flags = (ts_sec - prev > gap_s).astype(np.int64)
+            sess_ids = sess + np.cumsum(flags)
+            turn_no = n + np.arange(1, len(ts_sec) + 1, dtype=np.int64)
+            n += len(ts_sec)
+            last_ts = int(ts_sec[-1])
+            sess = int(sess_ids[-1])
             frames.append(
                 pd.DataFrame(
                     {

@@ -102,6 +102,67 @@ def test_checkpoint_kill_and_resume(tmp_path, spark, fitted, transcripts_df):
     assert len(run3.read_manifest()) == 0
 
 
+def test_checkpoint_run_all_matches_run(tmp_path, spark, fitted, transcripts_df):
+    """Single-pass run_all: identical per-bucket digests to per-bucket
+    run, and resumable across a partial run()."""
+
+    def compute(part):
+        return fitted.transform(part).select(
+            "conv_id", "ts", "session_id", "window_features"
+        )
+
+    ref_dir = str(tmp_path / "ref")
+    ref = CheckpointedRun(ref_dir, n_buckets=4, snapshot_id="s")
+    assert ref.run(transcripts_df, compute) == 4
+
+    # partial per-bucket run, then finish with run_all
+    out_dir = str(tmp_path / "single")
+    r1 = CheckpointedRun(out_dir, n_buckets=4, snapshot_id="s")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        r1.run(transcripts_df, compute, fail_after=2)
+    r2 = CheckpointedRun(out_dir, n_buckets=4, snapshot_id="s")
+    assert r2.run_all(transcripts_df, compute) == 2
+
+    ref_m, got_m = ref.read_manifest(), r2.read_manifest()
+    assert set(got_m) == {0, 1, 2, 3}
+    for b in range(4):
+        assert ref_m[b]["digest"] == got_m[b]["digest"], b
+        assert ref_m[b]["row_count_in"] == got_m[b]["row_count_in"], b
+    assert r2.read_output(spark).count() == ref.read_output(spark).count()
+
+
+def test_embedding_lsh_recall_vs_exact(spark):
+    """The LSH near-dup path must recover every exact pair at
+    verification scale (recall = 1 on clustered synthetic vectors)."""
+    import numpy as np
+
+    from sqlfeatureextraction_spark.operators import dedup as D
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((10, 32))
+    rows = []
+    for i in range(100):
+        c = base[i % 10]
+        rows.append((i, (c + 0.05 * rng.standard_normal(32)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = D.embedding_neardup_exact(df, threshold=0.95).toPandas()
+    one_band = D.embedding_neardup_pairs(
+        df, threshold=0.95, n_planes=8, n_bands=1, seed=7
+    ).toPandas()
+    multi = D.embedding_neardup_pairs(
+        df, threshold=0.95, n_planes=8, n_bands=8, seed=7
+    ).toPandas()
+    e = set(zip(exact["id_a"], exact["id_b"]))
+    l1 = set(zip(one_band["id_a"], one_band["id_b"]))
+    lm = set(zip(multi["id_a"], multi["id_b"]))
+    assert e, "exact baseline found no pairs — fixture broken"
+    # LSH is a candidate filter + exact verify: it may only miss, never
+    # invent; banding drives the miss rate down exponentially
+    assert l1 <= e and lm <= e
+    assert len(lm) >= len(l1)
+    assert len(lm) / len(e) >= 0.99
+
+
 def test_write_batched_files(tmp_path, fitted, transcripts_df):
     feats = fitted.split(fitted.transform(transcripts_df))
     out = str(tmp_path / "out")
