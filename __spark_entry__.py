@@ -437,6 +437,75 @@ def _q_transcript_wf_merge(spark, sf_dir):
     return _wf_scalars(window_features_merge(vec, vocab, cfg, layout), vocab)
 
 
+def _q_sql_minc_encode(spark, sf_dir):
+    """P12/P13/J2/J3 + MINC segments end-to-end: deterministic SQL
+    texts are synthesized from orders rows (4 templates exercising
+    aliases, bare columns, LIKE/eq/range constants, a join predicate,
+    an IN-subquery, HAVING/COUNT/LIMIT and UPDATE/DELETE types), then
+    encoded into the MINC intent vector; the output is the per-segment
+    (set-bit count, set-bit position sum) projection, which the oracle
+    recomputes independently from the GENERATING columns."""
+    from sqlfeatureextraction_spark.functions.sqlencode import (
+        encode_minc,
+        fit_sql_schema_vocab,
+        minc_segment_stats,
+    )
+
+    vocab = fit_sql_schema_vocab(
+        spark,
+        sf_dir,
+        bin_specs={"orders.o_custkey": 8, "orders.o_orderpriority": 3},
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderkey") % 37 == 0
+    )
+    t = F.pmod(F.expr("o_orderkey div 37"), F.lit(4))
+    pr = F.lower(F.substring_index("o_orderpriority", "-", -1))
+    sql = (
+        F.when(
+            t == 0,
+            F.format_string(
+                "SELECT o.o_orderkey, o.o_totalprice FROM orders o"
+                " WHERE o.o_custkey >= %d AND o.o_orderpriority LIKE"
+                " '%%%s%%' GROUP BY o.o_orderkey, o.o_totalprice"
+                " ORDER BY o.o_totalprice LIMIT 10",
+                F.col("o_custkey"),
+                pr,
+            ),
+        )
+        .when(
+            t == 1,
+            F.format_string(
+                "SELECT c.c_name, count(o.o_orderkey) FROM customer c"
+                " JOIN orders o ON c.c_custkey = o.o_custkey WHERE"
+                " o.o_orderkey IN (SELECT l.l_orderkey FROM lineitem l)"
+                " GROUP BY c.c_name HAVING count(o.o_orderkey) > %d"
+                " LIMIT 5",
+                F.col("o_orderkey") % 7,
+            ),
+        )
+        .when(
+            t == 2,
+            F.format_string(
+                "UPDATE orders SET o_orderstatus = 'f' WHERE"
+                " o_custkey = %d",
+                F.col("o_custkey"),
+            ),
+        )
+        .otherwise(
+            F.format_string(
+                "DELETE FROM orders WHERE o_custkey <= %d AND"
+                " o_orderpriority = '%s'",
+                F.col("o_custkey"),
+                F.lower(F.col("o_orderpriority")),
+            )
+        )
+    )
+    df = o.select(F.col("o_orderkey").alias("sql_id"), sql.alias("sql"))
+    enc, layout = encode_minc(df, "sql", vocab)
+    return minc_segment_stats(enc.select("sql_id", "minc_features"), layout)
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -569,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_prune": _q_neardup_prune,
         "pivot_counts": _q_pivot_counts,
         "rollup_agg": _q_rollup_agg,
+        "sql_minc_encode": _q_sql_minc_encode,
         "transcript_window_features": _q_transcript_window_features,
         "transcript_wf_merge": _q_transcript_wf_merge,
     }
@@ -690,6 +760,125 @@ def _flagship_oracle_sql() -> str:
           CAST(COUNT(DISTINCT tool) AS BIGINT) AS tool_bits,
           CAST(COUNT(DISTINCT tool) + SUM(vec_sum) AS BIGINT) AS feat_sum
         FROM sel GROUP BY conv_id, a_ts
+    """
+
+
+def _minc_oracle_sql() -> str:
+    """Independent expected-value derivation for sql_minc_encode: the
+    per-segment (n, ps) stats are recomputed from the columns that
+    GENERATED each SQL text (template id, custkey, priority), with the
+    P12 bins re-fitted in SQL via the same ntile procedure — no SQL
+    parsing involved, so agreement means the engine's parse → resolve →
+    canonicalize → bin pipeline is right."""
+    _cust = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    _li = [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    ]
+    _ord = [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ]
+    full = (
+        [f"customer.{c}" for c in _cust]
+        + [f"lineitem.{c}" for c in _li]
+        + [f"orders.{c}" for c in _ord]
+    )
+    bit = {c: i for i, c in enumerate(full)}
+    n_cols = len(full)
+    width = 4 + 3 + 10 * n_cols + 1 + 2 + 7 * n_cols + 11
+
+    def b(c):
+        return bit[c]
+
+    ook, otp = b("orders.o_orderkey"), b("orders.o_totalprice")
+    ock, opr = b("orders.o_custkey"), b("orders.o_orderpriority")
+    ost = b("orders.o_orderstatus")
+    cnm, lok = b("customer.c_name"), b("lineitem.l_orderkey")
+    # selop bit = col_bit * 7 + op_idx; ops {=, <>, <=, >=, <, >, like}
+    segs = {
+        "qtype": ({0: 1, 1: 1, 2: 1, 3: 1}, {0: 0, 1: 0, 2: 1, 3: 3}),
+        "tables": ({0: 1, 1: 3, 2: 1, 3: 1}, {0: 2, 1: 3, 2: 2, 3: 2}),
+        "projection": ({0: 2, 1: 2}, {0: ook + otp, 1: cnm + ook}),
+        "avg": ({}, {}),
+        "min": ({}, {}),
+        "max": ({}, {}),
+        "sum": ({}, {}),
+        "count": ({1: 1}, {1: ook}),
+        "selection": (
+            {0: 2, 1: 2, 2: 1, 3: 2},
+            {0: ock + opr, 1: ook + lok, 2: ock, 3: ock + opr},
+        ),
+        "groupby": ({0: 2, 1: 1}, {0: ook + otp, 1: cnm}),
+        "orderby": ({0: 1}, {0: otp}),
+        "having": ({1: 1}, {1: ook}),
+        "limit": ({0: 1, 1: 1}, {}),
+        "join": ({1: 2}, {1: 1}),
+        "selops": (
+            {0: 2, 2: 2, 3: 2},
+            {
+                0: (ock * 7 + 3) + (opr * 7 + 6),
+                2: (ock * 7 + 0) + (ost * 7 + 0),
+                3: (ock * 7 + 2) + (opr * 7 + 0),
+            },
+        ),
+    }
+
+    def case(d):
+        if not d:
+            return "0"
+        whens = " ".join(f"WHEN {k} THEN {v}" for k, v in sorted(d.items()))
+        return f"CASE t {whens} ELSE 0 END"
+
+    seg_cols = ",\n          ".join(
+        f"CAST({case(n)} AS BIGINT) AS {name}_n,"
+        f" CAST({case(ps)} AS BIGINT) AS {name}_ps"
+        for name, (n, ps) in segs.items()
+    )
+    return f"""
+        WITH kb AS (
+          SELECT v, b - 1 AS b FROM (
+            SELECT v, ntile(8) OVER (ORDER BY v) AS b
+            FROM (SELECT DISTINCT o_custkey AS v FROM orders
+                  WHERE o_custkey IS NOT NULL))
+        ),
+        pb AS (
+          SELECT b - 1 AS b,
+                 lower(CAST(MIN(v) AS VARCHAR)) AS lo,
+                 lower(CAST(MAX(v) AS VARCHAR)) AS hi
+          FROM (SELECT v, ntile(3) OVER (ORDER BY v) AS b
+                FROM (SELECT DISTINCT o_orderpriority AS v FROM orders
+                      WHERE o_orderpriority IS NOT NULL))
+          GROUP BY b
+        ),
+        sub AS (
+          SELECT o_orderkey AS sql_id,
+                 CAST((o_orderkey // 37) % 4 AS INT) AS t,
+                 o_custkey,
+                 lower(split_part(o_orderpriority, '-', 2)) AS pr,
+                 lower(o_orderpriority) AS pval
+          FROM orders WHERE o_orderkey % 37 = 0
+        ),
+        binned AS (
+          SELECT s.*, kb.b AS ckb,
+            (SELECT MIN(b) FROM pb
+             WHERE lo LIKE '%' || s.pr || '%'
+                OR hi LIKE '%' || s.pr || '%') AS plb,
+            (SELECT MIN(b) FROM pb
+             WHERE s.pval >= lo AND s.pval <= hi) AS peb
+          FROM sub s JOIN kb ON s.o_custkey = kb.v
+        )
+        SELECT sql_id,
+          CAST({width} AS INT) AS width,
+          {seg_cols},
+          CAST(CASE t WHEN 0 THEN 2 WHEN 2 THEN 1 WHEN 3 THEN 2
+               ELSE 0 END AS BIGINT) AS rangebins_n,
+          CAST(CASE t WHEN 0 THEN ckb + 8 + plb
+                      WHEN 2 THEN ckb
+                      WHEN 3 THEN ckb + 8 + peb
+               ELSE 0 END AS BIGINT) AS rangebins_ps
+        FROM binned
     """
 
 
@@ -1016,6 +1205,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
+        "sql_minc_encode": _minc_oracle_sql(),
         # both flagship paths compute the same vectors (path equality is
         # pinned by pytest), so they share one independent SQL oracle
         "transcript_window_features": _flagship_oracle_sql(),
