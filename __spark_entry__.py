@@ -506,6 +506,152 @@ def _q_sql_minc_encode(spark, sf_dir):
     return minc_segment_stats(enc.select("sql_id", "minc_features"), layout)
 
 
+def _q_sql_text_gates(spark, sf_dir):
+    """P1-P4 + D5 over synthesized raw log lines: clean → statement
+    gate → DDL filter → recurring-pattern prune; survivors carry the
+    cleaned text and the table extracted from a log `tables` field."""
+    from sqlfeatureextraction_spark.functions.sqlclean import (
+        clean_sql_text,
+        extract_table,
+        filter_ddl_dml,
+        prune_recurring,
+        statement_gate,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderkey") % 53 == 0
+    )
+    t = F.pmod(F.expr("o_orderkey div 53"), F.lit(4))
+    k = F.col("o_orderkey")
+    raw = (
+        F.when(
+            t == 0,
+            F.format_string(
+                "SELECT  a \t FROM `db`.events_cluster\n WHERE x = %d;", k
+            ),
+        )
+        .when(t == 1, F.format_string("create table t%d (x int)", k))
+        .when(t == 2, F.lit("DROP TABLE db.tmp"))
+        .otherwise(F.format_string("insert into logs values (%d)", k))
+    )
+    tables_field = F.format_string("['db.t%d_cluster','db.other']", k % 5)
+    df = o.select(
+        k.alias("sql_id"), raw.alias("text"), tables_field.alias("tables")
+    ).withColumn("text", clean_sql_text(F.col("text")))
+    kept = prune_recurring(
+        filter_ddl_dml(statement_gate(df)), [r"insert\s+into\s+logs"]
+    )
+    return kept.select(
+        "sql_id", "text", extract_table(F.col("tables")).alias("tbl")
+    )
+
+
+def _q_fixed_window_expand(spark, sf_dir):
+    """W4 window expansion: strided windows (W=300, slide=60) with
+    3× shifted augmentation; per-window event counts."""
+    from sqlfeatureextraction_spark.config import FeatureConfig
+    from sqlfeatureextraction_spark.operators.windows import (
+        assign_fixed_windows,
+        expand_windows,
+    )
+
+    cfg = FeatureConfig(window_size_s=300, slide_s=60)
+    ev = _events(spark, sf_dir)
+    w = expand_windows(assign_fixed_windows(ev, cfg, ts_col="ts"), cfg, 3)
+    return w.groupBy("user_id", "window_start_sec").agg(
+        F.count("*").alias("n_events")
+    )
+
+
+def _q_session_validity(spark, sf_dir):
+    """D6 session validity gate (reference 2 ≤ n < 50): sessionized
+    events surviving the per-session turn-count filter."""
+    from sqlfeatureextraction_spark.operators.sessionize import (
+        filter_valid_sessions,
+        sessionize,
+    )
+
+    ev = _events(spark, sf_dir).withColumnRenamed("user_id", "conv_id")
+    sess = sessionize(
+        ev, gap_s=SESSION_GAP_S, ts_col="ts", order_cols=("event_id",)
+    )
+    kept = filter_valid_sessions(sess, min_turns=2, max_turns=50)
+    return kept.select(
+        "event_id",
+        F.col("conv_id").alias("user_id"),
+        F.col("session_id").cast("long").alias("session_id"),
+    )
+
+
+def _q_reorganize_chains(spark, sf_dir):
+    """W9 lead-chaining: for every event, the chain of 'first row past
+    the running W-window end' hops (level-synchronous vectorized
+    materialization)."""
+    from sqlfeatureextraction_spark.operators.reorganize import (
+        reorganize_sessions,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        F.format_string("u%05d", F.col("user_id").cast("int")).alias("conv_id"),
+        "ts",
+    )
+    out = reorganize_sessions(
+        ev, window_s=7200, max_hops=8, entity_col="conv_id", ts_col="ts"
+    )
+    return out.select(
+        "conv_id",
+        "chain_start_sec",
+        "seq",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_sec"),
+    )
+
+
+def _q_encoded_roundtrip(spark, sf_dir):
+    """S5→S6 round-trip as expressions: format each feature row into
+    the encoded line, parse it back, emit the parsed fields (bit_sum
+    summarizes the vector).  The oracle computes the same fields from
+    the raw input — agreement means parse ∘ format = identity."""
+    from sqlfeatureextraction_spark.sources.io import (
+        encoded_line_expr,
+        parse_encoded_line,
+    )
+
+    ev = _events(spark, sf_dir)
+    feats = ev.groupBy("user_id").agg(
+        F.min("ts").alias("ts"),
+        F.array(
+            *[
+                F.when(
+                    F.sum(
+                        F.when(F.col("event_type") == t, 1).otherwise(0)
+                    )
+                    > 0,
+                    1.0,
+                ).otherwise(0.0)
+                for t in EVENT_TYPES
+            ]
+        ).alias("window_features"),
+    ).select(
+        F.format_string("u%05d", F.col("user_id").cast("int")).alias(
+            "conv_id"
+        ),
+        "ts",
+        F.concat(F.lit("q"), F.col("user_id")).alias("text"),
+        "window_features",
+    )
+    lines = feats.select(encoded_line_expr().alias("value"))
+    parsed = lines.select(*parse_encoded_line(F.col("value")))
+    return parsed.select(
+        "conv_id",
+        F.col("ts").cast("long").alias("ts_sec"),
+        "text",
+        F.aggregate("window_features", F.lit(0.0), lambda a, v: a + v)
+        .cast("long")
+        .alias("bit_sum"),
+        F.size("window_features").alias("width"),
+    )
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -639,6 +785,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_counts": _q_pivot_counts,
         "rollup_agg": _q_rollup_agg,
         "sql_minc_encode": _q_sql_minc_encode,
+        "sql_text_gates": _q_sql_text_gates,
+        "fixed_window_expand": _q_fixed_window_expand,
+        "session_validity": _q_session_validity,
+        "reorganize_chains": _q_reorganize_chains,
+        "encoded_roundtrip": _q_encoded_roundtrip,
         "transcript_window_features": _q_transcript_window_features,
         "transcript_wf_merge": _q_transcript_wf_merge,
     }
@@ -1206,6 +1357,93 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "sql_minc_encode": _minc_oracle_sql(),
+        # P1-P4/D5 gates: expected survivors + cleaned text derived
+        # directly from the generating template (independent of the
+        # engine's regexp chain)
+        "sql_text_gates": """
+            SELECT o_orderkey AS sql_id,
+                   printf('SELECT a FROM db.events WHERE x = %d',
+                          o_orderkey) AS text,
+                   printf('t%d', o_orderkey % 5) AS tbl
+            FROM orders
+            WHERE o_orderkey % 53 = 0 AND (o_orderkey // 53) % 4 = 0
+        """,
+        "fixed_window_expand": f"""
+            WITH x AS (
+              SELECT user_id,
+                     UNNEST(range(
+                       CAST(ceil((ts_sec - 300) / 60.0) * 60 AS BIGINT),
+                       CAST(ceil(ts_sec / 60.0) * 60 - 60 AS BIGINT) + 1,
+                       60)) AS ws
+              FROM ({_EV_TS})
+            ),
+            y AS (
+              SELECT user_id, ws - j * 60 AS window_start_sec
+              FROM x CROSS JOIN (SELECT UNNEST(range(3)) AS j)
+            )
+            SELECT user_id, window_start_sec, COUNT(*) AS n_events
+            FROM y GROUP BY 1, 2
+        """,
+        "session_validity": f"""
+            WITH g AS (
+              SELECT event_id, user_id, ts_sec,
+                     ts_sec - LAG(ts_sec) OVER
+                       (PARTITION BY user_id ORDER BY ts_sec, event_id) AS gap
+              FROM ({_EV_TS})
+            ),
+            s AS (
+              SELECT event_id, user_id,
+                     CAST(SUM(CASE WHEN gap > {SESSION_GAP_S} THEN 1 ELSE 0
+                              END)
+                       OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS session_id
+              FROM g
+            ),
+            c AS (
+              SELECT *, COUNT(*) OVER (PARTITION BY user_id, session_id)
+                     AS n
+              FROM s
+            )
+            SELECT event_id, user_id, session_id FROM c
+            WHERE n >= 2 AND n < 50
+        """,
+        # W9 value-based recursive re-derivation: the hop map
+        # nv(v) = min ts > v + W is chain-independent
+        "reorganize_chains": """
+            WITH RECURSIVE e AS (
+              SELECT printf('u%05d', user_id) AS conv_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+              FROM events
+            ),
+            d AS (SELECT DISTINCT conv_id, ts_sec FROM e),
+            nxt AS (
+              SELECT a.conv_id, a.ts_sec AS v, MIN(b.ts_sec) AS nv
+              FROM d a JOIN d b
+                ON b.conv_id = a.conv_id AND b.ts_sec > a.ts_sec + 7200
+              GROUP BY 1, 2
+            ),
+            ch AS (
+              SELECT conv_id, ts_sec AS chain_start_sec, 0 AS seq, ts_sec
+              FROM e
+              UNION ALL
+              SELECT c.conv_id, c.chain_start_sec, c.seq + 1, m.nv
+              FROM ch c JOIN nxt m
+                ON m.conv_id = c.conv_id AND m.v = c.ts_sec
+              WHERE c.seq + 1 < 8
+            )
+            SELECT conv_id, chain_start_sec, CAST(seq AS INT) AS seq,
+                   ts_sec
+            FROM ch
+        """,
+        "encoded_roundtrip": """
+            SELECT printf('u%05d', user_id) AS conv_id,
+                   CAST(floor(epoch(MIN(ts))) AS BIGINT) AS ts_sec,
+                   'q' || CAST(user_id AS VARCHAR) AS text,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT) AS bit_sum,
+                   CAST(5 AS INT) AS width
+            FROM events GROUP BY user_id
+        """,
         # both flagship paths compute the same vectors (path equality is
         # pinned by pytest), so they share one independent SQL oracle
         "transcript_window_features": _flagship_oracle_sql(),

@@ -83,30 +83,55 @@ def read_session_log_lines(
     )
 
 
-def write_encoded_lines(
-    features: DataFrame,
-    path: str,
-    batch_size: int = 1000,
-    vector_col: str = "window_features",
-) -> None:
-    """S5: line-oriented sink, one text line per feature row:
+ENCODED_LINE_PAT = r"^Session (.+?), Query (\d+); OrigQuery:(.*);([01]*)$"
+
+
+def encoded_line_expr(vector_col: str = "window_features"):
+    """S5 line format expression:
     ``Session <conv_id>, Query <epoch>; OrigQuery:<text>;<bits>``
-    (format: enc/APMWindowFragmentIntent.java:183-199).  File size is
-    bounded per task via maxRecordsPerFile — the Spark-native version
-    of the reference's 1000-line batch files."""
+    (format: enc/APMWindowFragmentIntent.java:183-199)."""
     bits = F.array_join(
         F.transform(F.col(vector_col), lambda v: v.cast("int").cast("string")),
         "",
     )
-    line = F.format_string(
+    return F.format_string(
         "Session %s, Query %d; OrigQuery:%s;%s",
         F.col("conv_id"),
         F.col("ts").cast("timestamp").cast("long"),
         F.coalesce(F.col("text"), F.lit("")),
         bits,
     )
+
+
+def parse_encoded_line(col) -> list:
+    """S6 parse expressions (the exact inverse of encoded_line_expr) —
+    regexp extraction, all JVM-side (reference parser:
+    tools/IOUtil.java:177-206)."""
+    vec_str = F.regexp_extract(col, ENCODED_LINE_PAT, 4)
+    return [
+        F.regexp_extract(col, ENCODED_LINE_PAT, 1).alias("conv_id"),
+        F.timestamp_seconds(
+            F.regexp_extract(col, ENCODED_LINE_PAT, 2).cast("long")
+        ).alias("ts"),
+        F.regexp_extract(col, ENCODED_LINE_PAT, 3).alias("text"),
+        F.transform(
+            F.split(vec_str, "(?!$)"), lambda c: c.cast("double")
+        ).alias("window_features"),
+    ]
+
+
+def write_encoded_lines(
+    features: DataFrame,
+    path: str,
+    batch_size: int = 1000,
+    vector_col: str = "window_features",
+) -> None:
+    """S5: line-oriented sink, one text line per feature row.  File
+    size is bounded per task via maxRecordsPerFile — the Spark-native
+    version of the reference's 1000-line batch files
+    (enc/APMWindowFragmentIntent.java:500)."""
     (
-        features.select(line.alias("value"))
+        features.select(encoded_line_expr(vector_col).alias("value"))
         .write.mode("overwrite")
         .option("maxRecordsPerFile", batch_size)
         .text(path)
@@ -114,19 +139,5 @@ def write_encoded_lines(
 
 
 def read_encoded_lines(spark: SparkSession, path: str) -> DataFrame:
-    """S6 round-trip: parse encoded lines back into
-    (conv_id, ts, text, vector) — regexp extraction, all JVM-side
-    (reference parser: tools/IOUtil.java:177-206)."""
-    raw = spark.read.text(path)
-    pat = r"^Session (.+?), Query (\d+); OrigQuery:(.*);([01]*)$"
-    vec_str = F.regexp_extract("value", pat, 4)
-    return raw.select(
-        F.regexp_extract("value", pat, 1).alias("conv_id"),
-        F.timestamp_seconds(
-            F.regexp_extract("value", pat, 2).cast("long")
-        ).alias("ts"),
-        F.regexp_extract("value", pat, 3).alias("text"),
-        F.transform(
-            F.split(vec_str, "(?!$)"), lambda c: c.cast("double")
-        ).alias("window_features"),
-    )
+    """S6 round-trip source."""
+    return spark.read.text(path).select(*parse_encoded_line(F.col("value")))
