@@ -606,6 +606,24 @@ def _q_reorganize_chains(spark, sf_dir):
     )
 
 
+def _q_window_metrics(spark, sf_dir):
+    """A7/S7: per-window total-cost metrics over the dense FIXED spine
+    including empty windows (the reference's windowed cost + empty-rate
+    logging as an aggregate job)."""
+    from sqlfeatureextraction_spark.config import FeatureConfig
+    from sqlfeatureextraction_spark.operators.windows import (
+        window_cost_metrics,
+    )
+
+    cfg = FeatureConfig(window_size_s=300, slide_s=60)
+    ev = _events(spark, sf_dir).withColumn(
+        "cost", (F.col("value") * 1000).cast("long")
+    )
+    return window_cost_metrics(
+        ev, cfg, entity_col="user_id", ts_col="ts", cost_col="cost"
+    )
+
+
 def _q_encoded_roundtrip(spark, sf_dir):
     """S5→S6 round-trip as expressions: format each feature row into
     the encoded line, parse it back, emit the parsed fields (bit_sum
@@ -789,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fixed_window_expand": _q_fixed_window_expand,
         "session_validity": _q_session_validity,
         "reorganize_chains": _q_reorganize_chains,
+        "window_metrics": _q_window_metrics,
         "encoded_roundtrip": _q_encoded_roundtrip,
         "transcript_window_features": _q_transcript_window_features,
         "transcript_wf_merge": _q_transcript_wf_merge,
@@ -1435,6 +1454,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, chain_start_sec, CAST(seq AS INT) AS seq,
                    ts_sec
             FROM ch
+        """,
+        "window_metrics": f"""
+            WITH e AS (
+              SELECT user_id, ts_sec,
+                     CAST(trunc(value * 1000) AS BIGINT) AS cost
+              FROM ({_EV_TS})
+            ),
+            a AS (
+              SELECT user_id, cost,
+                     UNNEST(range(
+                       CAST(ceil((ts_sec - 300) / 60.0) * 60 AS BIGINT),
+                       CAST(ceil(ts_sec / 60.0) * 60 - 60 AS BIGINT) + 1,
+                       60)) AS ws
+              FROM e
+            ),
+            g AS (
+              SELECT user_id, ws, COUNT(*) AS n, SUM(cost) AS c
+              FROM a GROUP BY 1, 2
+            ),
+            b AS (
+              SELECT user_id,
+                     (MIN(ts_sec) // 60) * 60 AS mn,
+                     CAST(ceil(MAX(ts_sec) / 60.0) * 60 AS BIGINT) AS mx
+              FROM e GROUP BY 1
+            ),
+            s AS (
+              SELECT user_id,
+                     UNNEST(range(mn, mx + 1, 60)) AS window_start_sec
+              FROM b
+            )
+            SELECT s.user_id, s.window_start_sec,
+                   CAST(COALESCE(g.n, 0) AS BIGINT) AS n_turns,
+                   CAST(COALESCE(g.c, 0) AS BIGINT) AS total_cost,
+                   g.n IS NULL AS is_empty
+            FROM s LEFT JOIN g
+              ON g.user_id = s.user_id AND g.ws = s.window_start_sec
         """,
         "encoded_roundtrip": """
             SELECT printf('u%05d', user_id) AS conv_id,

@@ -43,14 +43,17 @@ CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, os.environ["REPO_ROOT"])
 par, path, reps = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+path_name = sys.argv[4] if len(sys.argv) > 4 else "builtin"
 from sqlfeatureextraction_spark.session import get_spark
 from sqlfeatureextraction_spark.config import FeatureConfig
 from sqlfeatureextraction_spark.vocab import fit_vocabulary
 from sqlfeatureextraction_spark.operators.vectorize import with_turn_features
 from sqlfeatureextraction_spark.operators.pit_window import window_features_builtin
+from sqlfeatureextraction_spark.operators.asof_merge import window_features_merge
 
 spark = get_spark("scale", parallelism=par, shuffle_partitions=par)
 cfg = FeatureConfig()
+wf = window_features_builtin if path_name == "builtin" else window_features_merge
 
 def job():
     tx = spark.read.parquet(path)
@@ -58,7 +61,7 @@ def job():
     vec, layout = with_turn_features(tx, vocab, cfg)
     vec = vec.cache()
     try:
-        return window_features_builtin(vec, vocab, cfg, layout).count()
+        return wf(vec, vocab, cfg, layout).count()
     finally:
         vec.unpersist(True)
 
@@ -96,9 +99,9 @@ def prepare(sf_dir: str, rep: int) -> str:
     return out
 
 
-def run_level(par: int, path: str, reps: int) -> dict:
+def run_level(par: int, path: str, reps: int, path_name: str) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", CHILD, str(par), path, str(reps)],
+        [sys.executable, "-c", CHILD, str(par), path, str(reps), path_name],
         capture_output=True,
         text=True,
         env=_env(),
@@ -114,9 +117,10 @@ def main() -> None:
     n_lo = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     n_hi = int(sys.argv[4]) if len(sys.argv) > 4 else 32
     reps = int(sys.argv[5]) if len(sys.argv) > 5 else 3
+    path_name = sys.argv[6] if len(sys.argv) > 6 else "builtin"
     path = prepare(sf_dir, rep)
-    lo = run_level(n_lo, path, reps)
-    hi = run_level(n_hi, path, reps)
+    lo = run_level(n_lo, path, reps, path_name)
+    hi = run_level(n_hi, path, reps, path_name)
     ratio = n_hi / n_lo
     eff = (hi["rows_per_sec_min"] / lo["rows_per_sec_min"]) / ratio
     eff_med = (hi["rows_per_sec_median"] / lo["rows_per_sec_median"]) / ratio
@@ -124,6 +128,7 @@ def main() -> None:
         "metric": f"scaling efficiency local[{n_lo}] -> local[{n_hi}]",
         "sf_dir": sf_dir,
         "replication": rep,
+        "path": path_name,
         "lo": lo,
         "hi": hi,
         "efficiency_min": round(eff, 3),

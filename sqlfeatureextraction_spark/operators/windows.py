@@ -99,6 +99,52 @@ def time_spine(
     return spine
 
 
+def window_cost_metrics(
+    df: DataFrame,
+    cfg: FeatureConfig,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    cost_col: str = "cost",
+) -> DataFrame:
+    """A7: per-window total-cost metrics over the dense FIXED spine —
+    the aggregate-job version of the reference's windowed cost logging
+    (enc/APMWindowFragmentIntent.java:261,301,551-559): per strided
+    window (start, start+W] and entity, the member count and summed
+    cost, INCLUDING empty windows (n_turns = 0, total_cost = 0,
+    is_empty = true) so the empty-window usage rate is an aggregation
+    away.  One window-assign explode + one groupBy + one spine left
+    join — no driver loop."""
+    assigned = assign_fixed_windows(df, cfg, ts_col=ts_col)
+    agg = assigned.groupBy(entity_col, "window_start_sec").agg(
+        F.count("*").alias("n_turns"),
+        F.sum(cost_col).alias("total_cost"),
+    )
+    spine = time_spine(df, cfg, entity_col=entity_col, ts_col=ts_col)
+    out = spine.join(agg, [entity_col, "window_start_sec"], "left")
+    return out.select(
+        entity_col,
+        "window_start_sec",
+        F.coalesce(F.col("n_turns"), F.lit(0)).cast("long").alias("n_turns"),
+        F.coalesce(F.col("total_cost"), F.lit(0)).cast("long").alias(
+            "total_cost"
+        ),
+        F.col("n_turns").isNull().alias("is_empty"),
+    )
+
+
+def metrics_summary(metrics: DataFrame) -> DataFrame:
+    """Roll the per-window metrics up to the run-level counters the
+    reference logs (used-empty-windows / total, total cost)."""
+    return metrics.agg(
+        F.count("*").alias("n_windows"),
+        F.sum(F.col("is_empty").cast("long")).alias("n_empty"),
+        F.round(
+            F.sum(F.col("is_empty").cast("double")) / F.count("*"), 6
+        ).alias("empty_rate"),
+        F.sum("total_cost").alias("total_cost"),
+    )
+
+
 def backfill_zero_vectors(
     spine: DataFrame,
     observed: DataFrame,

@@ -83,6 +83,14 @@ def read_session_log_lines(
     )
 
 
+def write_metrics(metrics: DataFrame, path: str) -> None:
+    """S7 metric sink: one JSON line per metric row (the reference
+    pushes windowed metrics to JDBC/HTTP sinks, sender/
+    DruidQueryJDBCExecutor.java:236-280 — out of engine scope here, so
+    the sink is a line-JSON directory any collector can tail)."""
+    metrics.coalesce(1).write.mode("overwrite").json(path)
+
+
 ENCODED_LINE_PAT = r"^Session (.+?), Query (\d+); OrigQuery:(.*);([01]*)$"
 
 
