@@ -90,40 +90,63 @@ def _salted(vec: DataFrame, cfg: FeatureConfig) -> DataFrame:
     return base.unionByName(repl).drop("_t0", "_span")
 
 
-def _window_merge_fn(
-    vocab: Vocabulary,
-    cfg: FeatureConfig,
-    layout: VectorLayout,
-    audit: bool = False,
-):
-    turn_w = layout.width
-    tool_bits = dict(vocab.tools)
-    n_tools = layout.seg("tool").width
+def _window_merge_fn(cfg: FeatureConfig, audit: bool = False):
+    """Member-selection core of the merge path.
+
+    Returns SLIM selected-member rows — (anchor conv_id, ts_sec, ts,
+    slot_idx, member_idx, tool, rep_turn_idx) — NOT assembled vectors:
+    shipping the wide feature arrays through the pandas stage (input
+    AND output) measured 30× slower than the narrow formulation at
+    local[2] (object-dtype vstack of millions of tiny ndarrays + Arrow
+    list-array materialization).  The ≤ k·n selected representatives
+    join their feature vectors back JVM-side and reuse the builtin
+    path's Arrow assembler, so the wide arrays cross the wire exactly
+    once, identically to pit_window."""
     k, n = cfg.top_k_entities, cfg.top_n_members
-    out_w = window_vector_width(layout, k, n)
     win = cfg.window_size_s
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts_sec", "turn_idx"], kind="mergesort").reset_index(
-            drop=True
-        )
+        # A group is a HASH BUCKET of conversations (× time salt), not a
+        # single conversation: per-call pandas overhead (~5-10 ms) made
+        # one-conv-per-group 10× slower than the builtin path on many
+        # small conversations.  All conversations in the bucket are
+        # processed in ONE vectorized pass over a composite timeline:
+        # ts′ = ts + conv_ordinal · OFFSET with OFFSET > span + 2W, so a
+        # single searchsorted serves every conversation and windows can
+        # never cross conversation boundaries.
+        pdf = pdf.sort_values(
+            ["conv_id", "ts_sec", "turn_idx"], kind="mergesort"
+        ).reset_index(drop=True)
         ts = pdf["ts_sec"].to_numpy(np.int64)
-        anchor_ts = np.unique(ts[pdf["is_anchor"].to_numpy(bool)])
-        if len(anchor_ts) == 0:
-            return pd.DataFrame(
-                {
-                    "conv_id": pd.Series(dtype=object),
-                    "ts_sec": pd.Series(dtype=np.int64),
-                    "ts": pd.Series(dtype="datetime64[us]"),
-                    "window_features": pd.Series(dtype=object),
-                }
-            )
-        lo = np.searchsorted(ts, anchor_ts - win, side="right")
-        hi = np.searchsorted(ts, anchor_ts, side="right")
+        anchor_mask = pdf["is_anchor"].to_numpy(bool)
+        empty = {
+            "conv_id": pd.Series(dtype=object),
+            "ts_sec": pd.Series(dtype=np.int64),
+            "ts": pd.Series(dtype="datetime64[us]"),
+            "slot_idx": pd.Series(dtype=np.int32),
+            "member_idx": pd.Series(dtype=np.int32),
+            "tool": pd.Series(dtype=object),
+            "rep_turn_idx": pd.Series(dtype=np.int64),
+        }
+        if audit:
+            empty["max_member_ts_sec"] = pd.Series(dtype=np.int64)
+        if len(ts) == 0 or not anchor_mask.any():
+            return pd.DataFrame(empty)
+        conv_arr = pdf["conv_id"].to_numpy()
+        # ordinal per conversation (input is conv-sorted)
+        new_conv = np.empty(len(ts), dtype=bool)
+        new_conv[0] = True
+        new_conv[1:] = conv_arr[1:] != conv_arr[:-1]
+        ordinal = np.cumsum(new_conv) - 1
+        off = np.int64(int(ts.max()) - int(ts.min()) + 2 * win + 10)
+        tsx = ts + ordinal * off
+        anchor_tsx = np.unique(tsx[anchor_mask])
+        lo = np.searchsorted(tsx, anchor_tsx - win, side="right")
+        hi = np.searchsorted(tsx, anchor_tsx, side="right")
         counts = hi - lo
         total = int(counts.sum())
         # vectorized ragged ranges: member row index per (anchor, member)
-        ridx = np.repeat(np.arange(len(anchor_ts)), counts)
+        ridx = np.repeat(np.arange(len(anchor_tsx)), counts)
         offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
         midx = np.repeat(lo, counts) + offs
 
@@ -135,7 +158,6 @@ def _window_merge_fn(
                 "cost": pdf["cost"].to_numpy(np.int64)[midx],
                 "mts": ts[midx],
                 "mturn": pdf["turn_idx"].to_numpy(np.int64)[midx],
-                "row": midx,
             }
         )
         # A2 dedupe: first (ts, turn) representative + summed cost per
@@ -143,7 +165,6 @@ def _window_merge_fn(
         grp = pairs.groupby(["a", "tool", "h"], sort=False)
         dd = grp.agg(
             cost=("cost", "sum"),
-            row=("row", "first"),
             mts=("mts", "first"),
             mturn=("mturn", "first"),
         ).reset_index()
@@ -164,29 +185,23 @@ def _window_merge_fn(
         mm["mi"] = mm.groupby(["a", "slot"], sort=False).cumcount()
         mm = mm[mm["mi"] < n]
 
-        # W8 assembly: 2-D fancy-index scatter of member turn vectors
-        out = np.zeros((len(anchor_ts), out_w), dtype=np.float64)
-        bit = mm["tool"].map(tool_bits)
-        ok = bit.notna().to_numpy()
-        out[mm["a"].to_numpy()[ok], bit.to_numpy(np.float64, na_value=-1).astype(np.int64)[ok]] = 1.0
-        feats = np.vstack(pdf["features"].to_numpy())
-        starts = n_tools + (mm["slot"].to_numpy() * n + mm["mi"].to_numpy()) * turn_w
-        pos = starts[:, None] + np.arange(turn_w)[None, :]
-        out[mm["a"].to_numpy()[:, None], pos] = feats[mm["row"].to_numpy()]
-
         # anchor representative = first (min turn_idx) row at each
         # anchor epoch — same convention as the builtin path/oracle
-        first_at = np.searchsorted(ts, anchor_ts, side="left")
+        first_at = np.searchsorted(tsx, anchor_tsx, side="left")
+        a = mm["a"].to_numpy()
         res = {
-            "conv_id": pdf["conv_id"].iloc[0],
-            "ts_sec": anchor_ts,
-            "ts": pdf["ts"].to_numpy()[first_at],
-            "window_features": list(out),
+            "conv_id": conv_arr[first_at[a]],
+            "ts_sec": ts[first_at[a]],
+            "ts": pdf["ts"].to_numpy()[first_at[a]],
+            "slot_idx": mm["slot"].to_numpy().astype(np.int32),
+            "member_idx": mm["mi"].to_numpy().astype(np.int32),
+            "tool": mm["tool"].to_numpy(),
+            "rep_turn_idx": mm["mturn"].to_numpy(np.int64),
         }
         if audit:
-            # provenance: newest member actually used per anchor —
-            # audit_member_bound asserts it never exceeds the anchor ts
-            res["max_member_ts_sec"] = ts[hi - 1]
+            # provenance: newest member actually in the window per
+            # anchor — audit_member_bound asserts ≤ the anchor ts
+            res["max_member_ts_sec"] = ts[hi - 1][a]
         return pd.DataFrame(res)
 
     return fn
@@ -201,24 +216,67 @@ def window_features_merge(
 ) -> DataFrame:
     """(conv_id, ts) → window_features via salted applyInPandas merge.
 
+    Stage plan (all NARROW until the final join):
+      1. per-conv stats + adaptive time salting (`_salted`) — feature
+         arrays are NOT selected into this branch;
+      2. ONE narrow shuffle into coarse conversation buckets
+         ((hash(conv_id) % 4·cores, salt)) → vectorized pandas member
+         selection (searchsorted over the composite timeline, dedupe,
+         top-K/top-N) emitting ≤ k·n slim rows per anchor;
+      3. the selected representatives join their feature vectors back
+         by (conv_id, turn_idx) — the wide array crosses the wire
+         exactly once — and the builtin path's Arrow assembler builds
+         the fixed-width output.
+
     audit=True appends max_member_ts_sec provenance for
     audit.audit_member_bound."""
-    cols = [
-        "conv_id",
-        "ts",
-        "ts_sec",
-        "turn_idx",
-        "tool",
-        "cost",
-        "vec_hash",
-        "features",
-    ]
+    from sqlfeatureextraction_spark.operators.pit_window import _assemble_udf
+
+    cols = ["conv_id", "ts", "ts_sec", "turn_idx", "tool", "cost", "vec_hash"]
     salted = _salted(vec.select(*cols), cfg)
-    fn = _window_merge_fn(vocab, cfg, layout, audit=audit)
-    out_schema = (
-        "conv_id string, ts_sec long, ts timestamp,"
-        " window_features array<double>"
+    # coarse conversation buckets: many conversations per pandas call
+    # (per-call overhead amortized ~300×), vectorized inside over the
+    # composite timeline; the time salt still splits hot conversations
+    n_grp = max(vec.sparkSession.sparkContext.defaultParallelism * 4, 8)
+    salted = salted.withColumn(
+        "_grp", F.pmod(F.xxhash64("conv_id"), F.lit(n_grp))
+    )
+    fn = _window_merge_fn(cfg, audit=audit)
+    member_schema = (
+        "conv_id string, ts_sec long, ts timestamp, slot_idx int,"
+        " member_idx int, tool string, rep_turn_idx long"
     )
     if audit:
-        out_schema += ", max_member_ts_sec long"
-    return salted.groupBy("conv_id", "salt").applyInPandas(fn, out_schema)
+        member_schema += ", max_member_ts_sec long"
+    members = salted.groupBy("_grp", "salt").applyInPandas(fn, member_schema)
+
+    feats = vec.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("rep_turn_idx"),
+        F.col("features").alias("g_features"),
+    )
+    joined = members.join(feats, ["conv_id", "rep_turn_idx"])
+
+    assemble, out_w = _assemble_udf(vocab, cfg, layout)
+    aggs = [
+        F.collect_list(
+            F.struct(
+                F.col("slot_idx"),
+                F.col("member_idx"),
+                F.col("tool"),
+                F.col("g_features").alias("features"),
+            )
+        ).alias("slots")
+    ]
+    if audit:
+        aggs.append(F.max("max_member_ts_sec").alias("max_member_ts_sec"))
+    slots = joined.groupBy("conv_id", "ts_sec", "ts").agg(*aggs)
+    out_cols = [
+        "conv_id",
+        "ts_sec",
+        "ts",
+        assemble(F.col("slots")).alias("window_features"),
+    ]
+    if audit:
+        out_cols.append("max_member_ts_sec")
+    return slots.select(*out_cols)

@@ -26,15 +26,17 @@ def test_window_cost_metrics_and_sink(spark, tmp_path):
     m = m.set_index("window_start_sec").sort_index()
 
     # spine is dense from floor(min/60)*60 to ceil(max/60)*60
-    assert m.index.min() == 1704067200 - 1704067200 % 60
-    # window (0, 120] holds the 00:00:30 row; (23:59, 00:01] too via
-    # right-closed membership — pick two hand-checkable windows:
-    # start 1704067140 → (…:59:00, …:01:00]: contains 00:00:30 row
-    assert m.loc[1704067140, "n_turns"] == 1
-    assert m.loc[1704067140, "total_cost"] == 10
+    assert m.index.min() == 1704067200  # floor(00:00:30 / 60) * 60
+    assert m.index.max() == 1704067800  # ceil(00:10:00 / 60) * 60
     # start 1704067200 → (00:00, 00:02]: rows at 00:00:30 and 00:01:30
     assert m.loc[1704067200, "n_turns"] == 2
     assert m.loc[1704067200, "total_cost"] == 30
+    # start 00:09 → (00:09, 00:11]: the 00:10:00 row
+    assert m.loc[1704067740, "n_turns"] == 1
+    assert m.loc[1704067740, "total_cost"] == 5
+    # right-closed: the 00:10:00 row is NOT in the window starting at
+    # its own timestamp
+    assert m.loc[1704067800, "n_turns"] == 0
     # the dead zone between 00:03 and 00:08 is empty but present
     assert bool(m.loc[1704067200 + 300, "is_empty"])
     assert m.loc[1704067200 + 300, "n_turns"] == 0
