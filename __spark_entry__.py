@@ -459,7 +459,7 @@ def _q_sql_minc_encode(spark, sf_dir):
     o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
         F.col("o_orderkey") % 37 == 0
     )
-    t = F.pmod(F.expr("o_orderkey div 37"), F.lit(4))
+    t = F.pmod(F.expr("o_orderkey div 37"), F.lit(5))
     pr = F.lower(F.substring_index("o_orderpriority", "-", -1))
     sql = (
         F.when(
@@ -492,12 +492,23 @@ def _q_sql_minc_encode(spark, sf_dir):
                 F.col("o_custkey"),
             ),
         )
-        .otherwise(
+        .when(
+            t == 3,
             F.format_string(
                 "DELETE FROM orders WHERE o_custkey <= %d AND"
                 " o_orderpriority = '%s'",
                 F.col("o_custkey"),
                 F.lower(F.col("o_orderpriority")),
+            ),
+        )
+        .otherwise(
+            # D8: fragments accumulate across top-level UNION branches
+            # (enc/SQLParser.java:868-886)
+            F.format_string(
+                "SELECT o.o_orderkey FROM orders o WHERE o.o_custkey"
+                " > %d UNION ALL SELECT c.c_name FROM customer c"
+                " WHERE c.c_mktsegment = 'auto'",
+                F.col("o_custkey"),
             )
         )
     )
@@ -966,19 +977,28 @@ def _minc_oracle_sql() -> str:
     ock, opr = b("orders.o_custkey"), b("orders.o_orderpriority")
     ost = b("orders.o_orderstatus")
     cnm, lok = b("customer.c_name"), b("lineitem.l_orderkey")
+    cmk = b("customer.c_mktsegment")
     # selop bit = col_bit * 7 + op_idx; ops {=, <>, <=, >=, <, >, like}
+    # template 4 is a 2-branch UNION ALL (D8): both branches' fragments
+    # accumulate into the same sets
     segs = {
-        "qtype": ({0: 1, 1: 1, 2: 1, 3: 1}, {0: 0, 1: 0, 2: 1, 3: 3}),
-        "tables": ({0: 1, 1: 3, 2: 1, 3: 1}, {0: 2, 1: 3, 2: 2, 3: 2}),
-        "projection": ({0: 2, 1: 2}, {0: ook + otp, 1: cnm + ook}),
+        "qtype": ({0: 1, 1: 1, 2: 1, 3: 1, 4: 1}, {0: 0, 1: 0, 2: 1, 3: 3}),
+        "tables": (
+            {0: 1, 1: 3, 2: 1, 3: 1, 4: 2},
+            {0: 2, 1: 3, 2: 2, 3: 2, 4: 2},
+        ),
+        "projection": (
+            {0: 2, 1: 2, 4: 2},
+            {0: ook + otp, 1: cnm + ook, 4: ook + cnm},
+        ),
         "avg": ({}, {}),
         "min": ({}, {}),
         "max": ({}, {}),
         "sum": ({}, {}),
         "count": ({1: 1}, {1: ook}),
         "selection": (
-            {0: 2, 1: 2, 2: 1, 3: 2},
-            {0: ock + opr, 1: ook + lok, 2: ock, 3: ock + opr},
+            {0: 2, 1: 2, 2: 1, 3: 2, 4: 2},
+            {0: ock + opr, 1: ook + lok, 2: ock, 3: ock + opr, 4: ock + cmk},
         ),
         "groupby": ({0: 2, 1: 1}, {0: ook + otp, 1: cnm}),
         "orderby": ({0: 1}, {0: otp}),
@@ -986,11 +1006,12 @@ def _minc_oracle_sql() -> str:
         "limit": ({0: 1, 1: 1}, {}),
         "join": ({1: 2}, {1: 1}),
         "selops": (
-            {0: 2, 2: 2, 3: 2},
+            {0: 2, 2: 2, 3: 2, 4: 2},
             {
                 0: (ock * 7 + 3) + (opr * 7 + 6),
                 2: (ock * 7 + 0) + (ost * 7 + 0),
                 3: (ock * 7 + 2) + (opr * 7 + 0),
+                4: (ock * 7 + 5) + (cmk * 7 + 0),
             },
         ),
     }
@@ -1024,7 +1045,7 @@ def _minc_oracle_sql() -> str:
         ),
         sub AS (
           SELECT o_orderkey AS sql_id,
-                 CAST((o_orderkey // 37) % 4 AS INT) AS t,
+                 CAST((o_orderkey // 37) % 5 AS INT) AS t,
                  o_custkey,
                  lower(split_part(o_orderpriority, '-', 2)) AS pr,
                  lower(o_orderpriority) AS pval
@@ -1043,10 +1064,11 @@ def _minc_oracle_sql() -> str:
           CAST({width} AS INT) AS width,
           {seg_cols},
           CAST(CASE t WHEN 0 THEN 2 WHEN 2 THEN 1 WHEN 3 THEN 2
-               ELSE 0 END AS BIGINT) AS rangebins_n,
+               WHEN 4 THEN 1 ELSE 0 END AS BIGINT) AS rangebins_n,
           CAST(CASE t WHEN 0 THEN ckb + 8 + plb
                       WHEN 2 THEN ckb
                       WHEN 3 THEN ckb + 8 + peb
+                      WHEN 4 THEN ckb
                ELSE 0 END AS BIGINT) AS rangebins_ps
         FROM binned
     """

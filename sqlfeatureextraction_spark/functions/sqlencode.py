@@ -50,10 +50,19 @@ from pyspark.sql import types as T
 from sqlfeatureextraction_spark.functions.sqlfragments import (
     IDENT,
     SEL_PRED_OPS,
-    _clause,
+    _clause_each,
     _idents,
+    _merge_branch_sets,
     extract_agg_columns,
 )
+
+
+def _clause_idents(sql: Column, start_kw: str, end_kws: list[str]) -> Column:
+    """Identifier set for a clause, accumulated across union branches
+    (D8, enc/SQLParser.java:868-886)."""
+    return _merge_branch_sets(
+        F.transform(_clause_each(sql, start_kw, end_kws), _idents)
+    )
 from sqlfeatureextraction_spark.layout import Segment, VectorLayout
 
 BARE = r"[a-z_][a-z0-9_]*"
@@ -299,7 +308,12 @@ def _idents_no_agg(col: Column) -> Column:
 
 
 def extract_having_columns(sql: Column) -> Column:
-    return _idents_no_agg(_clause(sql, "having", ["order by", "limit"]))
+    return _merge_branch_sets(
+        F.transform(
+            _clause_each(sql, "having", ["order by", "limit"]),
+            _idents_no_agg,
+        )
+    )
 
 
 def extract_count_columns(sql: Column) -> Column:
@@ -597,21 +611,21 @@ def encode_minc(
     )
     col_sets = F.struct(
         tables_known.alias("tables"),
-        rs(_idents(_clause(sql, "select", ["from"]))).alias("projection"),
+        rs(_clause_idents(sql, "select", ["from"])).alias("projection"),
         *[
             rs(extract_agg_columns(sql, fn)).alias(fn)
             for fn in ("avg", "min", "max", "sum")
         ],
         rs(extract_count_columns(sql)).alias("count"),
         rs(
-            _idents(
-                _clause(sql, "where", ["group by", "order by", "limit", "having"])
+            _clause_idents(
+                sql, "where", ["group by", "order by", "limit", "having"]
             )
         ).alias("selection"),
-        rs(_idents(_clause(sql, "group by", ["order by", "limit", "having"]))).alias(
-            "groupby"
-        ),
-        rs(_idents(_clause(sql, "order by", ["limit"]))).alias("orderby"),
+        rs(
+            _clause_idents(sql, "group by", ["order by", "limit", "having"])
+        ).alias("groupby"),
+        rs(_clause_idents(sql, "order by", ["limit"])).alias("orderby"),
         rs(extract_having_columns(sql)).alias("having"),
     )
     join_keys = F.array_distinct(

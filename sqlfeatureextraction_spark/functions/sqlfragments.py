@@ -40,6 +40,34 @@ def _clause(sql: Column, start_kw: str, end_kws: list[str]) -> Column:
     return F.regexp_extract(sql, pat, 1)
 
 
+def union_branches(sql: Column) -> Column:
+    """D8: top-level UNION [ALL|DISTINCT] branch texts.  The reference
+    flattens union bodies and accumulates every branch's fragments into
+    the SAME sets (enc/SQLParser.java:868-886 iterates the union's
+    PlainSelects through the shared consumers); splitting the text on
+    the UNION keyword and extracting per branch reproduces that at
+    regex level (a UNION inside a string literal splits too — the same
+    declared regex-level acceptance as the rest of this module)."""
+    return F.split(sql, r"(?i)\bunion\b(\s+(all|distinct)\b)?")
+
+
+def _clause_each(sql: Column, start_kw: str, end_kws: list[str]) -> Column:
+    """`_clause` applied per union branch → array of clause fragments.
+    Without this, ``regexp_extract`` returns only the FIRST clause span,
+    so later union branches would lose their projection/where/group-by
+    column sets (the reference accumulates them all)."""
+    end = "|".join(end_kws) if end_kws else "$"
+    pat = rf"(?is)\b{start_kw}\b(.*?)(?:\b(?:{end})\b|$)"
+    return F.transform(
+        union_branches(sql), lambda b: F.regexp_extract(b, pat, 1)
+    )
+
+
+def _merge_branch_sets(arrs: Column) -> Column:
+    """Union per-branch fragment arrays into one sorted distinct set."""
+    return F.array_sort(F.array_distinct(F.flatten(arrs)))
+
+
 def _idents(col: Column) -> Column:
     """Distinct lowercase identifiers in a clause fragment, minus SQL
     keywords/functions-ish tokens."""
@@ -68,21 +96,35 @@ def extract_tables(sql: Column) -> Column:
 
 
 def extract_projection_columns(sql: Column) -> Column:
-    return _idents(_clause(sql, "select", ["from"]))
+    return _merge_branch_sets(
+        F.transform(_clause_each(sql, "select", ["from"]), _idents)
+    )
 
 
 def extract_where_columns(sql: Column) -> Column:
-    return _idents(
-        _clause(sql, "where", ["group by", "order by", "limit", "having"])
+    return _merge_branch_sets(
+        F.transform(
+            _clause_each(
+                sql, "where", ["group by", "order by", "limit", "having"]
+            ),
+            _idents,
+        )
     )
 
 
 def extract_groupby_columns(sql: Column) -> Column:
-    return _idents(_clause(sql, "group by", ["order by", "limit", "having"]))
+    return _merge_branch_sets(
+        F.transform(
+            _clause_each(sql, "group by", ["order by", "limit", "having"]),
+            _idents,
+        )
+    )
 
 
 def extract_orderby_columns(sql: Column) -> Column:
-    return _idents(_clause(sql, "order by", ["limit"]))
+    return _merge_branch_sets(
+        F.transform(_clause_each(sql, "order by", ["limit"]), _idents)
+    )
 
 
 def extract_agg_columns(sql: Column, fn: str) -> Column:

@@ -59,3 +59,22 @@ def test_onehot_segment(spark):
         SF.onehot_fragment_segment(F.col("frags"), vocab).alias("v")
     ).first()["v"]
     assert list(got) == [0.0, 1.0, 0.0]  # OOV 'zzz' leaves bits unset
+
+
+def test_union_branch_accumulation(spark):
+    """D8: fragments from every top-level UNION branch accumulate into
+    the same sets (enc/SQLParser.java:868-886 iterates PlainSelects
+    through the shared consumers)."""
+    f = _one(
+        spark,
+        "SELECT a FROM t1 WHERE x = 1 UNION ALL "
+        "SELECT b FROM t2 WHERE y = 2 GROUP BY b ORDER BY b",
+    )
+    assert f["tables"] == ["t1", "t2"]
+    assert f["projection"] == ["a", "b"]
+    assert f["where_cols"] == ["x", "y"]
+    assert f["groupby_cols"] == ["b"]
+    assert f["orderby_cols"] == ["b"]
+    # plain UNION (no ALL) splits the same way
+    f2 = _one(spark, "select a from t1 union select b from t2")
+    assert f2["projection"] == ["a", "b"]
