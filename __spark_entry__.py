@@ -784,6 +784,152 @@ def _q_rollup_agg(spark, sf_dir):
     )
 
 
+def _q_stream_windowed_counts(spark, sf_dir):
+    """§2.9 streaming: bounded file-source → watermarked tumbling window
+    aggregation → memory sink, driven to completion.  Equal to the batch
+    tumbling agg (Spark window() is left-closed [start, end))."""
+    import tempfile
+    import uuid
+
+    from sqlfeatureextraction_spark.streaming.stream import windowed_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # file stream source requires a directory — stage via symlink (O(1))
+    wdir = tempfile.mkdtemp(prefix="stream_wc_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(wdir, "events.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(wdir)
+        # watermarks require TIMESTAMP (parquet stores TIMESTAMP_NTZ)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = windowed_counts(
+        stream, window="10 minutes", entity_col="event_type", cost_col="value"
+    )
+    name = f"stream_wc_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select(
+        F.col("window_start").cast("timestamp").cast("long").alias(
+            "window_start_sec"
+        ),
+        "event_type",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.round("total_cost", 4).alias("total_cost"),
+    )
+
+
+def _q_stream_stateful_counter(spark, sf_dir):
+    """§2.9 custom stateful streaming: applyInPandasWithState running
+    turn counter + gap-session ids per entity, kept in GroupState across
+    micro-batches (streaming analog of the reference's
+    prevSessionID/queryID counters, enc/IntentCreatorMultiThread.java:73-78)."""
+    import tempfile
+    import uuid
+
+    from sqlfeatureextraction_spark.streaming.stream import (
+        stateful_turn_counter,
+    )
+
+    src = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").alias("turn_idx"),
+    )
+    sdir = tempfile.mkdtemp(prefix="stream_sc_src_")
+    src.write.mode("overwrite").parquet(sdir)
+    stream = spark.readStream.schema(src.schema).parquet(sdir)
+    counted = stateful_turn_counter(stream, entity_col="conv_id", gap_s=1800)
+    name = f"stream_sc_{uuid.uuid4().hex[:8]}"
+    q = (
+        counted.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select(
+        "conv_id",
+        F.col("ts").cast("long").alias("ts_sec"),
+        "turn_no",
+        "session_id",
+    )
+
+
+def _q_checkpoint_resume(spark, sf_dir):
+    """Checkpoint/resume E2E: partial run (injected failure after 2
+    buckets) → run_all resumes the pending buckets in ONE job
+    (partitionBy(bucket) dynamic overwrite) → final output equals an
+    uninterrupted computation (digests pin each bucket)."""
+    import tempfile
+
+    from sqlfeatureextraction_spark.checkpoint import CheckpointedRun
+
+    root = tempfile.mkdtemp(prefix="ckpt_resume_")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        "event_type",
+        "value",
+    )
+    cp = CheckpointedRun(root, n_buckets=8, snapshot_id="driver")
+
+    def compute(df):
+        return df.groupBy("conv_id", "event_type").agg(
+            F.round(F.sum("value"), 4).alias("total_cost"),
+            F.count("*").alias("n"),
+        )
+
+    try:
+        cp.run(ev, compute, key_col="conv_id", fail_after=2)
+    except RuntimeError:
+        pass  # injected kill
+    cp.run_all(ev, compute, key_col="conv_id")
+    return cp.read_output(spark).drop("bucket")
+
+
+def _q_media_frame_sample(spark, sf_dir):
+    """Multimodal UDTF plumbing: every-4th frame sampling over video
+    payloads (mapInPandas generator).  frame_hash is pinned by pytest;
+    the driver row verifies ids/indices by value."""
+    from sqlfeatureextraction_spark.operators.multimodal import (
+        sample_frames,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=64)
+    return sample_frames(media, every_n=4).select("media_id", "frame_idx")
+
+
+def _q_media_features(spark, sf_dir):
+    """Multimodal decode plumbing: Arrow-batched feature extraction over
+    binary payloads (deterministic fake decoder); verifies the schema,
+    kind filter, and histogram-normalization invariant by value."""
+    from sqlfeatureextraction_spark.operators.multimodal import (
+        extract_media_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=64)
+    return extract_media_features(media, fake=True).select(
+        "media_id",
+        "kind",
+        F.size("feat_hist").alias("n_bins"),
+        F.round(
+            F.aggregate("feat_hist", F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("hist_sum"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pit_window_sum": _q_pit_window_sum,
@@ -822,6 +968,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoded_roundtrip": _q_encoded_roundtrip,
         "transcript_window_features": _q_transcript_window_features,
         "transcript_wf_merge": _q_transcript_wf_merge,
+        "stream_windowed_counts": _q_stream_windowed_counts,
+        "stream_stateful_counter": _q_stream_stateful_counter,
+        "checkpoint_resume": _q_checkpoint_resume,
+        "media_frame_sample": _q_media_frame_sample,
+        "media_features": _q_media_features,
     }
 
 
@@ -1596,5 +1747,60 @@ def oracle_sql() -> dict[str, str]:
                      list_cosine_similarity(a.v, b.v) AS c
               FROM e a JOIN e b ON a.vec_id < b.vec_id
             ) WHERE c >= 0.4
+        """,
+        # streaming tumbling agg == batch tumbling agg over the bounded
+        # source (Spark window() is left-closed [start, end))
+        "stream_windowed_counts": """
+            SELECT CAST(floor(epoch(ts)/600)*600 AS BIGINT)
+                     AS window_start_sec,
+                   event_type,
+                   COUNT(*) AS n_turns,
+                   ROUND(SUM(value), 4) AS total_cost
+            FROM events GROUP BY 1, 2
+        """,
+        # GroupState counters over a bounded stream == batch window fns
+        "stream_stateful_counter": """
+            WITH base AS (
+              SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+                     ts, event_id
+              FROM events
+            ), lagd AS (
+              SELECT conv_id, ts_sec, ts, event_id,
+                     COALESCE(LAG(ts_sec) OVER
+                       (PARTITION BY conv_id ORDER BY ts, event_id),
+                       ts_sec) AS prev_sec
+              FROM base
+            )
+            SELECT conv_id, ts_sec,
+                   CAST(ROW_NUMBER() OVER
+                     (PARTITION BY conv_id ORDER BY ts, event_id)
+                     AS BIGINT) AS turn_no,
+                   CAST(SUM(CASE WHEN ts_sec - prev_sec > 1800
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY conv_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS session_id
+            FROM lagd
+        """,
+        # resumed checkpointed run == one uninterrupted aggregation
+        "checkpoint_resume": """
+            SELECT CAST(user_id AS VARCHAR) AS conv_id, event_type,
+                   ROUND(SUM(value), 4) AS total_cost, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        # synth_media is a closed-form table: videos are i%3==2 with
+        # n_frames = 16 + i%4; every-4th sampling → k*4 < n_frames
+        "media_frame_sample": """
+            SELECT i AS media_id, CAST(k * 4 AS INT) AS frame_idx
+            FROM range(64) t(i), range(5) s(k)
+            WHERE i % 3 = 2 AND k * 4 < 16 + i % 4
+        """,
+        # images are i%3==0; the 8-bin histogram is normalized, so each
+        # row's invariant projection is closed-form
+        "media_features": """
+            SELECT i AS media_id, 'image' AS kind,
+                   8 AS n_bins, 1.0 AS hist_sum
+            FROM range(64) t(i) WHERE i % 3 = 0
         """,
     }

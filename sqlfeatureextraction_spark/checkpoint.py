@@ -31,8 +31,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors.exceptions.captured import AnalysisException
 
 MANIFEST = "manifest.jsonl"
+
+# digest of an empty result (NULL sums, count 0) — what _digest returns
+# when the DataFrame has no rows
+_EMPTY_DIGEST = hashlib.sha256(b"None|None|0").hexdigest()[:32]
 
 
 def bucket_of(col, n_buckets: int):
@@ -186,10 +191,15 @@ class CheckpointedRun:
         )
         spark = transcripts.sparkSession
         for b in pending:
-            written = spark.read.parquet(
-                os.path.join(data_root, f"bucket={b}")
-            )
-            digest, n_out = _digest(written)
+            bucket_dir = os.path.join(data_root, f"bucket={b}")
+            try:
+                written = spark.read.parquet(bucket_dir)
+                digest, n_out = _digest(written)
+            except AnalysisException:
+                # an empty bucket produces no partition dir under dynamic
+                # overwrite; record the same digest run() computes for an
+                # empty result (sum aggs are NULL, count 0)
+                digest, n_out = _EMPTY_DIGEST, 0
             self._append(
                 {
                     "bucket": b,

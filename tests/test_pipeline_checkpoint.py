@@ -131,6 +131,32 @@ def test_checkpoint_run_all_matches_run(tmp_path, spark, fitted, transcripts_df)
     assert r2.read_output(spark).count() == ref.read_output(spark).count()
 
 
+def test_checkpoint_run_all_empty_bucket(tmp_path, spark):
+    """run_all over an input whose keys miss some buckets: the dynamic
+    partitionBy write produces no dir for them, but the manifest must
+    still record them done (empty digest == run()'s empty digest)."""
+    from sqlfeatureextraction_spark.checkpoint import _EMPTY_DIGEST
+
+    df = spark.createDataFrame(
+        [("only_key", 1.0)], "conv_id string, value double"
+    )
+    out_dir = str(tmp_path / "sparse")
+    cp = CheckpointedRun(out_dir, n_buckets=8, snapshot_id="s")
+    assert cp.run_all(df, lambda p: p) == 8
+    m = cp.read_manifest()
+    assert set(m) == set(range(8))
+    empties = [b for b in m if m[b]["row_count_out"] == 0]
+    assert len(empties) == 7
+    for b in empties:
+        assert m[b]["digest"] == _EMPTY_DIGEST
+    # per-bucket run() on the same input agrees digest-for-digest
+    ref = CheckpointedRun(str(tmp_path / "ref"), n_buckets=8, snapshot_id="s")
+    assert ref.run(df, lambda p: p) == 8
+    rm = ref.read_manifest()
+    for b in range(8):
+        assert rm[b]["digest"] == m[b]["digest"], b
+
+
 def test_embedding_lsh_recall_vs_exact(spark):
     """The LSH near-dup path must recover every exact pair at
     verification scale (recall = 1 on clustered synthetic vectors)."""
