@@ -2,12 +2,15 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample are ``mapInPandas``
-batch transforms.  The decode step itself is STUBBED in this container
-(no image/audio libs): ``decode_image_batch`` raises
-NotImplementedError unless ``fake=True``, in which case a deterministic
-fake decoder (seeded by content hash) produces stable pseudo-pixels so
-the Spark-side plumbing — schema, partitioning, UDF signature, Arrow
-batch shape — is real and fully tested.
+batch transforms.  Decoding has two modes:
+
+  * REAL (``fake=False``): PPM (P6) and uncompressed 24-bit BMP are
+    parsed natively with ``np.frombuffer`` (no image libraries needed);
+    any other format goes through PIL behind an import-guard (absent in
+    this container) and raises NotImplementedError otherwise.
+  * FAKE (``fake=True``): a deterministic hash-seeded decoder produces
+    stable pseudo-pixels — used where tests need pixels for payloads
+    that are arbitrary bytes.
 
 Design notes for 100 TB:
   * binary payloads never pass through Python row-at-a-time: Arrow
@@ -34,8 +37,16 @@ MEDIA_SCHEMA = (
 )
 
 
-def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (content = hash-seeded bytes)."""
+def synth_media(
+    spark, n: int = 64, seed: int = 42, real_images: bool = False
+) -> DataFrame:
+    """Deterministic fake media table (content = hash-seeded bytes).
+
+    real_images=True encodes image payloads as valid binary PPM (P6)
+    files of hash-seeded pixels, so the REAL decode path
+    (``extract_media_features(fake=False)``) is exercised end-to-end
+    without any image library.
+    """
     rows = []
     for i in range(n):
         h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
@@ -48,8 +59,91 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             if kind == "video"
             else (0, 0, 0, 16000)
         )
+        if kind == "image" and real_images:
+            w, hh = meta[0], meta[1]
+            rng = np.random.default_rng(
+                int.from_bytes(h[:8], "big") % (2**32)
+            )
+            px = rng.integers(0, 256, size=(hh, w, 3), dtype=np.uint8)
+            payload = encode_ppm(px)
         rows.append((i, kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ----------------------------------------------------- real decoders
+# Numpy-only parsers for uncompressed formats (no image libs needed);
+# PIL is used opportunistically when importable for everything else.
+
+
+def encode_ppm(px: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a binary PPM (P6) file."""
+    h, w = px.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + px.astype(np.uint8).tobytes()
+
+
+def _decode_ppm(data: bytes) -> np.ndarray:
+    """Parse binary PPM (P6) → (h, w) uint8 grayscale (integer-mean of
+    RGB — deterministic, no float rounding)."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header: magic, width, height, maxval — whitespace separated, then
+    # a single whitespace byte before the raster
+    parts, pos, vals = [], 2, []
+    while len(vals) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(data[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = vals
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    raster = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+    rgb = raster.reshape(h, w, 3).astype(np.uint16)
+    return (rgb.sum(axis=2) // 3).astype(np.uint8)
+
+
+def _decode_bmp(data: bytes) -> np.ndarray:
+    """Parse uncompressed 24-bit BMP → (h, w) uint8 grayscale."""
+    if not data.startswith(b"BM"):
+        raise ValueError("not a BMP")
+    off = int.from_bytes(data[10:14], "little")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    comp = int.from_bytes(data[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    flip = h > 0  # positive height = bottom-up row order
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    raster = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=off)
+    bgr = raster.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if flip:
+        bgr = bgr[::-1]
+    return (bgr.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
+
+
+def decode_payload(data: bytes) -> np.ndarray:
+    """Real image decode → (h, w) uint8 grayscale.  PPM/BMP are parsed
+    with numpy directly; other formats go through PIL when available."""
+    data = bytes(data)
+    if data.startswith(b"P6"):
+        return _decode_ppm(data)
+    if data.startswith(b"BM"):
+        return _decode_bmp(data)
+    try:  # optional dependency — absent in this container
+        import io
+
+        from PIL import Image  # type: ignore
+    except ImportError:
+        raise NotImplementedError(
+            "payload is neither PPM nor BMP and PIL is not installed"
+        ) from None
+    img = Image.open(io.BytesIO(data)).convert("L")
+    return np.asarray(img, dtype=np.uint8)
 
 
 def _fake_decode(payload: bytes, w: int, h: int) -> np.ndarray:
@@ -61,17 +155,19 @@ def _fake_decode(payload: bytes, w: int, h: int) -> np.ndarray:
 
 
 def decode_image_batch(pdf: pd.DataFrame, fake: bool) -> pd.DataFrame:
-    if not fake:
-        raise NotImplementedError(
-            "real image decoding needs PIL/libvips — not in this container; "
-            "pass fake=True for the deterministic stub"
-        )
+    """Per-payload decode within one Arrow batch.  fake=True uses the
+    hash-seeded stand-in; fake=False really decodes (PPM/BMP natively,
+    PIL if importable for other formats).  The per-payload loop is fine:
+    decoding is inherently per-object and payload bytes dominate."""
     feats, means = [], []
     metas = pdf["meta"]
     for payload, meta in zip(pdf["payload"], metas):
-        w = int(meta["width"]) or 8
-        h = int(meta["height"]) or 8
-        px = _fake_decode(bytes(payload), w, h)
+        if fake:
+            w = int(meta["width"]) or 8
+            h = int(meta["height"]) or 8
+            px = _fake_decode(bytes(payload), w, h)
+        else:
+            px = decode_payload(payload)
         # 8-bin intensity histogram as the extracted feature
         hist = np.bincount(px.ravel() >> 5, minlength=8).astype(np.float64)
         feats.append((hist / max(px.size, 1)).tolist())

@@ -32,10 +32,70 @@ def test_media_feature_extraction_deterministic(spark):
     assert (f1["kind"] == "image").all()
 
 
-def test_media_real_decode_is_stubbed(spark):
-    media = synth_media(spark, n=6)
-    with pytest.raises(Exception, match="NotImplementedError|decoding"):
+def test_media_real_decode_unknown_format_raises(spark):
+    # arbitrary bytes (not PPM/BMP, no PIL in container) must fail loudly
+    media = synth_media(spark, n=6, real_images=False)
+    with pytest.raises(Exception, match="NotImplementedError|PPM"):
         extract_media_features(media, fake=False).collect()
+
+
+def test_media_real_decode_ppm_end_to_end(spark):
+    """REAL decode path: synth valid PPM payloads, decode via the
+    numpy parser inside mapInPandas, check the histogram against an
+    independently computed one."""
+    from sqlfeatureextraction_spark.operators.multimodal import (
+        _decode_ppm,
+    )
+
+    media = synth_media(spark, n=30, real_images=True)
+    got = (
+        extract_media_features(media, fake=False)
+        .toPandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 10
+    payloads = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.where("kind='image'").collect()
+    }
+    for _, row in got.iterrows():
+        px = _decode_ppm(payloads[row["media_id"]])
+        hist = np.bincount(px.ravel() >> 5, minlength=8) / px.size
+        assert np.allclose(np.asarray(row["feat_hist"]), hist)
+        assert abs(row["mean_intensity"] - px.mean()) < 1e-9
+
+
+def test_bmp_decoder_roundtrip():
+    """Hand-built uncompressed 24-bit BMP (bottom-up, padded rows)
+    decodes to the expected grayscale."""
+    from sqlfeatureextraction_spark.operators.multimodal import _decode_bmp
+
+    w, h = 3, 2
+    rgb = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    stride = (w * 3 + 3) & ~3
+    raster = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = rgb[y][:, ::-1].tobytes()  # BGR order
+        raster += row + b"\x00" * (stride - len(row))
+    off = 14 + 40
+    header = (
+        b"BM"
+        + (off + len(raster)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(raster).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    got = _decode_bmp(header + raster)
+    exp = (rgb.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
+    assert (got == exp).all()
 
 
 def test_frame_sampling(spark):
