@@ -204,7 +204,12 @@ def _wf_scalars(wf: DataFrame, vocab) -> DataFrame:
     DuckDB oracle can recompute independently: the fixed width, the
     tool-intent segment sum and the whole-vector sum.  Every vector
     element is an exact small integer stored as double, so the sums
-    are exact and the long casts lose nothing."""
+    are exact and the long casts lose nothing.
+
+    (Used when the caller already has the array output; the flagship
+    entries instead pass scalars_only=True so the reduction happens
+    inside the assembler's Arrow pass and the array never crosses
+    back to the JVM.)"""
     n_tools = len(vocab.tools)
     total = F.aggregate(
         F.col("window_features"), F.lit(0.0), lambda a, v: a + v
@@ -240,7 +245,9 @@ def _q_transcript_window_features(spark, sf_dir):
     vocab = fit_vocabulary(tx, max_tokens=256)
     vec, layout = with_turn_features(tx, vocab, cfg)
     vec = vec.cache()  # feeds the narrow window pass + the feature join
-    return _wf_scalars(window_features_builtin(vec, vocab, cfg, layout), vocab)
+    return window_features_builtin(
+        vec, vocab, cfg, layout, scalars_only=True
+    ).select("conv_id", "ts_sec", "width", "tool_bits", "feat_sum")
 
 
 def _q_tumbling_window_agg(spark, sf_dir):
@@ -434,7 +441,9 @@ def _q_transcript_wf_merge(spark, sf_dir):
     vocab = fit_vocabulary(tx, max_tokens=256)
     vec, layout = with_turn_features(tx, vocab, cfg)
     vec = vec.cache()  # used by the stats pass + base/replica branches
-    return _wf_scalars(window_features_merge(vec, vocab, cfg, layout), vocab)
+    return window_features_merge(
+        vec, vocab, cfg, layout, scalars_only=True
+    ).select("conv_id", "ts_sec", "width", "tool_bits", "feat_sum")
 
 
 def _q_sql_minc_encode(spark, sf_dir):

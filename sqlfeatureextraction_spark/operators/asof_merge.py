@@ -213,6 +213,7 @@ def window_features_merge(
     cfg: FeatureConfig,
     layout: VectorLayout,
     audit: bool = False,
+    scalars_only: bool = False,
 ) -> DataFrame:
     """(conv_id, ts) → window_features via salted applyInPandas merge.
 
@@ -257,7 +258,7 @@ def window_features_merge(
     )
     joined = members.join(feats, ["conv_id", "rep_turn_idx"])
 
-    assemble, out_w = _assemble_udf(vocab, cfg, layout)
+    assemble, out_w = _assemble_udf(vocab, cfg, layout, scalars_only)
     aggs = [
         F.collect_list(
             F.struct(
@@ -271,6 +272,19 @@ def window_features_merge(
     if audit:
         aggs.append(F.max("max_member_ts_sec").alias("max_member_ts_sec"))
     slots = joined.groupBy("conv_id", "ts_sec", "ts").agg(*aggs)
+    if scalars_only:
+        out_cols = [
+            "conv_id",
+            "ts_sec",
+            "ts",
+            assemble(F.col("slots")).alias("s"),
+        ]
+        if audit:
+            out_cols.append("max_member_ts_sec")
+        keep = ["conv_id", "ts_sec", "ts", "s.width", "s.tool_bits", "s.feat_sum"]
+        if audit:
+            keep.append("max_member_ts_sec")
+        return slots.select(*out_cols).select(*keep)
     out_cols = [
         "conv_id",
         "ts_sec",

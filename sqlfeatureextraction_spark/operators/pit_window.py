@@ -96,18 +96,28 @@ def pit_member_pairs(vec: DataFrame, cfg: FeatureConfig) -> DataFrame:
     )
 
 
-def _assemble_udf(vocab: Vocabulary, cfg: FeatureConfig, layout: VectorLayout):
+def _assemble_udf(
+    vocab: Vocabulary,
+    cfg: FeatureConfig,
+    layout: VectorLayout,
+    scalars_only: bool = False,
+):
+    """W8 fixed-width assembler.
+
+    scalars_only=True runs the IDENTICAL matrix scatter but reduces the
+    assembled rows to (width, tool_bits, feat_sum) inside the same
+    Arrow pass — for consumers (driver correctness rows, bench) that
+    only check scalar projections, the ~out_w×8B per-row array never
+    crosses back to the JVM.
+    """
     turn_w = layout.width
     tool_bits = dict(vocab.tools)
     n_tools = layout.seg("tool").width
     k, n = cfg.top_k_entities, cfg.top_n_members
     out_w = window_vector_width(layout, k, n)
 
-    @F.pandas_udf(T.ArrayType(T.DoubleType()))
-    def assemble(slots: pd.Series) -> pd.Series:
-        """slots: list<struct(slot_idx, member_idx, tool, features)> per anchor.
-
-        tool_intent(|T|) ‖ slot-major, member-minor turn vectors,
+    def _fill(slots: pd.Series) -> np.ndarray:
+        """tool_intent(|T|) ‖ slot-major, member-minor turn vectors,
         zero-padded (layout formula enc/APMWindowFragmentIntent.java:487-490).
         """
         n_rows = len(slots)
@@ -121,15 +131,45 @@ def _assemble_udf(vocab: Vocabulary, cfg: FeatureConfig, layout: VectorLayout):
                     mat[i, bit] = 1.0
                 start = n_tools + (si * n + mi) * turn_w
                 mat[i, start : start + turn_w] = mrec["features"]
-        return pd.Series(list(mat))
+        return mat
+
+    if scalars_only:
+
+        @F.pandas_udf(
+            "struct<width:int, tool_bits:bigint, feat_sum:bigint>"
+        )
+        def assemble_scalars(slots: pd.Series) -> pd.DataFrame:
+            mat = _fill(slots)
+            return pd.DataFrame(
+                {
+                    "width": np.full(len(slots), out_w, dtype=np.int32),
+                    "tool_bits": mat[:, :n_tools]
+                    .sum(axis=1)
+                    .astype(np.int64),
+                    "feat_sum": mat.sum(axis=1).astype(np.int64),
+                }
+            )
+
+        return assemble_scalars, out_w
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def assemble(slots: pd.Series) -> pd.Series:
+        return pd.Series(list(_fill(slots)))
 
     return assemble, out_w
 
 
 def window_features_builtin(
-    vec: DataFrame, vocab: Vocabulary, cfg: FeatureConfig, layout: VectorLayout
+    vec: DataFrame,
+    vocab: Vocabulary,
+    cfg: FeatureConfig,
+    layout: VectorLayout,
+    scalars_only: bool = False,
 ) -> DataFrame:
-    """(conv_id, ts) → window_features:array<double> via pure DataFrame ops."""
+    """(conv_id, ts) → window_features:array<double> via pure DataFrame ops.
+
+    scalars_only=True emits (width, tool_bits, feat_sum) instead of the
+    array — same pipeline and same matrix scatter, reduced in-UDF."""
     pairs = pit_member_pairs(vec, cfg)
 
     # A2: dedupe intent-equal members within the window, summing cost;
@@ -173,7 +213,7 @@ def window_features_builtin(
     # W8: fixed-width assembly.  ts_sec rides along (1:1 with ts per
     # conv — the anchor key family) so downstream joins can normalize
     # on the epoch key even with sub-second timestamps.
-    assemble, out_w = _assemble_udf(vocab, cfg, layout)
+    assemble, out_w = _assemble_udf(vocab, cfg, layout, scalars_only)
     slots = members.groupBy("conv_id", "ts_sec", "ts").agg(
         F.collect_list(
             F.struct(
@@ -184,6 +224,13 @@ def window_features_builtin(
             )
         ).alias("slots")
     )
+    if scalars_only:
+        return slots.select(
+            "conv_id",
+            "ts_sec",
+            "ts",
+            assemble(F.col("slots")).alias("s"),
+        ).select("conv_id", "ts_sec", "ts", "s.width", "s.tool_bits", "s.feat_sum")
     return slots.select(
         "conv_id",
         "ts_sec",

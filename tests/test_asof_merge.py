@@ -39,6 +39,37 @@ def test_merge_equals_builtin(transcripts_df):
     _assert_equal(a, b)
 
 
+def test_scalars_only_matches_array_reduction(transcripts_df):
+    """scalars_only=True must equal reducing the full array output —
+    for BOTH paths (same matrix scatter, in-UDF reduction)."""
+    cfg = FeatureConfig()
+    v = fit_vocabulary(transcripts_df)
+    vec, layout = with_turn_features(transcripts_df, v, cfg)
+    n_tools = len(v.tools)
+    for path in (window_features_builtin, window_features_merge):
+        full = (
+            path(vec, v, cfg, layout)
+            .toPandas()
+            .sort_values(["conv_id", "ts_sec"])
+            .reset_index(drop=True)
+        )
+        sc = (
+            path(vec, v, cfg, layout, scalars_only=True)
+            .toPandas()
+            .sort_values(["conv_id", "ts_sec"])
+            .reset_index(drop=True)
+        )
+        mat = np.vstack(full["window_features"].to_numpy())
+        assert (sc["width"] == mat.shape[1]).all()
+        assert np.array_equal(
+            sc["tool_bits"].to_numpy(),
+            mat[:, :n_tools].sum(axis=1).astype(np.int64),
+        )
+        assert np.array_equal(
+            sc["feat_sum"].to_numpy(), mat.sum(axis=1).astype(np.int64)
+        )
+
+
 def test_merge_equals_builtin_topk2_topn3(transcripts_df):
     a, b = _both(
         transcripts_df, FeatureConfig(top_k_entities=2, top_n_members=3)
