@@ -44,6 +44,7 @@ import json, os, sys, time
 sys.path.insert(0, os.environ["REPO_ROOT"])
 par, path, reps = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
 path_name = sys.argv[4] if len(sys.argv) > 4 else "builtin"
+mode = sys.argv[5] if len(sys.argv) > 5 else "threads"
 from sqlfeatureextraction_spark.session import get_spark
 from sqlfeatureextraction_spark.config import FeatureConfig
 from sqlfeatureextraction_spark.vocab import fit_vocabulary
@@ -51,7 +52,14 @@ from sqlfeatureextraction_spark.operators.vectorize import with_turn_features
 from sqlfeatureextraction_spark.operators.pit_window import window_features_builtin
 from sqlfeatureextraction_spark.operators.asof_merge import window_features_merge
 
-spark = get_spark("scale", parallelism=par, shuffle_partitions=par)
+if mode == "executors":
+    # real executor JVMs (local-cluster[par,1,mem]); engine shipped as a
+    # zip exactly like spark-submit --py-files would on a cluster
+    spark = get_spark("scale", parallelism=par, shuffle_partitions=par,
+                      n_executors=par)
+    spark.sparkContext.addPyFile(os.environ["PYFILES_ZIP"])
+else:
+    spark = get_spark("scale", parallelism=par, shuffle_partitions=par)
 cfg = FeatureConfig()
 wf = window_features_builtin if path_name == "builtin" else window_features_merge
 
@@ -99,12 +107,35 @@ def prepare(sf_dir: str, rep: int) -> str:
     return out
 
 
-def run_level(par: int, path: str, reps: int, path_name: str) -> dict:
+def run_level(
+    par: int, path: str, reps: int, path_name: str, mode: str = "threads"
+) -> dict:
+    env = _env()
+    if mode == "executors":
+        zip_path = os.path.join(env["REPO_ROOT"], "sqlfeatureextraction_spark.zip")
+        subprocess.run(
+            [
+                sys.executable,
+                os.path.join(env["REPO_ROOT"], "scripts", "make_pyfiles_zip.py"),
+            ],
+            check=True,
+            capture_output=True,
+        )
+        env["PYFILES_ZIP"] = zip_path
     out = subprocess.run(
-        [sys.executable, "-c", CHILD, str(par), path, str(reps), path_name],
+        [
+            sys.executable,
+            "-c",
+            CHILD,
+            str(par),
+            path,
+            str(reps),
+            path_name,
+            mode,
+        ],
         capture_output=True,
         text=True,
-        env=_env(),
+        env=env,
         check=True,
     )
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
@@ -118,17 +149,20 @@ def main() -> None:
     n_hi = int(sys.argv[4]) if len(sys.argv) > 4 else 32
     reps = int(sys.argv[5]) if len(sys.argv) > 5 else 3
     path_name = sys.argv[6] if len(sys.argv) > 6 else "builtin"
+    mode = sys.argv[7] if len(sys.argv) > 7 else "threads"
+    label = "executors" if mode == "executors" else "local"
     path = prepare(sf_dir, rep)
-    lo = run_level(n_lo, path, reps, path_name)
-    hi = run_level(n_hi, path, reps, path_name)
+    lo = run_level(n_lo, path, reps, path_name, mode)
+    hi = run_level(n_hi, path, reps, path_name, mode)
     ratio = n_hi / n_lo
     eff = (hi["rows_per_sec_min"] / lo["rows_per_sec_min"]) / ratio
     eff_med = (hi["rows_per_sec_median"] / lo["rows_per_sec_median"]) / ratio
     result = {
-        "metric": f"scaling efficiency local[{n_lo}] -> local[{n_hi}]",
+        "metric": f"scaling efficiency {label}[{n_lo}] -> {label}[{n_hi}]",
         "sf_dir": sf_dir,
         "replication": rep,
         "path": path_name,
+        "mode": mode,
         "lo": lo,
         "hi": hi,
         "efficiency_min": round(eff, 3),
@@ -138,7 +172,7 @@ def main() -> None:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "BENCH_SCALING.md"), "a") as f:
         f.write(
-            f"| {sf_dir} rep={rep} local[{n_lo}]->local[{n_hi}] "
+            f"| {sf_dir} rep={rep} {label}[{n_lo}]->{label}[{n_hi}] "
             f"| {lo['rows_per_sec_min']} | {hi['rows_per_sec_min']} "
             f"| {round(eff, 3)} (min-based; median {round(eff_med, 3)}) |\n"
         )

@@ -33,22 +33,29 @@ SEL_PRED_OPS = ["=", "<>", "<=", ">=", "<", ">", "like"]
 GRAN_SECONDS = [60, 300, 1800, 3600, 86400, 604800, 2592000, 7776000, 31536000]
 
 
-def _clause(sql: Column, start_kw: str, end_kws: list[str]) -> Column:
-    """Substring of `sql` between start_kw and the nearest end keyword."""
-    end = "|".join(end_kws) if end_kws else "$"
-    pat = rf"(?is)\b{start_kw}\b(.*?)(?:\b(?:{end})\b|$)"
-    return F.regexp_extract(sql, pat, 1)
+def strip_literals_and_comments(sql: Column) -> Column:
+    """Replace string literals ('' escapes honored) and comments with
+    placeholders so clause/identifier extraction can't false-positive on
+    keywords or names INSIDE literals (`WHERE note = 'group by x'`,
+    `'union'`, `-- from t2`).  Predicate-constant extraction
+    (sqlencode.extract_sel_pred_consts) deliberately runs on the RAW
+    text — the constants themselves are needed for P12 range binning."""
+    s = F.regexp_replace(sql, r"(?s)/\*.*?\*/", " ")
+    s = F.regexp_replace(s, r"--[^\n]*", " ")
+    return F.regexp_replace(s, r"'(?:[^']|'')*'", " ? ")
 
 
 def union_branches(sql: Column) -> Column:
     """D8: top-level UNION [ALL|DISTINCT] branch texts.  The reference
     flattens union bodies and accumulates every branch's fragments into
     the SAME sets (enc/SQLParser.java:868-886 iterates the union's
-    PlainSelects through the shared consumers); splitting the text on
-    the UNION keyword and extracting per branch reproduces that at
-    regex level (a UNION inside a string literal splits too — the same
-    declared regex-level acceptance as the rest of this module)."""
-    return F.split(sql, r"(?i)\bunion\b(\s+(all|distinct)\b)?")
+    PlainSelects through the shared consumers); splitting the
+    literal-stripped text on the UNION keyword and extracting per
+    branch reproduces that at regex level."""
+    return F.split(
+        strip_literals_and_comments(sql),
+        r"(?i)\bunion\b(\s+(all|distinct)\b)?",
+    )
 
 
 def _clause_each(sql: Column, start_kw: str, end_kws: list[str]) -> Column:
@@ -87,7 +94,9 @@ def extract_tables(sql: Column) -> Column:
     """P5: FROM/JOIN table names (lowercased, `_cluster` stripped —
     ch/ClickhouseSQLParser.java:96-100)."""
     names = F.regexp_extract_all(
-        F.lower(sql), F.lit(rf"(?:from|join)\s+({IDENT})"), 1
+        F.lower(strip_literals_and_comments(sql)),
+        F.lit(rf"(?:from|join)\s+({IDENT})"),
+        1,
     )
     names = F.transform(
         names, lambda t: F.regexp_replace(t, r"_cluster$", "")
@@ -132,7 +141,9 @@ def extract_agg_columns(sql: Column, fn: str) -> Column:
     return F.array_sort(
         F.array_distinct(
             F.regexp_extract_all(
-                F.lower(sql), F.lit(rf"{fn}\s*\(\s*({IDENT})\s*\)"), 1
+                F.lower(strip_literals_and_comments(sql)),
+                F.lit(rf"{fn}\s*\(\s*({IDENT})\s*\)"),
+                1,
             )
         )
     )
@@ -142,7 +153,7 @@ def extract_sel_pred_ops(sql: Column) -> Column:
     """P11: (column, op_index) pairs for predicates `col OP literal`.
     Returns array<struct<col:string, op:int>>."""
     pairs = F.regexp_extract_all(
-        F.lower(sql),
+        F.lower(strip_literals_and_comments(sql)),
         F.lit(rf"({IDENT})\s*(<=|>=|<>|!=|=|<|>|\s+like\s+)"),
         0,
     )

@@ -121,7 +121,8 @@ def _assemble_udf(
         zero-padded (layout formula enc/APMWindowFragmentIntent.java:487-490).
         """
         n_rows = len(slots)
-        mat = np.zeros((n_rows, out_w), dtype=np.float64)
+        # float32 like the turn vectors (exact for 0/1 bits + small counts)
+        mat = np.zeros((n_rows, out_w), dtype=np.float32)
         for i, members in enumerate(slots.to_numpy()):
             for mrec in members:  # ≤ k*n small structs per anchor
                 si = mrec["slot_idx"]
@@ -152,7 +153,7 @@ def _assemble_udf(
 
         return assemble_scalars, out_w
 
-    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
     def assemble(slots: pd.Series) -> pd.Series:
         return pd.Series(list(_fill(slots)))
 

@@ -103,7 +103,7 @@ def or_combine_window_features(
     )
     pairs = pairs.join(feats, ["conv_id", "m_turn_idx"])
 
-    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
     def or_reduce(vlists: pd.Series) -> pd.Series:
         out = [
             np.maximum.reduce(np.vstack(vl)) if len(vl) else np.zeros(0)

@@ -18,7 +18,9 @@ Spark-first restatement:
     per task (equivalent to a broadcast for a dict this small).
 
 Output columns appended: ts_sec:long, lag_sec:long(null first turn),
-features:array<double> (layout width), cost:long, vec_hash:long.
+features:array<float> (layout width; float32 — elements are 0/1 bits
+and small counts, exact below 2^24, and the narrower dtype halves the
+dominant memory/shuffle traffic), cost:long, vec_hash:long.
 """
 
 from __future__ import annotations
@@ -51,7 +53,7 @@ def _scatter_udf(vocab: Vocabulary, cfg: FeatureConfig):
     tokens = dict(vocab.tokens)
     binary = cfg.binary_bow
 
-    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
     def encode(
         dow: pd.Series,
         hour: pd.Series,
@@ -61,7 +63,11 @@ def _scatter_udf(vocab: Vocabulary, cfg: FeatureConfig):
         lag_sec: pd.Series,
     ) -> pd.Series:
         n = len(dow)
-        mat = np.zeros((n, width), dtype=np.float64)
+        # float32: every element is a 0/1 bit or a small token count —
+        # exact below 2^24 — and the vector columns dominate cache /
+        # shuffle / Arrow bytes, so halving the element width halves
+        # the pipeline's memory-bus traffic (the scaling bottleneck)
+        mat = np.zeros((n, width), dtype=np.float32)
         rows = np.arange(n)
 
         # time one-hot: 7 dow ‖ 24 hour (enc/APMFragmentIntent.java:752-777)

@@ -157,8 +157,13 @@ def backfill_zero_vectors(
     synthesized records, enc/APMWindowFragmentIntent.java:444-446).
     Adds is_backfilled flag (the reference logs an empty-window rate,
     :261,301 — we surface it as a column/metric)."""
-    zero = F.array_repeat(F.lit(0.0), width)
     joined = spine.join(observed, list(keys), "left")
+    # zero vector in the SAME element type as the observed column
+    # (float32 turn vectors since round 2) — a double literal would
+    # widen the whole column
+    zero = F.array_repeat(F.lit(0.0), width).cast(
+        joined.schema[vector_col].dataType
+    )
     return joined.withColumn(
         "is_backfilled", F.col(vector_col).isNull()
     ).withColumn(vector_col, F.coalesce(F.col(vector_col), zero))

@@ -17,20 +17,34 @@ def get_spark(
     parallelism: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    n_executors: int | None = None,
+    executor_mem_mb: int = 6144,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
     parallelism        local[N]; defaults to $SPARK_GRAFT_CPUS or 32.
     shuffle_partitions defaults to parallelism (right-sized for local;
                        on a real cluster size to data / 128MB-ish).
+    n_executors        if set, use ``local-cluster[n,1,mem]`` instead of
+                       local[N]: n REAL executor JVMs (1 core each) on
+                       this machine — the N-vs-4N *executor* scaling
+                       analog the north rule asks for.  Engine code must
+                       then be shipped via addPyFile (see
+                       scripts/make_pyfiles_zip.py), exactly as
+                       spark-submit --py-files would on a cluster.
     """
     if parallelism is None:
         parallelism = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = parallelism
 
+    master = (
+        f"local-cluster[{n_executors},1,{executor_mem_mb}]"
+        if n_executors
+        else f"local[{parallelism}]"
+    )
     builder = (
-        SparkSession.builder.master(f"local[{parallelism}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(parallelism))
@@ -44,6 +58,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if n_executors:
+        builder = builder.config(
+            "spark.executor.memory", f"{executor_mem_mb}m"
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -61,6 +61,27 @@ def test_onehot_segment(spark):
     assert list(got) == [0.0, 1.0, 0.0]  # OOV 'zzz' leaves bits unset
 
 
+def test_literals_and_comments_do_not_pollute(spark):
+    """Keywords / identifiers inside string literals or comments must
+    not create fragments; literals with '' escapes handled."""
+    f = _one(
+        spark,
+        "SELECT a FROM t1 /* join x on from t9 */ "
+        "WHERE note = 'select z from t2 union all group by q' "
+        "AND tag = 'it''s = weird' -- order by hidden\n"
+        "GROUP BY a",
+    )
+    assert f["tables"] == ["t1"]
+    assert f["projection"] == ["a"]
+    assert "z" not in f["where_cols"] and "q" not in f["where_cols"]
+    assert f["groupby_cols"] == ["a"]
+    assert f["orderby_cols"] == []
+    # no phantom union branch: projection only from the real query
+    cols = {(p["col"], p["op"]) for p in f["sel_preds"]}
+    assert ("note", 0) in cols and ("tag", 0) in cols
+    assert all(c in ("note", "tag") for c, _ in cols)
+
+
 def test_union_branch_accumulation(spark):
     """D8: fragments from every top-level UNION branch accumulate into
     the same sets (enc/SQLParser.java:868-886 iterates PlainSelects
