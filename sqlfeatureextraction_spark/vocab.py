@@ -71,22 +71,54 @@ def _distinct_sorted(df: DataFrame, col) -> list[str]:
     return [r["v"] for r in vals]
 
 
+MAX_LITERAL_VOCAB = 4096
+
+
 def with_oov_stats(
-    df: DataFrame, vocab: "Vocabulary", text_col: str = "text"
+    df: DataFrame,
+    vocab: "Vocabulary",
+    text_col: str = "text",
+    row_key: str | None = None,
 ) -> DataFrame:
     """Append n_tokens / n_oov per row.
 
     The reference swallows vocabulary misses silently (bits just stay
     unset, enc/APMFragmentIntent.java:303-305,450-459); we surface OOV
-    counts as columns (and via ``observe_oov`` as run metrics).  The
-    membership test is an array_contains on a broadcast-literal token
-    array — JVM-side, no join, no Python."""
+    counts as columns (and via ``observe_oov`` as run metrics).
+
+    Two plans, picked by vocabulary size:
+      * |V| ≤ MAX_LITERAL_VOCAB: array_contains on a literal token
+        array — JVM-side, zero shuffle, but O(|V|) per token, so
+        unsuitable for 100k-token vocabularies;
+      * larger: explode → broadcast LEFT ANTI join against the vocab
+        dimension → per-row count join-back (needs ``row_key``, a
+        unique row id column).  This is the scale path — per-token
+        work is a broadcast-hash probe.
+    """
     toks = tokenize_col(F.col(text_col))
-    vocab_arr = F.lit(sorted(vocab.tokens))
-    n_oov = F.size(
-        F.filter(toks, lambda t: ~F.array_contains(vocab_arr, t))
+    if len(vocab.tokens) <= MAX_LITERAL_VOCAB or row_key is None:
+        vocab_arr = F.lit(sorted(vocab.tokens))
+        n_oov = F.size(
+            F.filter(toks, lambda t: ~F.array_contains(vocab_arr, t))
+        )
+        return df.withColumn("n_tokens", F.size(toks)).withColumn(
+            "n_oov", n_oov
+        )
+    spark = df.sparkSession
+    vocab_df = spark.createDataFrame(
+        [(t,) for t in sorted(vocab.tokens)], "t string"
     )
-    return df.withColumn("n_tokens", F.size(toks)).withColumn("n_oov", n_oov)
+    tok_rows = df.select(row_key, F.explode(toks).alias("t"))
+    oov = (
+        tok_rows.join(F.broadcast(vocab_df), "t", "left_anti")
+        .groupBy(row_key)
+        .agg(F.count(F.lit(1)).alias("n_oov"))
+    )
+    return (
+        df.withColumn("n_tokens", F.size(toks))
+        .join(oov, row_key, "left")
+        .withColumn("n_oov", F.coalesce(F.col("n_oov"), F.lit(0)))
+    )
 
 
 def observe_oov(df: DataFrame, name: str = "oov_metrics") -> DataFrame:

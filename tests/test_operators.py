@@ -267,3 +267,43 @@ def test_fingerprint_deterministic(spark):
     assert fp.loc[0, "winnow_min"] == fp.loc[1, "winnow_min"]
     assert fp.loc[0, "fingerprint"] != fp.loc[2, "fingerprint"]
     assert pd.isna(fp.loc[2, "winnow_min"])  # < k tokens → empty sketch
+
+
+def test_oov_paths_agree(spark):
+    """J1/A6: literal array_contains path == explode+anti-join scale
+    path, with real OOV tokens present."""
+    from pyspark.sql import functions as F
+
+    import sqlfeatureextraction_spark.vocab as V
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),
+            (1, "alpha zzz qqq qqq"),
+            (2, None),
+        ],
+        "rid long, text string",
+    )
+    vocab = V.Vocabulary(
+        roles={}, tools={}, tokens={"alpha": 0, "beta": 1, "gamma": 2}
+    )
+    lit = (
+        V.with_oov_stats(df, vocab)
+        .toPandas()
+        .set_index("rid")
+        .sort_index()
+    )
+    old = V.MAX_LITERAL_VOCAB
+    V.MAX_LITERAL_VOCAB = 0  # force the anti-join plan
+    try:
+        aj = (
+            V.with_oov_stats(df, vocab, row_key="rid")
+            .toPandas()
+            .set_index("rid")
+            .sort_index()
+        )
+    finally:
+        V.MAX_LITERAL_VOCAB = old
+    assert list(lit["n_oov"]) == [0, 3, 0]
+    assert list(aj["n_oov"]) == list(lit["n_oov"])
+    assert list(aj["n_tokens"]) == list(lit["n_tokens"])
