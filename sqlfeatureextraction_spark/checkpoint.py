@@ -26,6 +26,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 import time
 from collections.abc import Callable
 
@@ -182,6 +183,17 @@ class CheckpointedRun:
             "bucket", bucket_of(F.col(key_col), self.n_buckets)
         )
         data_root = os.path.join(self.root, "data")
+        # a prior run may have crashed AFTER writing a bucket dir but
+        # BEFORE appending its manifest row; if recomputation of that
+        # bucket now yields zero rows, dynamic overwrite would never
+        # touch the stale dir and its leftover data would be digested
+        # as fresh — delete pending bucket dirs up front so only this
+        # run's output can be read back (at cluster scale this is the
+        # same pre-delete via the Hadoop FileSystem API)
+        for b in pending:
+            stale = os.path.join(data_root, f"bucket={b}")
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
         # dynamic overwrite: only the pending bucket= dirs are replaced
         (
             out.write.mode("overwrite")

@@ -54,6 +54,7 @@ from sqlfeatureextraction_spark.functions.sqlfragments import (
     _idents,
     _merge_branch_sets,
     extract_agg_columns,
+    strip_literals_and_comments,
 )
 
 
@@ -168,7 +169,18 @@ class SqlSchemaVocab:
         return offs
 
     def layout(self) -> VectorLayout:
-        """MINC segment order (enc/MINCFragmentIntent.java:833-867)."""
+        """MINC segment order (enc/MINCFragmentIntent.java:833-867).
+
+        Deliberate divergence from the reference binary format: the
+        reference's createFragmentVectors has the
+        ``createBitVectorForJoin()`` call commented OUT
+        (enc/MINCFragmentIntent.java:860), so reference vectors carry
+        no join segment.  We keep the join segment enabled — J2/J3 are
+        inventory items and the information is strictly additive — so
+        our vector is wider than the reference's by ``len(join_bit)``
+        bits and all downstream offsets shift accordingly.  Callers
+        needing byte-compatible reference layout can pass
+        ``join_pairs={}`` at fit time (zero-width segment)."""
         n_cols = len(self.full_cols)
         widths = [
             ("qtype", len(QUERY_TYPES)),
@@ -273,8 +285,11 @@ def extract_query_type(sql: Column) -> Column:
 def extract_tables_ext(sql: Column) -> Column:
     """Tables from FROM/JOIN plus UPDATE <t> / INSERT INTO <t>
     (the JSQLParser path handles DML table targets,
-    enc/SQLParser.java:145-220)."""
-    low = F.lower(sql)
+    enc/SQLParser.java:145-220).  Runs on literal/comment-stripped
+    text so a string constant containing ``from x`` cannot inject
+    phantom tables (which would also flip resolve_idents' 1-table
+    bare-column fast path)."""
+    low = F.lower(strip_literals_and_comments(sql))
     names = F.concat(
         F.regexp_extract_all(low, F.lit(rf"(?:from|join)\s+({IDENT})"), 1),
         F.regexp_extract_all(low, F.lit(rf"update\s+({IDENT})"), 1),
@@ -287,7 +302,7 @@ def extract_alias_map(sql: Column) -> Column:
     """alias → table map from FROM/JOIN clauses (``FROM t a`` /
     ``FROM t AS a``); keywords after the table name are not aliases."""
     frags = F.regexp_extract_all(
-        F.lower(sql),
+        F.lower(strip_literals_and_comments(sql)),
         F.lit(rf"(?:from|join)\s+{IDENT}(?:\s+(?:as\s+)?{BARE})?"),
         0,
     )
@@ -300,7 +315,19 @@ def extract_alias_map(sql: Column) -> Column:
         al = F.when(al.isin(*_ALIAS_STOP) | (al == ""), tab).otherwise(al)
         return F.struct(al.alias("key"), tab.alias("value"))
 
-    return F.map_from_entries(F.array_distinct(F.transform(frags, entry)))
+    entries = F.array_distinct(F.transform(frags, entry))
+    # the same alias may bind two DIFFERENT tables (alias reuse across
+    # UNION branches / subqueries); map_from_entries would then throw
+    # DUPLICATED_MAP_KEY and abort the whole job — keep the FIRST
+    # binding per alias so ambiguous aliases degrade to one table (or
+    # OOV downstream) instead of crashing
+    first_per_key = F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, F.lit(1), i), lambda p: p["key"] == e["key"]
+        ),
+    )
+    return F.map_from_entries(first_per_key)
 
 
 def _idents_no_agg(col: Column) -> Column:
@@ -333,7 +360,7 @@ def extract_join_pred_pairs(sql: Column) -> Column:
     identifiers (unqualified join predicates resolve through P13 the
     same way, but requiring qualification keeps literals out)."""
     frags = F.regexp_extract_all(
-        F.lower(sql),
+        F.lower(strip_literals_and_comments(sql)),
         F.lit(rf"{IDENT}\.{BARE}\s*=\s*{IDENT}\.{BARE}"),
         0,
     )
@@ -352,7 +379,7 @@ def extract_in_subquery_pairs(sql: Column) -> Column:
     with c′ owner-defaulted to the subquery table when unqualified
     (enc/SQLParser.java:579-607)."""
     frags = F.regexp_extract_all(
-        F.lower(sql),
+        F.lower(strip_literals_and_comments(sql)),
         F.lit(
             rf"{IDENT}\s+(?:not\s+)?in\s*\(\s*select\s+{IDENT}"
             rf"\s+from\s+{IDENT}"
@@ -681,6 +708,13 @@ def minc_segment_stats(
     independent oracle can recompute."""
     cols = [F.size(vec_col).cast("int").alias("width")]
     for s in layout.segments:
+        if s.width == 0:
+            # zero-width segment (e.g. join_pairs={} / no bin specs):
+            # sequence(0,-1) would yield [0,-1] and zip_with null-pads,
+            # making the aggregate NULL — short-circuit to literal 0
+            cols.append(F.lit(0).cast("long").alias(f"{s.name}_n"))
+            cols.append(F.lit(0).cast("long").alias(f"{s.name}_ps"))
+            continue
         sl = F.slice(vec_col, s.offset + 1, s.width)
         cnt = F.aggregate(sl, F.lit(0.0), lambda a, v: a + v)
         pos = F.aggregate(
