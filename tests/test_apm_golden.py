@@ -1,0 +1,216 @@
+"""Golden compatibility test vs the reference encoder's OWN corpus.
+
+Fixture: tests/golden/apm_golden.json, vendored from
+/root/reference/SQLFeatureExtraction (scripts/build_golden_fixture.py):
+  - the 5 lines of test/sql/clickhouse/queryintent_test.txt
+    (4911-bit window vectors emitted by the reference's APM window
+    encoder; one malformed 26-bit line), and
+  - the 3-table schema sub-vocabulary {dwm_exception, dwm_request,
+    dwm_user} (16+41+38 = 95 columns from input/ApmColBitPos.txt) —
+    the unique 3-table subset of the published schema under which the
+    corpus bit positions decode (dwm_request at global col offset 16).
+
+Corpus line anatomy (all verified bit-for-bit):
+  line index 2 is FULLY consistent with the reference semantics and
+  must match exactly — this single assertion pins the dow/hour
+  rotation (the round-1 ADVICE bug class), the global lexicographic
+  column-bit order, every clause's extraction (including the
+  equals-skip quirk: `appid = '...'` contributes NO where column),
+  alias resolution through avg(dur) AS avg_dur_RESP, the
+  timeOffset/timeRange integer-division bucketing, and the window
+  assembly (tablesIntent ‖ slot concat ‖ zero padding).
+
+  The other four lines carry documented artifact defects that the
+  test encodes explicitly rather than skipping:
+  - line 0: the artifact has NO timeOffset bits although its WHERE
+    carries ts <= 1684479899 and its event label implies offset
+    28520 s (bits 794-797).  The reference run that produced the file
+    passed an eventTimeSec inconsistent with the line's label (any
+    value within (tsEnd-59, tsEnd+59] or earlier yields zero offset
+    bits under Java's truncating division).  We assert equality on
+    every bit OUTSIDE the timeOffset segment, and that our encoder
+    sets exactly 794-797 (correct per the labeled event time).
+  - line 1: malformed 26-bit line (emission truncated after the
+    time segment) — we assert prefix equality on those 26 bits.
+  - lines 3/4: byte-identical to line 2's vector although their SQL
+    references dur2/dur3, which are NOT in the published schema: the
+    file's vectors are verbatim copies with hand-edited SQL.  Correct
+    reference semantics drop OOV columns (swallowed lookup miss,
+    enc/APMFragmentIntent.java:303-305), so the dur bits {56,151,721}
+    must NOT be set — we assert equality on all other bits.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from sqlfeatureextraction_spark.functions.apmencode import (
+    apm_query_vector,
+    assemble_apm_windows,
+    golden_vocab,
+    parse_ch_query,
+)
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "golden", "apm_golden.json")
+
+# within-slot-0 absolute offsets in the window vector: tablesIntent(3)
+# precedes the first query intent (time at 3, ..., timeOffset at 794)
+SLOT0 = 3
+QLEN = 818
+TIMEOFFSET_ABS = range(SLOT0 + 791, SLOT0 + 800)
+DUR_COPY_BITS = {56, 151, 721}  # proj/avg/orderby bits of dwm_request.dur
+
+
+@pytest.fixture(scope="module")
+def fx():
+    vocab, lines = golden_vocab(FIXTURE)
+    return vocab, lines
+
+
+def _window_vector(vocab, ln):
+    st = parse_ch_query(ln["sql"])
+    v = apm_query_vector(st, ln["epoch"], vocab)
+    wv = np.zeros(vocab.window_width(), dtype=np.float32)
+    cand = list(vocab.candidate_tables)
+    if v is not None and st.tables and st.tables[0] in cand:
+        ti = cand.index(st.tables[0])
+        wv[ti] = 1.0
+        base = len(cand) + ti * vocab.top_query_n * QLEN
+        wv[base : base + QLEN] = v
+    return st, wv
+
+
+def _bits(arr) -> set:
+    return set(np.nonzero(np.asarray(arr))[0].tolist())
+
+
+def test_layout_widths(fx):
+    vocab, _ = fx
+    lay = vocab.query_layout()
+    assert lay.width == QLEN == 31 + 8 * 95 + 27
+    assert vocab.window_width() == 4911 == 3 + 3 * 2 * QLEN
+    assert lay.seg("projection").offset == 31
+    assert lay.seg("where").offset == 31 + 5 * 95
+    assert lay.seg("timeoffset").offset == 791
+    assert lay.seg("timerange").offset == 800
+    assert lay.seg("granularity").offset == 809
+    assert vocab.col_bit["dwm_request.agent"] == 16
+    assert vocab.col_bit["dwm_request.ts"] == 52
+    assert vocab.col_bit["dwm_request.dur"] == 22
+
+
+def test_line2_exact(fx):
+    vocab, lines = fx
+    _, wv = _window_vector(vocab, lines[2])
+    exp = np.array([float(c) for c in lines[2]["bits"]], dtype=np.float32)
+    assert np.array_equal(wv, exp)
+
+
+def test_line0_exact_outside_timeoffset(fx):
+    vocab, lines = fx
+    _, wv = _window_vector(vocab, lines[0])
+    exp_bits = _bits([float(c) for c in lines[0]["bits"]])
+    ours = _bits(wv)
+    toff = set(TIMEOFFSET_ABS)
+    assert ours - toff == exp_bits - toff
+    # our semantics: offset 1684508419-1684479899 = 28520 s → buckets
+    # 1m/5m/30m/1h set, 1d.. unset
+    assert ours & toff == {794, 795, 796, 797}
+
+
+def test_line1_truncated_prefix(fx):
+    vocab, lines = fx
+    _, wv = _window_vector(vocab, lines[1])
+    exp = np.array([float(c) for c in lines[1]["bits"]], dtype=np.float32)
+    assert len(exp) == 26
+    assert np.array_equal(wv[:26], exp)
+
+
+@pytest.mark.parametrize("idx", [3, 4])
+def test_copied_dur_lines(fx, idx):
+    vocab, lines = fx
+    st, wv = _window_vector(vocab, lines[idx])
+    exp_bits = _bits([float(c) for c in lines[idx]["bits"]])
+    # artifact = line2's vector verbatim; correct semantics drop the
+    # OOV dur2/dur3 bits and nothing else
+    assert _bits(wv) == exp_bits - DUR_COPY_BITS
+    assert f"dur{idx - 1}" in st.projection  # extracted, then OOV-dropped
+
+
+def test_dow_hour_rotation(fx):
+    """Would have caught the round-1 dow-rotation bug: Monday epoch →
+    bit 0, Sunday → bit 6; hour bits at 7+h."""
+    vocab, _ = fx
+    st = parse_ch_query("select agent from dwm_request")
+    monday_14h = 1684764000  # 2023-05-22 14:00:00 UTC, a Monday
+    v = apm_query_vector(st, monday_14h, vocab)
+    assert v[0] == 1.0 and v[1:7].sum() == 0
+    assert v[7 + 14] == 1.0 and v[7:31].sum() == 1.0
+    sunday = monday_14h - 86400
+    v = apm_query_vector(st, sunday, vocab)
+    assert v[6] == 1.0 and v[0:6].sum() == 0
+
+
+def test_equals_skip_and_alias_resolution(fx):
+    """The two deepest semantic quirks, isolated."""
+    vocab, _ = fx
+    st = parse_ch_query(
+        "SELECT avg(dur) AS m FROM dwm_request "
+        "WHERE (appid = 'x') AND (err > 0) GROUP BY m ORDER BY m DESC"
+    )
+    assert st.where == {"err"}  # appid inside equals → skipped
+    assert st.groupby == {"dur"} and st.orderby == {"dur"}  # via alias
+
+
+def test_window_assembly_spark(fx, spark):
+    """End-to-end Spark path: encode + dedupe + top-k + assembly over
+    the corpus lines (each line = its own window) must equal the
+    pure-python construction."""
+    vocab, lines = fx
+    rows = [
+        (i, "dwm_request", ln["sql"], ln["epoch"], 100 - i)
+        for i, ln in enumerate(lines)
+    ]
+    df = spark.createDataFrame(
+        rows, ["win", "table", "sql", "ts_sec", "cost"]
+    )
+    out = {
+        r["win"]: np.asarray(r["window_vector"], dtype=np.float32)
+        for r in assemble_apm_windows(vocab=vocab, df=df).collect()
+    }
+    for i, ln in enumerate(lines):
+        _, exp = _window_vector(vocab, ln)
+        assert np.array_equal(out[i], exp), f"window {i}"
+
+
+def test_window_dedupe_topn_cost_order(fx, spark):
+    """Intent-equal queries merge with cost summed; slot order is cost
+    desc; a third template overflows topQueryN=2 and is dropped."""
+    vocab, _ = fx
+    base = 1684508419
+    q_a = "SELECT avg(dur) AS m FROM dwm_request GROUP BY group"
+    q_b = "SELECT sum(err) FROM dwm_request"
+    q_c = "SELECT min(fail) FROM dwm_request"
+    rows = [
+        (0, "dwm_request", q_a, base, 10),
+        (0, "dwm_request", q_a, base, 15),  # dedupes into q_a, cost 25
+        (0, "dwm_request", q_b, base, 20),
+        (0, "dwm_request", q_c, base, 1),  # rank 3 → dropped
+    ]
+    df = spark.createDataFrame(
+        rows, ["win", "table", "sql", "ts_sec", "cost"]
+    )
+    out = np.asarray(
+        assemble_apm_windows(vocab=vocab, df=df).collect()[0][
+            "window_vector"
+        ],
+        dtype=np.float32,
+    )
+    va = apm_query_vector(parse_ch_query(q_a), base, vocab)
+    vb = apm_query_vector(parse_ch_query(q_b), base, vocab)
+    exp = np.zeros(vocab.window_width(), dtype=np.float32)
+    exp[0] = 1.0
+    exp[3 : 3 + QLEN] = va  # cost 25 > 20 → q_a first
+    exp[3 + QLEN : 3 + 2 * QLEN] = vb
+    assert np.array_equal(out, exp)
