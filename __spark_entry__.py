@@ -939,6 +939,257 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+def _apm_fixture_path() -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests",
+        "golden",
+        "apm_golden.json",
+    )
+
+
+def _q_apm_golden_corpus(spark, sf_dir):
+    """Golden compatibility row: the reference's OWN 5 corpus lines
+    (test/sql/clickhouse/queryintent_test.txt) encoded through the full
+    APM path — CH parse → fragment walk → 818-bit query intent →
+    window assembly (tablesIntent ‖ slots, 4911 bits) — and projected
+    to per-segment (n, ps) scalars.  The oracle is the LITERAL
+    expected table derived from the reference artifact (line 2 is
+    bit-for-bit consistent; the other lines' artifact defects are
+    decoded and documented in tests/test_apm_golden.py, and the
+    expected values here are the reference-SEMANTICS ones that the
+    pytest golden suite pins against the artifact)."""
+    from sqlfeatureextraction_spark.functions.apmencode import (
+        assemble_apm_windows,
+        encode_apm,
+        golden_vocab,
+    )
+    from sqlfeatureextraction_spark.functions.sqlencode import (
+        minc_segment_stats,
+    )
+    from sqlfeatureextraction_spark.layout import Segment, VectorLayout
+
+    vocab, lines = golden_vocab(_apm_fixture_path())
+    rows = [
+        (i, "dwm_request", ln["sql"], ln["epoch"], 100 - i)
+        for i, ln in enumerate(lines)
+    ]
+    df = spark.createDataFrame(
+        rows, "line_id long, table string, sql string, ts_sec long, cost long"
+    )
+    enc, qlay = encode_apm(df, "sql", "ts_sec", vocab)
+    qstats = minc_segment_stats(
+        enc.select(F.col("line_id"), F.col("apm_features")),
+        qlay,
+        vec_col="apm_features",
+    )
+    win = assemble_apm_windows(
+        df.withColumnRenamed("line_id", "win"), vocab=vocab
+    )
+    wlay = VectorLayout((Segment("win", 0, vocab.window_width()),))
+    wstats = minc_segment_stats(
+        win.select(F.col("win").alias("line_id"), "window_vector"),
+        wlay,
+        vec_col="window_vector",
+    ).withColumnRenamed("width", "win_width")
+    return qstats.join(wstats, "line_id")
+
+
+def _q_sql_apm_encode(spark, sf_dir):
+    """APM-variant SQL encoding end-to-end over SYNTHESIZED ClickHouse
+    queries (5 templates from orders rows exercising: count()/
+    toStartOfInterval granularity ladder, db-prefix + _cluster/_view
+    stripping, the equals-skip quirk, alias resolution through
+    aggregates into GROUP BY/ORDER BY, ts<=/>= toDateTime64 bounds →
+    timeOffset/timeRange bucketing incl. the null⇒all-ones vs
+    always-int asymmetry, OOV column dropping).  Output = per-segment
+    (n, ps); the oracle re-derives every value from the GENERATING
+    columns (template id + synthesized epoch), no SQL parsing."""
+    from sqlfeatureextraction_spark.functions.apmencode import (
+        encode_apm,
+        golden_vocab,
+    )
+    from sqlfeatureextraction_spark.functions.sqlencode import (
+        minc_segment_stats,
+    )
+
+    vocab, _ = golden_vocab(_apm_fixture_path())
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderkey") % 41 == 0
+    )
+    t = F.pmod(F.expr("o_orderkey div 41"), F.lit(5))
+    e0 = (
+        F.lit(1684000000).cast("long")
+        + F.pmod(F.col("o_orderkey").cast("long") * 7919, F.lit(1000000))
+    )
+    sql = (
+        F.when(
+            t == 0,
+            F.format_string(
+                "SELECT count() AS total_RESP, toStartOfInterval(ts,"
+                " INTERVAL 1 day, 'Asia/Shanghai') AS ts_RESP FROM"
+                " dwm_request_cluster WHERE (appid = 'app-%d') AND (ts <="
+                " toDateTime64(%d.999, 3)) AND (ts >= toDateTime64(%d.000,"
+                " 3)) GROUP BY ts_RESP ORDER BY ts_RESP ASC",
+                F.col("o_orderkey"),
+                e0,
+                e0 - 950459,
+            ),
+        )
+        .when(
+            t == 1,
+            F.format_string(
+                "SELECT avg(dur) AS m_RESP, group FROM"
+                " pmone_0d5de51f17.dwm_request WHERE (appid = 'x-%d') AND"
+                " (err > 0) AND (ts <= toDateTime64(%d.999, 3)) GROUP BY"
+                " group ORDER BY m_RESP DESC LIMIT 0, 8",
+                F.col("o_orderkey"),
+                e0,
+            ),
+        )
+        .when(
+            t == 2,
+            F.format_string(
+                "SELECT sum(fail) AS s, max(dur) AS mx,"
+                " toStartOfInterval(ts, toIntervalHour(1)) AS b FROM"
+                " dwm_request WHERE (province = 'p%d') OR (city <> 'c')"
+                " GROUP BY b",
+                F.col("o_orderkey"),
+            ),
+        )
+        .when(
+            t == 3,
+            F.format_string(
+                "SELECT min(err_4xx), user_id FROM dwm_request WHERE"
+                " status > %d ORDER BY user_id",
+                F.col("o_orderkey") % 97,
+            ),
+        )
+        .otherwise(
+            F.format_string(
+                "SELECT dur9 FROM dwm_request_view WHERE httperr >= %d",
+                F.col("o_orderkey") % 7,
+            )
+        )
+    )
+    offc = (
+        F.when(t == 0, F.lit(28520))
+        .when(t == 1, F.lit(45))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    df = o.select(
+        F.col("o_orderkey").cast("long").alias("sql_id"),
+        sql.alias("sql"),
+        (e0 + offc).alias("ts_sec"),
+    )
+    enc, qlay = encode_apm(df, "sql", "ts_sec", vocab)
+    return minc_segment_stats(
+        enc.select("sql_id", "apm_features"), qlay, vec_col="apm_features"
+    )
+
+
+def _q_embedding_neardup_lsh(spark, sf_dir):
+    """The LSH scale path of embedding near-dup, driver-visible: the
+    corpus is augmented with positively-SCALED copies (same direction ⇒
+    cosine exactly 1 and the identical hyperplane signature in every
+    band, so LSH recall on the planted pairs is deterministic, not
+    probabilistic), then banded-bucket join + exact-cosine verify.
+    Everything else in the data pairs at cos ≤ ~0.51 and is rejected by
+    the 0.95 verify, so the result is exactly the planted pair set —
+    which the oracle states independently."""
+    from sqlfeatureextraction_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where(F.col("vec_id") < 400)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+    )
+    scale = 1.0 + 0.001 * F.sin(F.col("vec_id").cast("double"))
+    copies = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * scale).alias("embedding"),
+    )
+    aug = emb.unionByName(copies)
+    pairs = embedding_neardup_pairs(
+        aug, threshold=0.95, n_planes=16, n_bands=4
+    )
+    return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+
+
+def _q_lsh_topk(spark, sf_dir):
+    """ANN via hyperplane-LSH buckets + multiprobe, driver-visible with
+    a provable expected result: corpus = embeddings ∪ scaled copies,
+    queries = 5 originals, k=2 — each query's top-2 is (itself, its
+    scaled copy), both at cosine 1.0 in the query's own bucket, ranked
+    by id tie-break.  Pins the bucket join, probe expansion, in-bucket
+    exact ranking and tie order."""
+    from sqlfeatureextraction_spark.operators.similarity import lsh_topk
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where(F.col("vec_id") < 200)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+    )
+    scale = 1.0 + 0.001 * F.sin(F.col("vec_id").cast("double"))
+    copies = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * scale).alias("embedding"),
+    )
+    corpus = emb.unionByName(copies)
+    qs = [
+        (int(r["vec_id"]), list(map(float, r["embedding"])))
+        for r in emb.where(F.col("vec_id") < 5).collect()
+    ]
+    out = lsh_topk(corpus, qs, k=2, n_planes=8)
+    return out.select(
+        "query_id", "rk", "neighbor_id", F.round("cos", 4).alias("cos")
+    )
+
+
+def _q_f12_iso_ladder(spark, sf_dir):
+    """F12 granularity-seconds → ISO-8601 period ladder
+    (tools/QueryTemplateConverter.java:599-615) over a value sweep
+    synthesized from orders (incl. NULL and each ladder boundary)."""
+    from sqlfeatureextraction_spark.functions.sqlencode import (
+        granularity_to_iso_period,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderkey") % 61 == 0
+    )
+    v = F.pmod(F.expr("o_orderkey div 61"), F.lit(8))
+    secs = (
+        F.when(v == 0, F.lit(None).cast("long"))
+        .when(v == 1, F.lit(59))
+        .when(v == 2, F.lit(3599))
+        .when(v == 3, F.lit(3600))
+        .when(v == 4, F.lit(86399))
+        .when(v == 5, F.lit(86400))
+        .when(v == 6, F.lit(604800))
+        .otherwise(F.col("o_orderkey").cast("long") % 2000000)
+    )
+    return o.select(
+        F.col("o_orderkey").cast("long").alias("sql_id"),
+        secs.alias("secs"),
+        granularity_to_iso_period(secs).alias("iso"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pit_window_sum": _q_pit_window_sum,
@@ -982,6 +1233,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_resume": _q_checkpoint_resume,
         "media_frame_sample": _q_media_frame_sample,
         "media_features": _q_media_features,
+        "apm_golden_corpus": _q_apm_golden_corpus,
+        "sql_apm_encode": _q_sql_apm_encode,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        "lsh_topk": _q_lsh_topk,
+        "f12_iso_ladder": _q_f12_iso_ladder,
     }
 
 
@@ -1231,6 +1487,173 @@ def _minc_oracle_sql() -> str:
                       WHEN 4 THEN ckb
                ELSE 0 END AS BIGINT) AS rangebins_ps
         FROM binned
+    """
+
+
+def _apm_golden_oracle_sql() -> str:
+    """Literal expected table for apm_golden_corpus — the golden
+    values derived from the reference's own queryintent_test.txt
+    (decoded bit-for-bit; artifact defects documented in
+    tests/test_apm_golden.py where each deviation from these
+    reference-semantics values is asserted explicitly)."""
+    rows = [
+        # line, time, proj,  avg,  min, max, sum, where, gby,  oby,  toff,  trange, gran, win_n, win_ps
+        (0, (2, 26), (1, 52), (0, 0), (0, 0), (0, 0), (0, 0), (1, 52), (1, 52), (1, 52), (4, 6), (6, 15), (1, 4), 18, 10917),
+        (1, (2, 26), (0, 0), (0, 0), (0, 0), (0, 0), (0, 0), (1, 52), (0, 0), (0, 0), (4, 6), (6, 15), (0, 0), 14, 8608),
+        (2, (2, 26), (2, 51), (1, 22), (0, 0), (0, 0), (0, 0), (1, 52), (1, 29), (1, 22), (4, 6), (4, 6), (0, 0), 17, 8617),
+        (3, (2, 26), (1, 29), (0, 0), (0, 0), (0, 0), (0, 0), (1, 52), (1, 29), (0, 0), (4, 6), (4, 6), (0, 0), 14, 7689),
+        (4, (2, 26), (1, 29), (0, 0), (0, 0), (0, 0), (0, 0), (1, 52), (1, 29), (0, 0), (4, 6), (4, 6), (0, 0), 14, 7689),
+    ]
+    vals = ",\n      ".join(
+        "({}, 818, {}, 4911, {}, {})".format(
+            r[0],
+            ", ".join(f"{n}, {ps}" for n, ps in r[1:13]),
+            r[13],
+            r[14],
+        )
+        for r in rows
+    )
+    return f"""
+        SELECT CAST(line_id AS BIGINT) AS line_id,
+               CAST(width AS INT) AS width,
+               CAST(time_n AS BIGINT) AS time_n,
+               CAST(time_ps AS BIGINT) AS time_ps,
+               CAST(projection_n AS BIGINT) AS projection_n,
+               CAST(projection_ps AS BIGINT) AS projection_ps,
+               CAST(avg_n AS BIGINT) AS avg_n,
+               CAST(avg_ps AS BIGINT) AS avg_ps,
+               CAST(min_n AS BIGINT) AS min_n,
+               CAST(min_ps AS BIGINT) AS min_ps,
+               CAST(max_n AS BIGINT) AS max_n,
+               CAST(max_ps AS BIGINT) AS max_ps,
+               CAST(sum_n AS BIGINT) AS sum_n,
+               CAST(sum_ps AS BIGINT) AS sum_ps,
+               CAST(where_n AS BIGINT) AS where_n,
+               CAST(where_ps AS BIGINT) AS where_ps,
+               CAST(groupby_n AS BIGINT) AS groupby_n,
+               CAST(groupby_ps AS BIGINT) AS groupby_ps,
+               CAST(orderby_n AS BIGINT) AS orderby_n,
+               CAST(orderby_ps AS BIGINT) AS orderby_ps,
+               CAST(timeoffset_n AS BIGINT) AS timeoffset_n,
+               CAST(timeoffset_ps AS BIGINT) AS timeoffset_ps,
+               CAST(timerange_n AS BIGINT) AS timerange_n,
+               CAST(timerange_ps AS BIGINT) AS timerange_ps,
+               CAST(granularity_n AS BIGINT) AS granularity_n,
+               CAST(granularity_ps AS BIGINT) AS granularity_ps,
+               CAST(win_width AS INT) AS win_width,
+               CAST(win_n AS BIGINT) AS win_n,
+               CAST(win_ps AS BIGINT) AS win_ps
+        FROM (VALUES
+      {vals}
+        ) AS t(line_id, width,
+               time_n, time_ps, projection_n, projection_ps,
+               avg_n, avg_ps, min_n, min_ps, max_n, max_ps,
+               sum_n, sum_ps, where_n, where_ps,
+               groupby_n, groupby_ps, orderby_n, orderby_ps,
+               timeoffset_n, timeoffset_ps, timerange_n, timerange_ps,
+               granularity_n, granularity_ps, win_width, win_n, win_ps)
+    """
+
+
+def _sql_apm_oracle_sql() -> str:
+    """Independent expected-value derivation for sql_apm_encode from
+    the GENERATING columns: handwritten per-template fragment sets +
+    the published dwm_request schema positions (reference
+    input/ApmColBitPos.txt; dwm_request occupies global bits 16..56 in
+    the 95-column golden vocabulary), with time bits computed from the
+    synthesized event epoch in SQL.  No SQL parsing involved."""
+    cols = [
+        "agent", "appid", "appsysid", "biz", "city", "code", "dur", "err",
+        "err_4xx", "err_5xx", "exception", "fail", "frustrated", "group",
+        "host", "httperr", "ip_addr", "is_model", "method", "neterr",
+        "page_group", "page_id", "pagent", "pagent_ip", "papp_type",
+        "pappid", "pappsysid", "path", "province", "root_appid",
+        "service_type", "session_id", "status", "status_code", "tag",
+        "tolerated", "ts", "type", "uevent_id", "uevent_model", "user_id",
+    ]
+    b = {c: 16 + i for i, c in enumerate(cols)}
+    # handwritten fragment sets per template (reference semantics:
+    # equals-skip, alias resolution, agg-arg capture, OOV drop)
+    frag = {
+        0: dict(
+            projection={"ts"}, avg=set(), min=set(), max=set(), sum=set(),
+            where={"ts"}, groupby={"ts"}, orderby={"ts"},
+            timeoffset=(4, 6), timerange=(6, 15), granularity=(1, 4),
+        ),
+        1: dict(
+            projection={"dur", "group"}, avg={"dur"}, min=set(), max=set(),
+            sum=set(), where={"err", "ts"}, groupby={"group"},
+            orderby={"dur"},
+            timeoffset=(0, 0), timerange=(9, 36), granularity=(0, 0),
+        ),
+        2: dict(
+            projection={"fail", "dur", "ts"}, avg=set(), min=set(),
+            max={"dur"}, sum={"fail"}, where={"city"}, groupby={"ts"},
+            orderby=set(),
+            timeoffset=(9, 36), timerange=(0, 0), granularity=(1, 3),
+        ),
+        3: dict(
+            projection={"err_4xx", "user_id"}, avg=set(), min={"err_4xx"},
+            max=set(), sum=set(), where={"status"}, groupby=set(),
+            orderby={"user_id"},
+            timeoffset=(9, 36), timerange=(0, 0), granularity=(0, 0),
+        ),
+        4: dict(
+            projection=set(), avg=set(), min=set(), max=set(), sum=set(),
+            where={"httperr"}, groupby=set(), orderby=set(),
+            timeoffset=(9, 36), timerange=(0, 0), granularity=(0, 0),
+        ),
+    }
+    col_segs = [
+        "projection", "avg", "min", "max", "sum", "where", "groupby",
+        "orderby",
+    ]
+
+    def case(vals: dict) -> str:
+        nz = {t: v for t, v in vals.items() if v}
+        if not nz:
+            return "0"
+        whens = " ".join(f"WHEN {t} THEN {v}" for t, v in sorted(nz.items()))
+        return f"CASE t {whens} ELSE 0 END"
+
+    seg_cols = []
+    for name in col_segs:
+        n_by_t = {t: len(frag[t][name]) for t in frag}
+        ps_by_t = {t: sum(b[c] for c in frag[t][name]) for t in frag}
+        out_name = "where" if name == "where" else name
+        seg_cols.append(
+            f"CAST({case(n_by_t)} AS BIGINT) AS {out_name}_n,"
+            f" CAST({case(ps_by_t)} AS BIGINT) AS {out_name}_ps"
+        )
+    for name in ("timeoffset", "timerange", "granularity"):
+        n_by_t = {t: frag[t][name][0] for t in frag}
+        ps_by_t = {t: frag[t][name][1] for t in frag}
+        seg_cols.append(
+            f"CAST({case(n_by_t)} AS BIGINT) AS {name}_n,"
+            f" CAST({case(ps_by_t)} AS BIGINT) AS {name}_ps"
+        )
+    segs = ",\n          ".join(seg_cols)
+    return f"""
+        WITH sub AS (
+          SELECT CAST(o_orderkey AS BIGINT) AS sql_id,
+                 CAST((o_orderkey // 41) % 5 AS INT) AS t,
+                 1684000000 + (CAST(o_orderkey AS BIGINT) * 7919) % 1000000
+                   AS e0
+          FROM orders WHERE o_orderkey % 41 = 0
+        ),
+        ev AS (
+          SELECT sql_id, t,
+                 e0 + (CASE t WHEN 0 THEN 28520 WHEN 1 THEN 45
+                       ELSE 0 END) AS evt
+          FROM sub
+        )
+        SELECT sql_id,
+          CAST(818 AS INT) AS width,
+          CAST(2 AS BIGINT) AS time_n,
+          CAST(((evt // 86400) + 3) % 7 + 7 + (evt % 86400) // 3600
+               AS BIGINT) AS time_ps,
+          {segs}
+        FROM ev
     """
 
 
@@ -1558,6 +1981,45 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "sql_minc_encode": _minc_oracle_sql(),
+        "apm_golden_corpus": _apm_golden_oracle_sql(),
+        "sql_apm_encode": _sql_apm_oracle_sql(),
+        "embedding_neardup_lsh": """
+            SELECT CAST(vec_id AS BIGINT) AS id_a,
+                   CAST(vec_id + 100000 AS BIGINT) AS id_b,
+                   1.0 AS cos
+            FROM embeddings WHERE vec_id < 400
+        """,
+        "lsh_topk": """
+            SELECT CAST(vec_id AS INT) AS query_id, 1 AS rk,
+                   CAST(vec_id AS BIGINT) AS neighbor_id, 1.0 AS cos
+            FROM embeddings WHERE vec_id < 5
+            UNION ALL
+            SELECT CAST(vec_id AS INT), 2,
+                   CAST(vec_id + 100000 AS BIGINT), 1.0
+            FROM embeddings WHERE vec_id < 5
+        """,
+        "f12_iso_ladder": """
+            SELECT sql_id, secs,
+                   CASE WHEN secs IS NULL THEN 'P1D'
+                        WHEN secs >= 604800 THEN 'P7D'
+                        WHEN secs >= 86400 THEN 'P1D'
+                        WHEN secs >= 3600 THEN 'PT1H'
+                        ELSE 'PT1M' END AS iso
+            FROM (
+              SELECT CAST(o_orderkey AS BIGINT) AS sql_id,
+                     CASE CAST((o_orderkey // 61) % 8 AS INT)
+                          WHEN 0 THEN NULL
+                          WHEN 1 THEN 59
+                          WHEN 2 THEN 3599
+                          WHEN 3 THEN 3600
+                          WHEN 4 THEN 86399
+                          WHEN 5 THEN 86400
+                          WHEN 6 THEN 604800
+                          ELSE CAST(o_orderkey AS BIGINT) % 2000000
+                     END AS secs
+              FROM orders WHERE o_orderkey % 61 = 0
+            )
+        """,
         # P1-P4/D5 gates: expected survivors + cleaned text derived
         # directly from the generating template (independent of the
         # engine's regexp chain)
