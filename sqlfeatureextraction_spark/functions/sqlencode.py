@@ -215,17 +215,66 @@ def fit_range_bins(
     contiguous ntile chunks; each bin is (min, max) AS STRINGS — the
     reference stores bins as strings and re-parses per compare
     (ch/SchemaParser.java:195-242, enc/APMFragmentIntent.java:560-618).
-    Deterministic: ntile over a total order of distinct values."""
+
+    Scale-safe EXACT ntile: instead of a global single-task
+    ``Window.orderBy`` (every distinct value through one task — the
+    round-2 weak spot), the global rank is computed as
+    range-repartition → per-partition local rank → partition-count
+    offsets (range partitions are contiguous in the total order, so
+    offset+local = global rank), then the standard ntile bucket
+    formula (first N%n buckets one value larger).  Output is
+    bit-identical to SQL ntile(n) — which the DuckDB oracle
+    cross-checks at sf0.01 — and deterministic: ranks depend only on
+    the value order, not on partition boundaries."""
     vals = (
         df.select(F.col(col).alias("v")).where(F.col("v").isNotNull()).distinct()
     )
     order = F.col("v").cast("double") if numeric else F.col("v")
-    w = Window.orderBy(order)
+    n_part = max(
+        2, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    )
+    ranged = (
+        vals.withColumn("_o", order)
+        .repartitionByRange(n_part, F.col("_o"), F.col("v"))
+        .sortWithinPartitions("_o", "v")
+        .withColumn("_p", F.spark_partition_id())
+    )
+    local = ranged.withColumn(
+        "_r",
+        F.row_number().over(Window.partitionBy("_p").orderBy("_o", "v")) - 1,
+    )
+    counts = {
+        r["_p"]: r["n"]
+        for r in local.groupBy("_p").agg(F.count("*").alias("n")).collect()
+    }
+    if not counts:
+        return ()
+    offsets, acc = {}, 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    n_total = acc
+    base, rem = divmod(n_total, n_bins)
+    off_expr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for p, o in offsets.items() for x in (p, o)]
+        ),
+        F.col("_p"),
+    )
+    rank = (off_expr + F.col("_r")).cast("long")
+    if base == 0:
+        bucket = rank + 1  # fewer values than bins: one value per bucket
+    else:
+        bucket = (
+            F.when(rank < rem * (base + 1), rank / (base + 1))
+            .otherwise(rem + (rank - rem * (base + 1)) / base)
+            .cast("long")
+            + 1
+        )
     rows = (
-        vals.withColumn("b", F.ntile(n_bins).over(w))
+        local.withColumn("b", bucket)
         .groupBy("b")
         .agg(
-            F.min(order).alias("_o"),
             F.lower(F.min("v").cast("string")).alias("lo"),
             F.lower(F.max("v").cast("string")).alias("hi"),
         )

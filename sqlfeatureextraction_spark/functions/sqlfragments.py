@@ -19,8 +19,11 @@ Fragment one-hot (P7): fragments → vocabulary bit positions → the same
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 IDENT = r"[a-zA-Z_][a-zA-Z0-9_.]*"
 
@@ -221,13 +224,40 @@ def extract_fragments(sql: Column) -> Column:
 def onehot_fragment_segment(frag_arr: Column, vocab: dict) -> Column:
     """P7: map a fragment array onto vocabulary bit positions →
     fixed-width 0/1 array<double>.  OOV fragments leave bits unset
-    (reference behavior, enc/APMFragmentIntent.java:303-305)."""
+    (reference behavior, enc/APMFragmentIntent.java:303-305).
+
+    Two constructions by vocabulary size (the same 4096 switch as
+    vocab.with_oov_stats): small vocabs use the literal-array
+    ``array_contains`` form (pure codegen, O(|V|) per row — fine when
+    |V| is small); large vocabs go through an Arrow scatter whose
+    per-row work is O(|fragments|), with the vocab dict shipped once
+    per executor in the UDF closure instead of O(|V|) literal
+    comparisons per row."""
     width = len(vocab)
-    keys = F.lit(list(vocab.keys()))
-    bits = F.transform(
-        F.lit(list(range(width))),
-        lambda i: F.when(
-            F.array_contains(frag_arr, F.element_at(keys, i + 1)), 1.0
-        ).otherwise(0.0),
-    )
-    return bits
+    if width <= 4096:
+        keys = F.lit(list(vocab.keys()))
+        return F.transform(
+            F.lit(list(range(width))),
+            lambda i: F.when(
+                F.array_contains(frag_arr, F.element_at(keys, i + 1)), 1.0
+            ).otherwise(0.0),
+        )
+
+    # bit i corresponds to the i-th vocab KEY (same as the literal form)
+    bitmap = {k: i for i, k in enumerate(vocab.keys())}
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def scatter(frags: pd.Series) -> pd.Series:
+        n = len(frags)
+        mat = np.zeros((n, width), dtype=np.float64)
+        ex = frags.explode()
+        ex = ex[ex.notna()]
+        if len(ex):
+            pos = ex.map(bitmap)
+            keep = pos.notna()
+            if keep.any():
+                ridx = ex.index.to_numpy()[keep.to_numpy()]
+                mat[ridx, pos[keep].to_numpy(dtype=np.int64)] = 1.0
+        return pd.Series(list(mat))
+
+    return scatter(frag_arr)

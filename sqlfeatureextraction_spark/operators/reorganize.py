@@ -96,12 +96,28 @@ def or_combine_window_features(
     vec: DataFrame, cfg: FeatureConfig
 ) -> DataFrame:
     """(conv_id, ts) → element-wise OR (max) of all member turn vectors
-    in the trailing (ts−W, ts] window."""
-    pairs = pit_member_pairs(vec, cfg)
-    feats = vec.select(
-        "conv_id", F.col("turn_idx").alias("m_turn_idx"), "features"
+    in the trailing (ts−W, ts] window.
+
+    OR is idempotent, so only DISTINCT member vectors matter per
+    anchor: memberships are deduped by (conv_id, ts, vec_hash) while
+    still NARROW (8-byte hash, never the ~KB array), and the wide
+    vectors join back once per distinct (conv_id, vec_hash) — the same
+    narrow-structs-then-one-wide-join-back shape as the flagship W8
+    path, instead of shipping the full array once per (anchor, member)
+    pair (mean-window-size amplification)."""
+    hashed = vec.select(
+        "conv_id",
+        F.col("turn_idx").alias("m_turn_idx"),
+        F.xxhash64("features").alias("vh"),
     )
-    pairs = pairs.join(feats, ["conv_id", "m_turn_idx"])
+    pairs = pit_member_pairs(vec, cfg).join(
+        hashed, ["conv_id", "m_turn_idx"]
+    )
+    distinct_members = pairs.select("conv_id", "ts", "vh").distinct()
+    reps = vec.select(
+        "conv_id", F.xxhash64("features").alias("vh"), "features"
+    ).dropDuplicates(["conv_id", "vh"])
+    wide = distinct_members.join(reps, ["conv_id", "vh"])
 
     @F.pandas_udf(T.ArrayType(T.FloatType()))
     def or_reduce(vlists: pd.Series) -> pd.Series:
@@ -111,7 +127,7 @@ def or_combine_window_features(
         ]
         return pd.Series(out)
 
-    grouped = pairs.groupBy("conv_id", "ts").agg(
+    grouped = wide.groupBy("conv_id", "ts").agg(
         F.collect_list("features").alias("vecs")
     )
     return grouped.select(
