@@ -245,9 +245,11 @@ def _q_transcript_window_features(spark, sf_dir):
     vocab = fit_vocabulary(tx, max_tokens=256)
     vec, layout = with_turn_features(tx, vocab, cfg)
     vec = vec.cache()  # feeds the narrow window pass + the feature join
+    from sqlfeatureextraction_spark.operators.pit_window import SCALAR_FIELDS
+
     return window_features_builtin(
         vec, vocab, cfg, layout, scalars_only=True
-    ).select("conv_id", "ts_sec", "width", "tool_bits", "feat_sum")
+    ).select("conv_id", "ts_sec", *SCALAR_FIELDS)
 
 
 def _q_tumbling_window_agg(spark, sf_dir):
@@ -441,9 +443,11 @@ def _q_transcript_wf_merge(spark, sf_dir):
     vocab = fit_vocabulary(tx, max_tokens=256)
     vec, layout = with_turn_features(tx, vocab, cfg)
     vec = vec.cache()  # used by the stats pass + base/replica branches
+    from sqlfeatureextraction_spark.operators.pit_window import SCALAR_FIELDS
+
     return window_features_merge(
         vec, vocab, cfg, layout, scalars_only=True
-    ).select("conv_id", "ts_sec", "width", "tool_bits", "feat_sum")
+    ).select("conv_id", "ts_sec", *SCALAR_FIELDS)
 
 
 def _q_sql_minc_encode(spark, sf_dir):
@@ -1321,7 +1325,7 @@ def _flagship_oracle_sql() -> str:
         mem AS (
           SELECT a.user_id, a.conv_id, a.ts_sec AS a_ts,
                  f.tool, f.intent, f.cost, f.ts_sec AS m_ts,
-                 f.event_id AS m_turn, f.vec_sum
+                 f.event_id AS m_turn, f.vec_sum, f.bow_sum, f.lag_sum
           FROM anch a JOIN tf3 f ON a.user_id = f.user_id
            AND f.ts_sec > a.ts_sec - {w} AND f.ts_sec <= a.ts_sec
         ),
@@ -1355,6 +1359,11 @@ def _flagship_oracle_sql() -> str:
                             + (SELECT COUNT(*) FROM vcb) + {n_grans})
                AS INT) AS width,
           CAST(COUNT(DISTINCT tool) AS BIGINT) AS tool_bits,
+          CAST(2 * COUNT(*) AS BIGINT) AS time_sum,
+          CAST(COUNT(*) AS BIGINT) AS role_sum,
+          CAST(COUNT(*) AS BIGINT) AS tool_sum,
+          CAST(SUM(bow_sum) AS BIGINT) AS bow_sum,
+          CAST(SUM(lag_sum) AS BIGINT) AS lag_sum,
           CAST(COUNT(DISTINCT tool) + SUM(vec_sum) AS BIGINT) AS feat_sum
         FROM sel GROUP BY conv_id, a_ts
     """

@@ -231,7 +231,10 @@ def window_features_merge(
 
     audit=True appends max_member_ts_sec provenance for
     audit.audit_member_bound."""
-    from sqlfeatureextraction_spark.operators.pit_window import _assemble_udf
+    from sqlfeatureextraction_spark.operators.pit_window import (
+        SCALAR_FIELDS,
+        _assemble_udf,
+    )
 
     cols = ["conv_id", "ts", "ts_sec", "turn_idx", "tool", "cost", "vec_hash"]
     salted = _salted(vec.select(*cols), cfg)
@@ -281,7 +284,9 @@ def window_features_merge(
         ]
         if audit:
             out_cols.append("max_member_ts_sec")
-        keep = ["conv_id", "ts_sec", "ts", "s.width", "s.tool_bits", "s.feat_sum"]
+        keep = ["conv_id", "ts_sec", "ts"] + [
+            f"s.{f}" for f in SCALAR_FIELDS
+        ]
         if audit:
             keep.append("max_member_ts_sec")
         return slots.select(*out_cols).select(*keep)

@@ -57,6 +57,21 @@ from sqlfeatureextraction_spark.vocab import Vocabulary
 
 MEMBER_STRUCT = "struct(ts_sec, turn_idx, tool, cost, vec_hash)"
 
+# scalar projection fields emitted by scalars_only assembly: the fixed
+# width, the tool-intent segment sum, PER-SEGMENT sums of the slotted
+# turn vectors (time/role/tool/bow/lag — each independently
+# oracle-checkable), and the whole-vector sum
+SCALAR_FIELDS = (
+    "width",
+    "tool_bits",
+    "time_sum",
+    "role_sum",
+    "tool_sum",
+    "bow_sum",
+    "lag_sum",
+    "feat_sum",
+)
+
 
 def pit_member_pairs(vec: DataFrame, cfg: FeatureConfig) -> DataFrame:
     """(anchor conv_id, ts, ts_sec) × exploded NARROW members with
@@ -105,10 +120,13 @@ def _assemble_udf(
     """W8 fixed-width assembler.
 
     scalars_only=True runs the IDENTICAL matrix scatter but reduces the
-    assembled rows to (width, tool_bits, feat_sum) inside the same
-    Arrow pass — for consumers (driver correctness rows, bench) that
-    only check scalar projections, the ~out_w×8B per-row array never
-    crosses back to the JVM.
+    assembled rows to SCALAR_FIELDS inside the same Arrow pass — for
+    consumers (driver correctness rows, bench) that only check scalar
+    projections, the ~out_w×8B per-row array never crosses back to the
+    JVM.  The per-turn-segment sums (time/role/tool/bow/lag) are taken
+    over the slot region reshaped to (rows, k·n, turn_w), so each of
+    the turn layout's segments is verified independently instead of
+    one whole-vector sum.
     """
     turn_w = layout.width
     tool_bits = dict(vocab.tools)
@@ -135,21 +153,28 @@ def _assemble_udf(
         return mat
 
     if scalars_only:
+        seg_slices = {
+            s.name: (s.offset, s.offset + s.width) for s in layout.segments
+        }
 
         @F.pandas_udf(
-            "struct<width:int, tool_bits:bigint, feat_sum:bigint>"
+            "struct<width:int, tool_bits:bigint, time_sum:bigint,"
+            " role_sum:bigint, tool_sum:bigint, bow_sum:bigint,"
+            " lag_sum:bigint, feat_sum:bigint>"
         )
         def assemble_scalars(slots: pd.Series) -> pd.DataFrame:
             mat = _fill(slots)
-            return pd.DataFrame(
-                {
-                    "width": np.full(len(slots), out_w, dtype=np.int32),
-                    "tool_bits": mat[:, :n_tools]
-                    .sum(axis=1)
-                    .astype(np.int64),
-                    "feat_sum": mat.sum(axis=1).astype(np.int64),
-                }
-            )
+            body = mat[:, n_tools:].reshape(len(slots), k * n, turn_w)
+            cols = {
+                "width": np.full(len(slots), out_w, dtype=np.int32),
+                "tool_bits": mat[:, :n_tools].sum(axis=1).astype(np.int64),
+            }
+            for name, (lo, hi) in seg_slices.items():
+                cols[f"{name}_sum"] = (
+                    body[:, :, lo:hi].sum(axis=(1, 2)).astype(np.int64)
+                )
+            cols["feat_sum"] = mat.sum(axis=1).astype(np.int64)
+            return pd.DataFrame(cols)
 
         return assemble_scalars, out_w
 
@@ -231,7 +256,9 @@ def window_features_builtin(
             "ts_sec",
             "ts",
             assemble(F.col("slots")).alias("s"),
-        ).select("conv_id", "ts_sec", "ts", "s.width", "s.tool_bits", "s.feat_sum")
+        ).select(
+            "conv_id", "ts_sec", "ts", *[f"s.{f}" for f in SCALAR_FIELDS]
+        )
     return slots.select(
         "conv_id",
         "ts_sec",

@@ -68,6 +68,18 @@ def test_scalars_only_matches_array_reduction(transcripts_df):
         assert np.array_equal(
             sc["feat_sum"].to_numpy(), mat.sum(axis=1).astype(np.int64)
         )
+        # per-segment sums over the slot region (rows, k·n, turn_w)
+        k, n, tw = cfg.top_k_entities, cfg.top_n_members, layout.width
+        body = mat[:, n_tools:].reshape(len(mat), k * n, tw)
+        for seg in layout.segments:
+            expect = (
+                body[:, :, seg.offset : seg.offset + seg.width]
+                .sum(axis=(1, 2))
+                .astype(np.int64)
+            )
+            assert np.array_equal(
+                sc[f"{seg.name}_sum"].to_numpy(), expect
+            ), seg.name
 
 
 def test_merge_equals_builtin_topk2_topn3(transcripts_df):
