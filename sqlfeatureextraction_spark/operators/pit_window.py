@@ -149,7 +149,15 @@ def _assemble_udf(
                 if bit is not None:
                     mat[i, bit] = 1.0
                 start = n_tools + (si * n + mi) * turn_w
-                mat[i, start : start + turn_w] = mrec["features"]
+                f = mrec["features"]
+                if isinstance(f, dict):
+                    # sparse struct<idx,val> turn vector: densify here,
+                    # at the only place the fixed-width form is needed
+                    mat[
+                        i, start + np.asarray(f["idx"], dtype=np.int64)
+                    ] = f["val"]
+                else:
+                    mat[i, start : start + turn_w] = f
         return mat
 
     if scalars_only:

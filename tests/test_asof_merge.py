@@ -148,3 +148,56 @@ def test_merge_salt_boundary_anchor(spark):
     m = np.vstack(b.sort_values("ts")["window_features"].to_numpy())
     n_tools = layout.seg("tool").width
     assert m[2, n_tools:].sum() > layout.width / 10  # members present
+
+
+def test_sparse_turn_features_equal_dense(transcripts_df):
+    """sparse=True turn vectors must produce bit-identical window
+    vectors on BOTH window paths (the sparse struct only changes the
+    transport format; the assembler densifies per representative)."""
+    cfg = FeatureConfig()
+    v = fit_vocabulary(transcripts_df)
+    vec_d, layout = with_turn_features(transcripts_df, v, cfg)
+    vec_s, _ = with_turn_features(transcripts_df, v, cfg, sparse=True)
+    for path in (window_features_builtin, window_features_merge):
+        a = (
+            path(vec_d, v, cfg, layout)
+            .toPandas()
+            .sort_values(["conv_id", "ts"])
+            .reset_index(drop=True)
+        )
+        b = (
+            path(vec_s, v, cfg, layout)
+            .toPandas()
+            .sort_values(["conv_id", "ts"])
+            .reset_index(drop=True)
+        )
+        _assert_equal(a, b)
+
+
+def test_sparse_densify_roundtrip(transcripts_df):
+    """Per-turn: scattering the sparse (idx, val) pairs into a zero
+    vector reproduces the dense encoder output exactly."""
+    cfg = FeatureConfig()
+    v = fit_vocabulary(transcripts_df)
+    vec_d, layout = with_turn_features(transcripts_df, v, cfg)
+    vec_s, _ = with_turn_features(transcripts_df, v, cfg, sparse=True)
+    d = (
+        vec_d.select("conv_id", "turn_idx", "features")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    s = (
+        vec_s.select("conv_id", "turn_idx", "features")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(d) == len(s)
+    for fd, fs in zip(d["features"], s["features"]):
+        dense = np.asarray(fd, dtype=np.float32)
+        out = np.zeros(layout.width, dtype=np.float32)
+        out[np.asarray(fs["idx"], dtype=np.int64)] = fs["val"]
+        assert np.array_equal(dense, out)
+        # canonical sparse form: strictly ascending indices
+        assert (np.diff(np.asarray(fs["idx"])) > 0).all()
