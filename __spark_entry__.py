@@ -1194,6 +1194,66 @@ def _q_f12_iso_ladder(spark, sf_dir):
     )
 
 
+def _q_session_split(spark, sf_dir):
+    """Per-session ordered train/test split (the reference's dataset
+    step: first floor(n·0.8) lines of each session → train,
+    enc/APMWindowFragmentIntent.java:560-587) over the events-as-
+    sessions adapter; deterministic under (ts, event_id) order."""
+    from sqlfeatureextraction_spark.operators.sessionize import (
+        train_test_split_by_session,
+    )
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("user_id") % 10 == 0)
+        .select(
+            F.col("user_id").cast("long").alias("conv_id"),
+            F.col("event_id").cast("long").alias("sql_id"),
+            "ts",
+        )
+    )
+    out = train_test_split_by_session(
+        ev, entity_col="conv_id", order_cols=("ts", "sql_id")
+    )
+    return out.select("conv_id", "sql_id", "split")
+
+
+def _q_apm_window_backfill(spark, sf_dir):
+    """W5 backfill on the APM window pipeline: dense spine minus
+    observed windows, integer-hour > 9 gate, one zeroed record per
+    candidate table whose window vector carries ONLY that table's
+    tablesIntent bit (enc/APMWindowFragmentIntent.java:102-119,
+    205-207, 444-446).  Output = per empty window × table the
+    (width, n, ps) of the vector; ps = the table's candidate index."""
+    from sqlfeatureextraction_spark.functions.apmencode import (
+        apm_empty_windows,
+        golden_vocab,
+    )
+    from sqlfeatureextraction_spark.functions.sqlencode import (
+        minc_segment_stats,
+    )
+    from sqlfeatureextraction_spark.layout import Segment, VectorLayout
+
+    vocab, _ = golden_vocab(_apm_fixture_path())
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderkey") % 59 == 0
+    )
+    win = (
+        F.lit(1684000000).cast("long")
+        + F.floor(
+            F.pmod(F.col("o_orderkey").cast("long") * 37, F.lit(100000))
+            / 300
+        ).cast("long")
+        * 300
+    )
+    observed = o.select(win.alias("win"))
+    empty = apm_empty_windows(observed, vocab, window_s=300)
+    wlay = VectorLayout((Segment("win", 0, vocab.window_width()),))
+    return minc_segment_stats(
+        empty, wlay, vec_col="window_vector"
+    ).withColumnRenamed("width", "win_width")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pit_window_sum": _q_pit_window_sum,
@@ -1242,6 +1302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "lsh_topk": _q_lsh_topk,
         "f12_iso_ladder": _q_f12_iso_ladder,
+        "session_split": _q_session_split,
+        "apm_window_backfill": _q_apm_window_backfill,
     }
 
 
@@ -2006,6 +2068,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(vec_id AS INT), 2,
                    CAST(vec_id + 100000 AS BIGINT), 1.0
             FROM embeddings WHERE vec_id < 5
+        """,
+        "session_split": """
+            SELECT conv_id, sql_id,
+                   CASE WHEN rn <= CAST(floor(n * 0.8) AS INT)
+                        THEN 'train' ELSE 'test' END AS split
+            FROM (
+              SELECT CAST(user_id AS BIGINT) AS conv_id,
+                     CAST(event_id AS BIGINT) AS sql_id,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY user_id) AS n
+              FROM events WHERE user_id % 10 = 0
+            )
+        """,
+        "apm_window_backfill": """
+            WITH observed AS (
+              SELECT DISTINCT 1684000000
+                + CAST(floor(((CAST(o_orderkey AS BIGINT) * 37) % 100000)
+                             / 300) AS BIGINT) * 300 AS win
+              FROM orders WHERE o_orderkey % 59 = 0
+            ),
+            spine AS (
+              SELECT UNNEST(generate_series((SELECT MIN(win) FROM observed),
+                                            (SELECT MAX(win) FROM observed),
+                                            300)) AS win
+            ),
+            empty AS (
+              SELECT s.win FROM spine s
+              LEFT JOIN observed o ON s.win = o.win
+              WHERE o.win IS NULL
+                AND floor((s.win % 86400) / 3600) > 9
+            )
+            SELECT win, t.tbl AS "table",
+                   CAST(4911 AS INT) AS win_width,
+                   CAST(1 AS BIGINT) AS win_n,
+                   CAST(t.i AS BIGINT) AS win_ps
+            FROM empty CROSS JOIN (VALUES ('dwm_request', 0),
+                                          ('dwm_exception', 1),
+                                          ('dwm_user', 2)) AS t(tbl, i)
         """,
         "f12_iso_ladder": """
             SELECT sql_id, secs,

@@ -882,3 +882,60 @@ def assemble_apm_windows(
         .applyInPandas(build, schema)
         .withColumnRenamed("win", win_col)
     )
+
+
+def apm_empty_windows(
+    observed_wins: DataFrame,
+    vocab: ApmVocab,
+    window_s: int = 300,
+    win_col: str = "win",
+    after_hour: int = 9,
+    out_col: str = "window_vector",
+) -> DataFrame:
+    """W5 backfill for the APM window pipeline: synthesize the windows
+    of the dense spine [min, max] that have no rows, gated to
+    windowStart.hour > after_hour, one record per CANDIDATE table with
+    a zeroed query intent — the reference builds a fake
+    ``select count() from <table>`` record and zeroes its bits, so the
+    resulting vector has ONLY the tablesIntent bit of the table set
+    (enc/APMWindowFragmentIntent.java:102-119 emission, 205-207 record,
+    oneHotEncodeForQuerys isEmpty 1→0 zeroing at 444-446; hour gate
+    105/164 — the reference's skip-vs-backfill boundary asymmetry at
+    hour 9 is documented in SURVEY §4.4.5, this helper implements the
+    backfill side: hour > after_hour).
+
+    Spark shape: spine via ``sequence``+``explode`` (a generated
+    column, no driver loop), LEFT ANTI join against the observed
+    window starts (narrow — two longs), then a tiny candidate-table
+    explode; the constant per-table vectors are built once as literals
+    (|T| arrays), not per-row."""
+    spark = observed_wins.sparkSession
+    bounds = observed_wins.agg(
+        F.min(win_col).alias("lo"), F.max(win_col).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(window_s))
+        ).alias(win_col)
+    )
+    empty = spine.join(
+        observed_wins.select(win_col).distinct(), win_col, "left_anti"
+    ).where(
+        # integer hour like the reference's windowStart.getHour() > 9
+        # (a 09:05 start is hour 9 → NOT backfilled)
+        F.floor((F.col(win_col) % 86400) / 3600) > after_hour
+    )
+
+    cand = list(vocab.candidate_tables)
+    width = vocab.window_width()
+    rows = []
+    for i, t in enumerate(cand):
+        v = [0.0] * width
+        v[i] = 1.0
+        rows.append((t, v))
+    tabs = spark.createDataFrame(
+        rows, f"table string, {out_col} array<float>"
+    )
+    return empty.crossJoin(F.broadcast(tabs)).select(
+        win_col, "table", out_col
+    )

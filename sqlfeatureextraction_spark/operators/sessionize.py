@@ -88,3 +88,36 @@ def with_lag_lead_features(
             f"lead_{c}", F.lead(c).over(w)
         )
     return out
+
+
+def train_test_split_by_session(
+    df: DataFrame,
+    entity_col: str = "conv_id",
+    order_cols: tuple = ("ts", "turn_idx"),
+    train_ratio: float = 0.8,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic per-session ordered train/test split (the
+    reference's dataset step, enc/APMWindowFragmentIntent.java:560-587:
+    ``subList(0, (int)(n*ratio))`` of each session's ordered lines →
+    train, the rest → test; floor semantics, so an n=4 session at 0.8
+    yields 3 train + 1 test).
+
+    One window-function pass on the (entity) partitioning — no join,
+    no shuffle beyond the partitionBy; deterministic under the defined
+    total order."""
+    w = Window.partitionBy(entity_col).orderBy(*order_cols)
+    wn = Window.partitionBy(entity_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wn))
+        .withColumn(
+            split_col,
+            F.when(
+                F.col("_rn")
+                <= F.floor(F.col("_n") * F.lit(train_ratio)).cast("int"),
+                F.lit("train"),
+            ).otherwise(F.lit("test")),
+        )
+        .drop("_rn", "_n")
+    )
