@@ -12,11 +12,21 @@ Sources (all public, read-only):
 The corpus vectors decode EXACTLY (verified bit-for-bit, see
 tests/test_apm_golden.py) against the 3-table sub-vocabulary
 {dwm_exception, dwm_request, dwm_user}: 16+41+38 = 95 columns with
-dwm_request at global bit offset 16 — the unique 3-table combination
-of the published schema matching the observed bit positions.  Window
-layout: tablesIntent(3) + 3 slots x topQueryN(2) x queryIntent(818),
-queryIntent = time(31) + 8x95 col segments + timeOffset(9) +
-timeRange(9) + granularity(9) = 818; total 3 + 3*2*818 = 4911.
+dwm_request at global bit offset 16 — initially reverse-engineered as
+the unique 3-table combination of the published schema matching the
+observed bit positions, and since CONFIRMED identical to the
+reference's own published 3-table config
+(input/table/3/ApmColBitPos.txt, 95 entries — byte-for-byte the same
+column/bit assignment).  The candidate-table (tablesIntent) order is
+dwm_request:0, dwm_exception:1, dwm_user:2 — the hardcoded
+candidateTopTables of APMWindowFragmentIntent.main's topTabN==3
+branch (:521-527), which OVERRIDES the different order in
+input/table/3/ApmTables.txt (dwm_exception:0) and is the one the
+corpus Session ids and tablesIntent bits were generated with.
+Window layout: tablesIntent(3) + 3 slots x topQueryN(2) x
+queryIntent(818), queryIntent = time(31) + 8x95 col segments +
+timeOffset(9) + timeRange(9) + granularity(9) = 818;
+total 3 + 3*2*818 = 4911.
 """
 
 import json

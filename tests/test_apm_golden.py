@@ -244,3 +244,22 @@ def test_with_prefix_and_nested_subqueries(fx):
     )
     assert st3.tables == ["dwm_request"]
     assert st3.projection == {"dur"} and st3.where == {"err"}
+
+
+def test_vocab_matches_published_3table_config(fx):
+    """The vendored 95-column vocabulary must equal the reference's own
+    published 3-table bit-position file (input/table/3/ApmColBitPos.txt)
+    — the config that generated the corpus.  Skipped when the reference
+    snapshot is absent."""
+    ref = (
+        "/root/reference/SQLFeatureExtraction/input/table/3/ApmColBitPos.txt"
+    )
+    if not os.path.exists(ref):
+        pytest.skip("reference snapshot not available")
+    vocab, _ = fx
+    published = {}
+    with open(ref) as f:
+        for ln in f:
+            fc, pos = ln.rsplit(":", 1)
+            published[fc.strip()] = int(pos)
+    assert vocab.col_bit == published
