@@ -861,7 +861,7 @@ def assemble_apm_windows(
         ]
     )
 
-    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def build(key, pdf):
         vec = np.zeros(width, dtype=np.float32)
         pdf = pdf.sort_values(["_cost", "_ts", "_ihash"], ascending=[False, True, True])
         for tab, grp in pdf.groupby("_tab", sort=False):
