@@ -1194,6 +1194,82 @@ def _q_f12_iso_ladder(spark, sf_dir):
     )
 
 
+def _q_sql_minc_ast_encode(spark, sf_dir):
+    """AST-grade MINC front end (functions/mincparse.py) on the SQL
+    shapes the regex layer cannot handle structurally: nested FROM
+    subqueries with alias pushdown, join lists with ON/IN-subquery
+    predicates, IN-lists expanded per constant, BETWEEN, scalar
+    select-item subqueries and EXISTS bodies whose fragments
+    accumulate.  Same MINC layout/bit conventions as sql_minc_encode;
+    oracle re-derives every segment from the generating columns."""
+    from sqlfeatureextraction_spark.functions.mincparse import (
+        encode_minc_ast,
+    )
+    from sqlfeatureextraction_spark.functions.sqlencode import (
+        fit_sql_schema_vocab,
+        minc_segment_stats,
+    )
+
+    vocab = fit_sql_schema_vocab(
+        spark,
+        sf_dir,
+        bin_specs={"orders.o_custkey": 8, "orders.o_orderpriority": 3},
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderkey") % 43 == 0
+    )
+    u = F.pmod(F.expr("o_orderkey div 43"), F.lit(4))
+    k = F.col("o_orderkey")
+    pval = F.lower(F.col("o_orderpriority"))
+    sql = (
+        F.when(
+            u == 0,
+            F.format_string(
+                "SELECT x.c_name FROM (SELECT c_name, c_custkey FROM"
+                " customer WHERE c_acctbal > %d) x WHERE x.c_custkey <= %d",
+                k % 1000,
+                k % 500,
+            ),
+        )
+        .when(
+            u == 1,
+            F.format_string(
+                "SELECT c.c_name, count(o.o_orderkey) FROM customer c"
+                " JOIN orders o ON c.c_custkey = o.o_custkey WHERE"
+                " o.o_orderkey IN (SELECT l.l_orderkey FROM lineitem l)"
+                " GROUP BY c.c_name HAVING count(o.o_orderkey) > %d"
+                " LIMIT 5",
+                k % 7,
+            ),
+        )
+        .when(
+            u == 2,
+            F.format_string(
+                "SELECT o_totalprice, (SELECT max(c_acctbal) FROM"
+                " customer WHERE c_nationkey = %d) FROM orders WHERE"
+                " o_orderpriority IN ('%s', 'zzz') AND o_custkey BETWEEN"
+                " %d AND %d",
+                k % 25,
+                pval,
+                k % 100,
+                k % 100 + 50,
+            ),
+        )
+        .otherwise(
+            F.format_string(
+                "SELECT o_orderkey FROM orders WHERE EXISTS (SELECT"
+                " l_orderkey FROM lineitem WHERE l_tax < %d) AND"
+                " o_orderstatus NOT IN (SELECT c_mktsegment FROM"
+                " customer)",
+                k % 9,
+            )
+        )
+    )
+    df = o.select(F.col("o_orderkey").cast("long").alias("sql_id"), sql.alias("sql"))
+    enc, layout = encode_minc_ast(df, "sql", vocab)
+    return minc_segment_stats(enc.select("sql_id", "minc_features"), layout)
+
+
 def _q_session_split(spark, sf_dir):
     """Per-session ordered train/test split (the reference's dataset
     step: first floor(n·0.8) lines of each session → train,
@@ -1304,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f12_iso_ladder": _q_f12_iso_ladder,
         "session_split": _q_session_split,
         "apm_window_backfill": _q_apm_window_backfill,
+        "sql_minc_ast_encode": _q_sql_minc_ast_encode,
     }
 
 
@@ -1557,6 +1634,82 @@ def _minc_oracle_sql() -> str:
                       WHEN 3 THEN ckb + 8 + peb
                       WHEN 4 THEN ckb
                ELSE 0 END AS BIGINT) AS rangebins_ps
+        FROM binned
+    """
+
+
+def _minc_ast_oracle_sql() -> str:
+    """Independent expected values for sql_minc_ast_encode from the
+    generating columns (same handwritten bit map + ntile bin re-fit as
+    _minc_oracle_sql; fragment sets hand-derived per template from the
+    reference's JSQLParser walk semantics — see
+    functions/mincparse.py's docstring for the cited behaviors)."""
+    # bit map identical to _minc_oracle_sql's
+    # cust: c_custkey0 c_name1 c_nationkey2 c_acctbal3 c_mktsegment4
+    # li:   l_orderkey5 .. l_tax12 ..
+    # ord:  o_orderkey16 o_custkey17 o_orderstatus18 o_totalprice19
+    #       o_orderdate20 o_orderpriority21
+    width = 4 + 3 + 10 * 22 + 1 + 2 + 7 * 22 + 11
+    segs = {
+        "qtype": ({0: 1, 1: 1, 2: 1, 3: 1}, {}),
+        "tables": ({0: 1, 1: 3, 2: 2, 3: 3}, {1: 3, 2: 2, 3: 3}),
+        "projection": (
+            {0: 2, 1: 3, 2: 2, 3: 3},
+            {0: 1, 1: 22, 2: 22, 3: 25},
+        ),
+        "avg": ({}, {}),
+        "min": ({}, {}),
+        "max": ({2: 1}, {2: 3}),
+        "sum": ({}, {}),
+        "count": ({1: 1}, {1: 16}),
+        "selection": ({0: 2, 2: 3, 3: 1}, {0: 3, 2: 40, 3: 12}),
+        "groupby": ({1: 1}, {1: 1}),
+        "orderby": ({}, {}),
+        "having": ({1: 1}, {1: 16}),
+        "limit": ({1: 1}, {}),
+        "join": ({1: 2}, {1: 1}),
+        "selops": ({0: 2, 2: 2, 3: 1}, {0: 28, 2: 161, 3: 88}),
+    }
+
+    def case(d):
+        if not d:
+            return "0"
+        whens = " ".join(f"WHEN {k} THEN {v}" for k, v in sorted(d.items()))
+        return f"CASE u {whens} ELSE 0 END"
+
+    seg_cols = ",\n          ".join(
+        f"CAST({case(n)} AS BIGINT) AS {name}_n,"
+        f" CAST({case(ps)} AS BIGINT) AS {name}_ps"
+        for name, (n, ps) in segs.items()
+    )
+    return f"""
+        WITH pb AS (
+          SELECT b - 1 AS b,
+                 lower(CAST(MIN(v) AS VARCHAR)) AS lo,
+                 lower(CAST(MAX(v) AS VARCHAR)) AS hi
+          FROM (SELECT v, ntile(3) OVER (ORDER BY v) AS b
+                FROM (SELECT DISTINCT o_orderpriority AS v FROM orders
+                      WHERE o_orderpriority IS NOT NULL))
+          GROUP BY b
+        ),
+        sub AS (
+          SELECT CAST(o_orderkey AS BIGINT) AS sql_id,
+                 CAST((o_orderkey // 43) % 4 AS INT) AS u,
+                 lower(o_orderpriority) AS pval
+          FROM orders WHERE o_orderkey % 43 = 0
+        ),
+        binned AS (
+          SELECT s.*,
+            (SELECT MIN(b) FROM pb
+             WHERE s.pval >= lo AND s.pval <= hi) AS peb
+          FROM sub s
+        )
+        SELECT sql_id,
+          CAST({width} AS INT) AS width,
+          {seg_cols},
+          CAST(CASE u WHEN 2 THEN 1 ELSE 0 END AS BIGINT) AS rangebins_n,
+          CAST(CASE u WHEN 2 THEN 8 + peb ELSE 0 END AS BIGINT)
+            AS rangebins_ps
         FROM binned
     """
 
@@ -2053,6 +2206,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sql_minc_encode": _minc_oracle_sql(),
         "apm_golden_corpus": _apm_golden_oracle_sql(),
+        "sql_minc_ast_encode": _minc_ast_oracle_sql(),
         "sql_apm_encode": _sql_apm_oracle_sql(),
         "embedding_neardup_lsh": """
             SELECT CAST(vec_id AS BIGINT) AS id_a,

@@ -323,9 +323,20 @@ def _parse_primary(c):
     if (k, v) == ("op", "("):
         c.next()
         if c.peek() == ("id", "select"):
-            _skip_parens(c)  # subquery → opaque node (CH walk ignores)
-            return ("sub",)
+            start = c.i
+            _skip_parens(c)  # subquery: opaque to the CH walk, but the
+            # token slice rides along so the MINC walk can recurse
+            return ("sub", c.toks[start : c.i - 1])
         node = _parse_expr(c)
+        if c.peek() == ("op", ","):
+            # parenthesized expression LIST (e.g. IN (a, b, c))
+            elems = [node]
+            while c.peek() == ("op", ","):
+                c.next()
+                elems.append(_parse_expr(c))
+            if c.peek() == ("op", ")"):
+                c.next()
+            return ("fn", "list", elems)
         if c.peek() == ("op", ")"):
             c.next()
         return node
@@ -362,6 +373,16 @@ def _parse_primary(c):
             if c.peek() == ("op", ")"):
                 c.next()
                 return ("fn", name.split(".")[-1], None)  # count() → null args
+            if c.peek() == ("id", "select"):
+                # f(SELECT ...) — e.g. EXISTS(SELECT ...): the
+                # function's paren doubles as the subquery paren
+                start = c.i
+                _skip_parens(c)
+                return (
+                    "fn",
+                    name.split(".")[-1],
+                    [("sub", c.toks[start : c.i - 1])],
+                )
             while True:
                 args.append(_parse_expr(c))
                 if c.peek() == ("op", ","):
