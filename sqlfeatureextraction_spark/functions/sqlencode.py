@@ -243,45 +243,57 @@ def fit_range_bins(
         "_r",
         F.row_number().over(Window.partitionBy("_p").orderBy("_o", "v")) - 1,
     )
-    counts = {
-        r["_p"]: r["n"]
-        for r in local.groupBy("_p").agg(F.count("*").alias("n")).collect()
-    }
-    if not counts:
-        return ()
-    offsets, acc = {}, 0
-    for p in sorted(counts):
-        offsets[p] = acc
-        acc += counts[p]
-    n_total = acc
-    base, rem = divmod(n_total, n_bins)
-    off_expr = F.element_at(
-        F.create_map(
-            *[F.lit(x) for p, o in offsets.items() for x in (p, o)]
-        ),
-        F.col("_p"),
-    )
-    rank = (off_expr + F.col("_r")).cast("long")
-    if base == 0:
-        bucket = rank + 1  # fewer values than bins: one value per bucket
-    else:
-        bucket = (
-            F.when(rank < rem * (base + 1), rank / (base + 1))
-            .otherwise(rem + (rank - rem * (base + 1)) / base)
-            .cast("long")
-            + 1
+    # PERSIST before the two collects: the counts collect and the final
+    # bucket collect are separate jobs, and repartitionByRange samples
+    # its boundaries from nondeterministically-ordered shuffle output —
+    # re-executing the lineage could place values in different
+    # partitions between jobs, desynchronizing the collected offsets
+    # from the ranks they are added to.  Pinning the materialized
+    # partitioning makes offset+local_rank a single consistent total
+    # order across both jobs.
+    local = local.persist()
+    try:
+        counts = {
+            r["_p"]: r["n"]
+            for r in local.groupBy("_p").agg(F.count("*").alias("n")).collect()
+        }
+        if not counts:
+            return ()
+        offsets, acc = {}, 0
+        for p in sorted(counts):
+            offsets[p] = acc
+            acc += counts[p]
+        n_total = acc
+        base, rem = divmod(n_total, n_bins)
+        off_expr = F.element_at(
+            F.create_map(
+                *[F.lit(x) for p, o in offsets.items() for x in (p, o)]
+            ),
+            F.col("_p"),
         )
-    rows = (
-        local.withColumn("b", bucket)
-        .groupBy("b")
-        .agg(
-            F.lower(F.min("v").cast("string")).alias("lo"),
-            F.lower(F.max("v").cast("string")).alias("hi"),
+        rank = (off_expr + F.col("_r")).cast("long")
+        if base == 0:
+            bucket = rank + 1  # fewer values than bins: one value per bucket
+        else:
+            bucket = (
+                F.when(rank < rem * (base + 1), rank / (base + 1))
+                .otherwise(rem + (rank - rem * (base + 1)) / base)
+                .cast("long")
+                + 1
+            )
+        rows = (
+            local.withColumn("b", bucket)
+            .groupBy("b")
+            .agg(
+                F.lower(F.min("v").cast("string")).alias("lo"),
+                F.lower(F.max("v").cast("string")).alias("hi"),
+            )
+            .orderBy("b")
+            .collect()
         )
-        .orderBy("b")
-        .collect()
-    )
-    return tuple((r["lo"], r["hi"]) for r in rows)
+        return tuple((r["lo"], r["hi"]) for r in rows)
+    finally:
+        local.unpersist()
 
 
 def fit_sql_schema_vocab(

@@ -93,7 +93,7 @@ def reorganize_sessions(
 
 
 def or_combine_window_features(
-    vec: DataFrame, cfg: FeatureConfig
+    vec: DataFrame, cfg: FeatureConfig, width: int | None = None
 ) -> DataFrame:
     """(conv_id, ts) → element-wise OR (max) of all member turn vectors
     in the trailing (ts−W, ts] window.
@@ -104,7 +104,19 @@ def or_combine_window_features(
     vectors join back once per distinct (conv_id, vec_hash) — the same
     narrow-structs-then-one-wide-join-back shape as the flagship W8
     path, instead of shipping the full array once per (anchor, member)
-    pair (mean-window-size amplification)."""
+    pair (mean-window-size amplification).
+
+    Accepts either turn-vector transport format (matching
+    vectorize.with_turn_features): dense ``array<float>`` rows, or
+    sparse ``struct<idx,val>`` rows — sparse input additionally
+    requires ``width`` (the turn layout width) so the OR result can be
+    densified; the output is always the dense array."""
+    is_sparse = isinstance(vec.schema["features"].dataType, T.StructType)
+    if is_sparse and width is None:
+        raise ValueError(
+            "sparse turn vectors require width=layout.width so the OR "
+            "result can be densified"
+        )
     hashed = vec.select(
         "conv_id",
         F.col("turn_idx").alias("m_turn_idx"),
@@ -121,10 +133,23 @@ def or_combine_window_features(
 
     @F.pandas_udf(T.ArrayType(T.FloatType()))
     def or_reduce(vlists: pd.Series) -> pd.Series:
-        out = [
-            np.maximum.reduce(np.vstack(vl)) if len(vl) else np.zeros(0)
-            for vl in vlists.to_numpy()
-        ]
+        out = []
+        for vl in vlists.to_numpy():
+            if len(vl) == 0:
+                out.append(np.zeros(0, dtype=np.float32))
+            elif isinstance(vl[0], dict):
+                # sparse struct<idx,val> members: densify + scatter-max
+                # (mirrors pit_window._assemble_udf's dict branch)
+                acc = np.zeros(width, dtype=np.float32)
+                for f in vl:
+                    np.maximum.at(
+                        acc,
+                        np.asarray(f["idx"], dtype=np.int64),
+                        np.asarray(f["val"], dtype=np.float32),
+                    )
+                out.append(acc)
+            else:
+                out.append(np.maximum.reduce(np.vstack(vl)))
         return pd.Series(out)
 
     grouped = wide.groupBy("conv_id", "ts").agg(

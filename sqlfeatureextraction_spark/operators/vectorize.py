@@ -142,7 +142,6 @@ def _scatter_sparse_udf(vocab: Vocabulary, cfg: FeatureConfig):
     b_off = layout.seg("bow").offset
     l_off = layout.seg("lag").offset
     grans = np.asarray(cfg.granularities_s, dtype=np.int64)
-    n_grans = len(grans)
     roles = dict(vocab.roles)
     tools = dict(vocab.tools)
     tokens = dict(vocab.tokens)
@@ -188,17 +187,13 @@ def _scatter_sparse_udf(vocab: Vocabulary, cfg: FeatureConfig):
                     ex.index.to_numpy()[keep.to_numpy()],
                     pos[keep].to_numpy(dtype=np.int64) + b_off,
                 )
-        # lag bits are a PREFIX of the lag segment (grans ascending ⇒
-        # lag >= g monotone): p bits per row, all 9 when lag is null
+        # lag bits from the SAME elementwise (lag >= gran_i) mask as the
+        # dense path (bit i independently, null ⇒ all bits) — correct
+        # for any granularity ordering, not just ascending configs
         lag = lag_sec.to_numpy(dtype=np.float64, na_value=np.nan)
-        p = np.where(
-            np.isnan(lag), n_grans, (lag[:, None] >= grans[None, :]).sum(axis=1)
-        ).astype(np.int64)
-        lag_rows = np.repeat(rows, p)
-        # within-row 0..p-1 via cumulative offsets
-        starts = np.concatenate(([0], np.cumsum(p)[:-1]))
-        lag_cols = l_off + (np.arange(p.sum(), dtype=np.int64) - np.repeat(starts, p))
-        add(lag_rows, lag_cols)
+        mask = np.isnan(lag)[:, None] | (lag[:, None] >= grans[None, :])
+        ri, ci = np.nonzero(mask)
+        add(rows[ri], l_off + ci)
 
         r = np.concatenate(rr)
         c = np.concatenate(cc)

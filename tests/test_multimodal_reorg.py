@@ -183,3 +183,38 @@ def test_or_combine_matches_oracle(transcripts_df, transcripts_pdf):
     gm = np.vstack(got["window_features_or"].to_numpy())
     em = np.vstack(exp["v"].to_numpy())
     assert np.allclose(gm, em)
+
+
+def test_or_combine_sparse_equals_dense(transcripts_df):
+    """Sparse struct<idx,val> turn vectors through or_combine must
+    yield the same dense OR vectors as the dense transport (the
+    ADVICE-flagged crash path)."""
+    import pytest
+
+    from sqlfeatureextraction_spark.operators.vectorize import with_turn_features
+    from sqlfeatureextraction_spark.vocab import fit_vocabulary
+
+    cfg = FeatureConfig()
+    v = fit_vocabulary(transcripts_df)
+    vec_d, layout = with_turn_features(transcripts_df, v, cfg)
+    vec_s, _ = with_turn_features(transcripts_df, v, cfg, sparse=True)
+
+    with pytest.raises(ValueError, match="width"):
+        or_combine_window_features(vec_s, cfg)
+
+    got_d = (
+        or_combine_window_features(vec_d, cfg)
+        .toPandas()
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    got_s = (
+        or_combine_window_features(vec_s, cfg, width=layout.width)
+        .toPandas()
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(got_d) == len(got_s)
+    dm = np.vstack(got_d["window_features_or"].to_numpy())
+    sm = np.vstack(got_s["window_features_or"].to_numpy())
+    assert np.array_equal(dm, sm)
