@@ -630,6 +630,50 @@ def _q_reorganize_chains(spark, sf_dir):
     )
 
 
+def _q_or_combine(spark, sf_dir):
+    """A4 bitwise-OR window merge (reference updateMinBitSet,
+    enc/MinWindowQueryIntent.java:124-153): per (conv_id, ts) anchor,
+    the element-wise OR of all member turn vectors in the trailing
+    right-closed window, projected to per-segment popcounts the DuckDB
+    oracle re-derives from the generating columns (OR popcount =
+    |union of member bit sets| per segment)."""
+    from sqlfeatureextraction_spark.config import FeatureConfig
+    from sqlfeatureextraction_spark.operators.reorganize import (
+        or_combine_window_features,
+    )
+    from sqlfeatureextraction_spark.operators.vectorize import with_turn_features
+    from sqlfeatureextraction_spark.synth import events_as_transcripts
+    from sqlfeatureextraction_spark.vocab import fit_vocabulary
+
+    cfg = FeatureConfig()
+    tx = events_as_transcripts(spark, sf_dir)
+    vocab = fit_vocabulary(tx, max_tokens=256)
+    vec, layout = with_turn_features(tx, vocab, cfg)
+    wf = or_combine_window_features(vec, cfg)
+
+    def seg_sum(name):
+        s = layout.seg(name)
+        return F.aggregate(
+            F.slice("window_features_or", s.offset + 1, s.width),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ).cast("long")
+
+    total = F.aggregate(
+        F.col("window_features_or"), F.lit(0.0), lambda a, v: a + v
+    ).cast("long")
+    return wf.select(
+        "conv_id",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_sec"),
+        seg_sum("time").alias("time_or"),
+        seg_sum("role").alias("role_or"),
+        seg_sum("tool").alias("tool_or"),
+        seg_sum("bow").alias("bow_or"),
+        seg_sum("lag").alias("lag_or"),
+        total.alias("or_popcount"),
+    )
+
+
 def _q_window_metrics(spark, sf_dir):
     """A7/S7: per-window total-cost metrics over the dense FIXED spine
     including empty windows (the reference's windowed cost + empty-rate
@@ -1364,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fixed_window_expand": _q_fixed_window_expand,
         "session_validity": _q_session_validity,
         "reorganize_chains": _q_reorganize_chains,
+        "or_combine": _q_or_combine,
         "window_metrics": _q_window_metrics,
         "encoded_roundtrip": _q_encoded_roundtrip,
         "transcript_window_features": _q_transcript_window_features,
@@ -1505,6 +1550,92 @@ def _flagship_oracle_sql() -> str:
           CAST(SUM(lag_sum) AS BIGINT) AS lag_sum,
           CAST(COUNT(DISTINCT tool) + SUM(vec_sum) AS BIGINT) AS feat_sum
         FROM sel GROUP BY conv_id, a_ts
+    """
+
+
+def _or_combine_oracle_sql() -> str:
+    """Independent DuckDB re-derivation of the A4 OR-window per-segment
+    popcounts.  OR popcount = |union of member bit sets| per segment,
+    re-derived from the GENERATING columns: time = distinct dow values
+    + distinct hour values, role = 1 (constant 'user'), tool = distinct
+    tools (all in-vocab: the tool dictionary is fitted from the same
+    data), bow = distinct in-vocab tokens over all member texts, lag =
+    MAX member lag popcount (the default granularities are ascending,
+    so each member's lag bits are a prefix and the union is the longest
+    prefix)."""
+    from sqlfeatureextraction_spark.config import FeatureConfig
+
+    cfg = FeatureConfig()
+    grans = cfg.granularities_s
+    n_grans = len(grans)
+    w = cfg.window_size_s
+    lag_sum = (
+        f"CASE WHEN lag_sec IS NULL THEN {n_grans} ELSE "
+        + " + ".join(
+            f"(CASE WHEN lag_sec >= {g} THEN 1 ELSE 0 END)" for g in grans
+        )
+        + " END"
+    )
+    tok = (
+        "list_filter(string_split_regex(lower(coalesce(props, '')),"
+        " '[^a-z0-9]+'), x -> x <> '')"
+    )
+    return f"""
+        WITH tokt AS (
+          SELECT user_id, event_id, UNNEST({tok}) AS t FROM events
+        ),
+        vcb AS (
+          SELECT t FROM (
+            SELECT t, COUNT(*) AS n FROM tokt GROUP BY t
+            ORDER BY n DESC, t ASC LIMIT 256
+          )
+        ),
+        turn AS (
+          SELECT printf('u%05d', user_id) AS conv_id, user_id, event_id,
+                 coalesce(event_type, '') AS tool, ts,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+          FROM events
+        ),
+        tf AS (
+          SELECT turn.*,
+                 isodow(ts) - 1 AS dow, hour(ts) AS hr,
+                 ts_sec - LAG(ts_sec) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS lag_sec
+          FROM turn
+        ),
+        tf2 AS (SELECT *, {lag_sum} AS lag_sum FROM tf),
+        anch AS (SELECT DISTINCT user_id, conv_id, ts_sec FROM tf2),
+        mem AS (
+          SELECT a.user_id, a.conv_id, a.ts_sec AS a_ts,
+                 f.event_id, f.tool, f.dow, f.hr, f.lag_sum
+          FROM anch a JOIN tf2 f ON a.user_id = f.user_id
+           AND f.ts_sec > a.ts_sec - {w} AND f.ts_sec <= a.ts_sec
+        ),
+        bowc AS (
+          SELECT m.user_id, m.a_ts, COUNT(DISTINCT tk.t) AS bow_or
+          FROM mem m
+          JOIN tokt tk
+            ON m.user_id = tk.user_id AND m.event_id = tk.event_id
+          JOIN vcb ON tk.t = vcb.t
+          GROUP BY m.user_id, m.a_ts
+        ),
+        agg AS (
+          SELECT user_id, conv_id, a_ts,
+                 COUNT(DISTINCT dow) + COUNT(DISTINCT hr) AS time_or,
+                 COUNT(DISTINCT tool) AS tool_or,
+                 MAX(lag_sum) AS lag_or
+          FROM mem GROUP BY user_id, conv_id, a_ts
+        )
+        SELECT g.conv_id, g.a_ts AS ts_sec,
+               CAST(g.time_or AS BIGINT) AS time_or,
+               CAST(1 AS BIGINT) AS role_or,
+               CAST(g.tool_or AS BIGINT) AS tool_or,
+               CAST(coalesce(b.bow_or, 0) AS BIGINT) AS bow_or,
+               CAST(g.lag_or AS BIGINT) AS lag_or,
+               CAST(g.time_or + 1 + g.tool_or + coalesce(b.bow_or, 0)
+                    + g.lag_or AS BIGINT) AS or_popcount
+        FROM agg g LEFT JOIN bowc b
+          ON g.user_id = b.user_id AND g.a_ts = b.a_ts
     """
 
 
@@ -2363,6 +2494,7 @@ def oracle_sql() -> dict[str, str]:
                    ts_sec
             FROM ch
         """,
+        "or_combine": _or_combine_oracle_sql(),
         "window_metrics": f"""
             WITH e AS (
               SELECT user_id, ts_sec,

@@ -59,6 +59,11 @@ code, not assumed):
                  single flag (:848-852).
   UNION          executeSelect (:877-886): every branch's fragments
                  accumulate.
+  WITH           createQueryVector (:892-897): every WithItem's select
+                 body is walked BEFORE the main body, fragments
+                 accumulating into the same state; the CTE name is not
+                 registered as an alias (the reference never does), so
+                 ``FROM cte_name`` contributes no table bit.
   DML            statement-type gate select/update/insert/delete with
                  UPDATE <t> SET ... WHERE / DELETE FROM <t> WHERE /
                  INSERT INTO <t> target consumption (the regex layer's
@@ -66,11 +71,14 @@ code, not assumed):
 
 Documented divergences from the reference (deliberate, consistent
 with the engine's existing green MINC conventions):
-  * bare-column resolution uses the single-FROM-table fast path then
-    schema-owner first-wins (resolve_idents semantics) — the
+  * bare-column resolution defaults to the single-FROM-table fast
+    path then schema-owner first-wins (resolve_idents semantics) — the
     reference's addToColSet adds the column once per EVERY
     current-level table containing the name (:652-668), which can set
-    multiple bits for ambiguous names;
+    multiple bits for ambiguous names; the opt-in ``ambiguous_multi``
+    parity mode (parse_minc_query/encode_minc_ast) reproduces that
+    multi-bit walk exactly for SELECT-item columns, which is the only
+    place the reference applies it;
   * the reference's post-``correct`` classification may re-visit an
     InExpression through the column visitor (double-count); we rewrite
     each IN exactly once.
@@ -89,6 +97,7 @@ from pyspark.sql import types as T
 from sqlfeatureextraction_spark.functions.apmencode import (
     _Cursor,
     _parse_expr,
+    _skip_parens,
     _split_clauses,
     _split_top_commas,
     _split_unions,
@@ -147,6 +156,10 @@ class MincState:
     limit: bool = False
     qtype: int = -1
     depth: int = 0
+    # parity mode (reference addToColSet, enc/SQLParser.java:640-674):
+    # callable (bare_name, cur_level_tables) -> [qualified names] used
+    # for SELECT-item columns only; None = first-wins resolution
+    multi_resolver: object = None
 
 
 def _expr_columns(node) -> list:
@@ -323,6 +336,39 @@ def _collect_where(node, st: MincState, rewritten: list, depth: int = 0):
     return node
 
 
+def _split_with_prefix(toks: list) -> tuple[list, list]:
+    """WITH-clause splitter: ([CTE body token lists], main statement
+    tokens).  Reference: ``createQueryVector`` walks each WithItem's
+    select body BEFORE the main body (enc/SQLParser.java:892-897) — the
+    CTE bodies' fragments ACCUMULATE into the same state.  The CTE
+    NAME is deliberately NOT registered as an alias: the reference
+    performs no such registration, so a later ``FROM cte_name``
+    resolves like any unknown table and contributes no table bit."""
+    if not toks or toks[0] != ("id", "with"):
+        return [], toks
+    c = _Cursor(toks)
+    c.next()
+    bodies = []
+    while c.peek()[0] == "id":
+        c.next()  # CTE name
+        if c.peek() == ("op", "("):  # optional column list
+            c.next()
+            _skip_parens(c)
+        if c.peek() == ("id", "as"):
+            c.next()
+        if c.peek() != ("op", "("):
+            break
+        c.next()
+        start = c.i
+        _skip_parens(c)
+        bodies.append(toks[start : c.i - 1])
+        if c.peek() == ("op", ","):
+            c.next()
+            continue
+        break
+    return bodies, toks[c.i :]
+
+
 def _parse_from_clause(toks: list, st: MincState) -> list:
     """FROM item list + JOIN list → current-level tables; registers
     aliases; classifies ON expressions; expands USING columns."""
@@ -470,6 +516,18 @@ def _execute_statement(toks: list, st: MincState) -> list:
                 q = st.alias_map.get(expr[1], expr[1])
                 st.projection.add(f"{q}.*")
                 continue
+            # reference addToColSet (:640-674): bare SELECT-item columns
+            # expand per current-level table in parity mode (the
+            # multi_resolver); qualified names always add directly
+            def item_cols(e):
+                out = []
+                for cname in _expr_columns(e):
+                    if st.multi_resolver is not None and "." not in cname:
+                        out.extend(st.multi_resolver(cname, cur_level))
+                    else:
+                        out.append(cname)
+                return out
+
             if expr[0] == "fn" and expr[1] in _AGG_CAPTURE:
                 target = st.aggs[_AGG_CAPTURE[expr[1]]]
                 args = expr[2] or []
@@ -478,9 +536,9 @@ def _execute_statement(toks: list, st: MincState) -> list:
                         target.add(f"{t}.*")
                         st.projection.add(f"{t}.*")
                     continue
-                for cname in _expr_columns(expr):
+                for cname in item_cols(expr):
                     target.add(cname)
-            for cname in _expr_columns(expr):
+            for cname in item_cols(expr):
                 st.projection.add(cname)
             # select-item subselects nested inside expressions
             def subrec(n, d=0):
@@ -527,18 +585,56 @@ def _execute_statement(toks: list, st: MincState) -> list:
     return cur_level_all
 
 
-def parse_minc_query(sql: str) -> MincState:
+def parse_minc_query(
+    sql: str,
+    vocab: SqlSchemaVocab | None = None,
+    ambiguous_multi: bool = False,
+) -> MincState:
     """Full MINC statement parse → fragment state (best-effort: the
-    reference swallows parse failures and keeps partial state)."""
+    reference swallows parse failures and keeps partial state).
+
+    ambiguous_multi=True (requires ``vocab``) enables the reference's
+    ``addToColSet`` parity semantics for bare SELECT-item columns: the
+    column is added once per EVERY current-level table whose schema
+    contains the name (enc/SQLParser.java:652-668 — multiple bits for
+    ambiguous names; ZERO bits when no current-level table has it).
+    Default (False) keeps the engine's documented first-wins owner
+    resolution.  WHERE/group/order/having columns are unaffected in
+    both modes — the reference adds those raw (ExtendedColumn) with
+    downstream owner resolution."""
     st = MincState()
+    if ambiguous_multi:
+        if vocab is None:
+            raise ValueError("ambiguous_multi requires a schema vocab")
+        vcols = {t: set(cs) for t, cs in vocab.columns.items()}
+
+        def multi_resolver(cname: str, cur_level: list) -> list:
+            return [
+                f"{t}.{cname}"
+                for t in dict.fromkeys(cur_level)
+                if cname in vcols.get(t, ())
+            ]
+
+        st.multi_resolver = multi_resolver
     low = sql.strip().lower()
     first = low.split(None, 1)[0] if low else ""
-    if first not in QUERY_TYPES:
+    if first not in QUERY_TYPES and first != "with":
         return st
-    st.qtype = QUERY_TYPES.index(first)
     toks = _tokenize(low.replace("`", ""))
+    with_bodies: list = []
+    if first == "with":
+        # JSQLParser parses a WITH-prefixed query as a Select statement
+        # whose WithItemsList is walked first (createQueryVector,
+        # enc/SQLParser.java:892-897); the main body follows.
+        with_bodies, toks = _split_with_prefix(toks)
+        first = toks[0][1] if toks and toks[0][0] == "id" else ""
+        if first != "select":
+            return st
+    st.qtype = QUERY_TYPES.index(first)
     try:
         if first == "select":
+            for body in with_bodies:
+                _execute_statement(body, st)
             _execute_statement(toks, st)
         elif first in ("update", "delete"):
             # UPDATE <t> SET ... [WHERE ...] / DELETE FROM <t> [WHERE]
@@ -729,12 +825,17 @@ def minc_state_vector(
 
 
 def encode_minc_ast(
-    df: DataFrame, sql_col: str, vocab: SqlSchemaVocab
+    df: DataFrame,
+    sql_col: str,
+    vocab: SqlSchemaVocab,
+    ambiguous_multi: bool = False,
 ) -> tuple[DataFrame, VectorLayout]:
     """AST-grade alternative front end for the MINC encoding: parse +
     scatter inside ONE Arrow pandas UDF (the same declared Python
     exception as the APM path), emitting the identical
-    ``minc_features`` layout as sqlencode.encode_minc."""
+    ``minc_features`` layout as sqlencode.encode_minc.
+    ``ambiguous_multi`` selects the reference addToColSet parity mode
+    for bare SELECT-item columns (see parse_minc_query)."""
     layout = vocab.layout()
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
@@ -744,7 +845,14 @@ def encode_minc_ast(
             if s is None:
                 out.append(None)
                 continue
-            out.append(minc_state_vector(parse_minc_query(s), vocab))
+            out.append(
+                minc_state_vector(
+                    parse_minc_query(
+                        s, vocab=vocab, ambiguous_multi=ambiguous_multi
+                    ),
+                    vocab,
+                )
+            )
         return pd.Series(out)
 
     return df.withColumn("minc_features", enc(F.col(sql_col))), layout

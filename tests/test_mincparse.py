@@ -123,6 +123,59 @@ def test_exists_and_scalar_subquery_accumulate(vocab):
     assert ("l_tax", "<", "1") in st.sel_preds
 
 
+def test_ambiguous_bare_column_parity_mode():
+    """Pins BOTH resolution modes on an ambiguous bare SELECT column
+    (present in two current-level tables).  Default = engine first-wins
+    (one bit, the owner table); ambiguous_multi = reference addToColSet
+    walk (enc/SQLParser.java:652-668): one bit per EVERY current-level
+    table containing the name.  WHERE columns stay first-wins in both
+    modes — the reference adds those raw with downstream owner
+    resolution."""
+    from sqlfeatureextraction_spark.functions.mincparse import (
+        minc_state_vector,
+    )
+    from sqlfeatureextraction_spark.functions.sqlencode import SqlSchemaVocab
+
+    voc = SqlSchemaVocab(
+        tables=("t1", "t2"),
+        columns={"t1": ("id", "val"), "t2": ("id", "name")},
+        col_types={
+            "t1.id": "int",
+            "t1.val": "int",
+            "t2.id": "int",
+            "t2.name": "string",
+        },
+        join_pairs={},
+        range_bins={},
+    )
+    sql = "SELECT id, name FROM t1 a, t2 b WHERE val = 3"
+    lay = voc.layout()
+    cb = voc.col_bit
+
+    def seg_bits(v, seg_name):
+        seg = lay.seg(seg_name)
+        sv = v[seg.offset : seg.offset + seg.width]
+        return {fc for fc, b in cb.items() if sv[b] == 1.0}
+
+    v_default = minc_state_vector(parse_minc_query(sql), voc)
+    v_parity = minc_state_vector(
+        parse_minc_query(sql, vocab=voc, ambiguous_multi=True), voc
+    )
+    # first-wins: ambiguous 'id' resolves to its owner t1 only
+    assert seg_bits(v_default, "projection") == {"t1.id", "t2.name"}
+    # reference walk: 'id' sets a bit per containing current-level table
+    assert seg_bits(v_parity, "projection") == {"t1.id", "t2.id", "t2.name"}
+    for v in (v_default, v_parity):
+        assert seg_bits(v, "selection") == {"t1.val"}
+
+
+def test_ambiguous_multi_requires_vocab():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="vocab"):
+        parse_minc_query("SELECT 1", ambiguous_multi=True)
+
+
 def test_in_list_expansion(vocab):
     st = parse_minc_query(
         "SELECT o_orderkey FROM orders WHERE o_orderpriority IN"

@@ -162,3 +162,54 @@ def test_simple_query():
     assert st.tables == ["m_agency"]
     assert st.projection == {"a.agency_timezone"}
     assert ("a.agency_id", "=", "80") in st.sel_preds
+
+
+def test_with_items_accumulate():
+    """createQueryVector walks every WithItem's select body BEFORE the
+    main body (enc/SQLParser.java:892-897): CTE fragments accumulate
+    into the same sets; the CTE name gets NO alias registration, so the
+    main body's ``FROM cte_name`` consumes 'recent' as an opaque
+    table."""
+    from sqlfeatureextraction_spark.functions.sqlencode import QUERY_TYPES
+
+    sql = (
+        "WITH recent AS (SELECT a.agency_id FROM m_agency a WHERE"
+        " a.agency_id = 7), top_trips (tid) AS (SELECT t.trip_id FROM"
+        " m_trip t WHERE t.agency_id = 9 ORDER BY t.trip_id LIMIT 5)"
+        " SELECT r.agency_id FROM recent r WHERE r.agency_id = 80"
+    )
+    st = parse_minc_query(sql)
+    # JSQLParser parses WITH-SELECT as a Select statement
+    assert st.qtype == QUERY_TYPES.index("select")
+    # WithItem bodies first (declaration order), then the main FROM item
+    assert st.tables == ["m_agency", "m_trip", "recent"]
+    assert ("a.agency_id", "=", "7") in st.sel_preds
+    assert ("t.agency_id", "=", "9") in st.sel_preds
+    assert "t.trip_id" in st.orderby
+    assert st.limit  # the CTE body's LIMIT sets the shared flag
+    assert {"a.agency_id", "t.trip_id", "r.agency_id"} <= st.projection
+    # main body runs after: its alias registers against the CTE NAME
+    # (not the inner table — the reference never maps CTE names)
+    assert st.alias_map.get("r") == "recent"
+    assert "recent" not in {st.alias_map.get("recent")} - {None}
+    assert ("r.agency_id", "=", "80") in st.sel_preds
+
+
+def test_with_union_cte_body():
+    """A UNION inside a CTE body accumulates every branch
+    (executeSelect :877-886 under the WithItem walk)."""
+    sql = (
+        "WITH u AS (SELECT a.agency_id FROM m_agency a UNION SELECT"
+        " t.trip_id FROM m_trip t) SELECT x.agency_id FROM u x"
+    )
+    st = parse_minc_query(sql)
+    assert st.tables == ["m_agency", "m_trip", "u"]
+    assert {"a.agency_id", "t.trip_id"} <= st.projection
+
+
+def test_with_nonselect_main_is_gated():
+    """WITH + non-select main: JSQLParser rejects it; the swallowed
+    parse failure leaves an empty state."""
+    st = parse_minc_query("WITH x AS (SELECT 1) DELETE FROM m_agency")
+    assert st.qtype == -1
+    assert st.tables == []
