@@ -1139,6 +1139,90 @@ def _q_sql_apm_encode(spark, sf_dir):
     )
 
 
+def _q_sql_apm_selpred(spark, sf_dir):
+    """Flag-on (includeSelOpConst) APM layout end-to-end: the optional
+    selPredOps/selPredRangeBins segments (enc/APMFragmentIntent.java:
+    740-744 — appended between orderBy and timeOffset; every published
+    reference config ships the flag off) over SYNTHESIZED ClickHouse
+    queries whose WHERE predicates derive from generating columns.
+    3 templates exercise =/>=/>/<=/<>/like capture (equality captured
+    in selops while still skipped in the where-column set), integer
+    range-bin matching on two binned columns, and a LIKE constant on
+    an unbinned column.  Output = per-segment (n, ps); the oracle
+    re-derives every value from the generating columns."""
+    from sqlfeatureextraction_spark.functions.apmencode import (
+        ApmVocab,
+        encode_apm,
+        golden_vocab,
+    )
+    from sqlfeatureextraction_spark.functions.sqlencode import (
+        minc_segment_stats,
+    )
+
+    v0, _ = golden_vocab(_apm_fixture_path())
+    vocab = ApmVocab(
+        candidate_tables=v0.candidate_tables,
+        schema_columns=v0.schema_columns,
+        top_query_n=v0.top_query_n,
+        include_sel_op_const=True,
+        range_bins={
+            "dwm_request.dur": (
+                ("0", "249"), ("250", "499"), ("500", "749"), ("750", "999"),
+            ),
+            "dwm_request.status": (("0", "3"), ("4", "9")),
+        },
+        col_types={
+            "dwm_request.dur": "int32",
+            "dwm_request.status": "int32",
+        },
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderkey") % 37 == 0
+    )
+    t = F.pmod(F.expr("o_orderkey div 37"), F.lit(3))
+    e0 = (
+        F.lit(1684000000).cast("long")
+        + F.pmod(F.col("o_orderkey").cast("long") * 7919, F.lit(1000000))
+    )
+    d = F.pmod(F.col("o_orderkey").cast("long"), F.lit(1000))
+    s = F.pmod(F.col("o_orderkey").cast("long"), F.lit(7))
+    d2 = F.pmod(F.col("o_orderkey").cast("long") * 13, F.lit(1000))
+    sql = (
+        F.when(
+            t == 0,
+            F.format_string(
+                "SELECT dur FROM dwm_request WHERE (appid = 'x') AND"
+                " (dur >= %d)",
+                d,
+            ),
+        )
+        .when(
+            t == 1,
+            F.format_string(
+                "SELECT count() FROM dwm_request WHERE (status > %d) AND"
+                " (path like '%%ab%%')",
+                s,
+            ),
+        )
+        .otherwise(
+            F.format_string(
+                "SELECT err FROM dwm_request WHERE (city <> 'c9') AND"
+                " (dur <= %d)",
+                d2,
+            ),
+        )
+    )
+    df = o.select(
+        F.col("o_orderkey").cast("long").alias("sql_id"),
+        sql.alias("sql"),
+        e0.alias("ts_sec"),
+    )
+    enc, qlay = encode_apm(df, "sql", "ts_sec", vocab)
+    return minc_segment_stats(
+        enc.select("sql_id", "apm_features"), qlay, vec_col="apm_features"
+    )
+
+
 def _q_embedding_neardup_lsh(spark, sf_dir):
     """The LSH scale path of embedding near-dup, driver-visible: the
     corpus is augmented with positively-SCALED copies (same direction ⇒
@@ -1420,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "apm_golden_corpus": _q_apm_golden_corpus,
         "sql_apm_encode": _q_sql_apm_encode,
+        "sql_apm_selpred": _q_sql_apm_selpred,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "lsh_topk": _q_lsh_topk,
         "f12_iso_ladder": _q_f12_iso_ladder,
@@ -1910,6 +1995,20 @@ def _apm_golden_oracle_sql() -> str:
     """
 
 
+# dwm_request column names in schema order (published reference
+# input/ApmColBitPos.txt; global bits 16..56 of the 95-column golden
+# vocabulary — dwm_exception holds 0..15, dwm_user 57..94)
+_DWM_REQUEST_COLS = [
+    "agent", "appid", "appsysid", "biz", "city", "code", "dur", "err",
+    "err_4xx", "err_5xx", "exception", "fail", "frustrated", "group",
+    "host", "httperr", "ip_addr", "is_model", "method", "neterr",
+    "page_group", "page_id", "pagent", "pagent_ip", "papp_type",
+    "pappid", "pappsysid", "path", "province", "root_appid",
+    "service_type", "session_id", "status", "status_code", "tag",
+    "tolerated", "ts", "type", "uevent_id", "uevent_model", "user_id",
+]
+
+
 def _sql_apm_oracle_sql() -> str:
     """Independent expected-value derivation for sql_apm_encode from
     the GENERATING columns: handwritten per-template fragment sets +
@@ -1917,16 +2016,7 @@ def _sql_apm_oracle_sql() -> str:
     input/ApmColBitPos.txt; dwm_request occupies global bits 16..56 in
     the 95-column golden vocabulary), with time bits computed from the
     synthesized event epoch in SQL.  No SQL parsing involved."""
-    cols = [
-        "agent", "appid", "appsysid", "biz", "city", "code", "dur", "err",
-        "err_4xx", "err_5xx", "exception", "fail", "frustrated", "group",
-        "host", "httperr", "ip_addr", "is_model", "method", "neterr",
-        "page_group", "page_id", "pagent", "pagent_ip", "papp_type",
-        "pappid", "pappsysid", "path", "province", "root_appid",
-        "service_type", "session_id", "status", "status_code", "tag",
-        "tolerated", "ts", "type", "uevent_id", "uevent_model", "user_id",
-    ]
-    b = {c: 16 + i for i, c in enumerate(cols)}
+    b = {c: 16 + i for i, c in enumerate(_DWM_REQUEST_COLS)}
     # handwritten fragment sets per template (reference semantics:
     # equals-skip, alias resolution, agg-arg capture, OOV drop)
     frag = {
@@ -2009,6 +2099,97 @@ def _sql_apm_oracle_sql() -> str:
                AS BIGINT) AS time_ps,
           {segs}
         FROM ev
+    """
+
+
+def _sql_apm_selpred_oracle_sql() -> str:
+    """Independent expected-value derivation for sql_apm_selpred
+    (flag-on APM layout): handwritten per-template fragment sets and
+    selops/rangebins bit positions from the published schema order +
+    the row's generating columns (d, s, d2, epoch) — no SQL parsing.
+
+    Bit conventions re-derived: selops bit = col_bit*7 + op_idx with
+    op order (=, <>, <=, >=, <, >, like); rangebins blocks in
+    full-column-name sort order (dur → bits 0..3, status → bits 4..5);
+    width = 818 (flag-off qlen) + 95*7 (selops) + 6 (bins) = 1489."""
+    b = {c: 16 + i for i, c in enumerate(_DWM_REQUEST_COLS)}
+    ops = {"=": 0, "<>": 1, "<=": 2, ">=": 3, "<": 4, ">": 5, "like": 6}
+    frag = {
+        0: dict(
+            projection={"dur"}, avg=set(), min=set(), max=set(),
+            sum=set(), where={"dur"}, groupby=set(), orderby=set(),
+        ),
+        1: dict(
+            projection=set(), avg=set(), min=set(), max=set(),
+            sum=set(), where={"status", "path"}, groupby=set(),
+            orderby=set(),
+        ),
+        2: dict(
+            projection={"err"}, avg=set(), min=set(), max=set(),
+            sum=set(), where={"city", "dur"}, groupby=set(),
+            orderby=set(),
+        ),
+    }
+    selops = {
+        0: [("appid", "="), ("dur", ">=")],
+        1: [("status", ">"), ("path", "like")],
+        2: [("city", "<>"), ("dur", "<=")],
+    }
+    so_ps = {
+        t: sum(b[c] * 7 + ops[o] for c, o in pairs)
+        for t, pairs in selops.items()
+    }
+
+    def case(vals: dict) -> str:
+        nz = {t: v for t, v in vals.items() if v}
+        if not nz:
+            return "0"
+        whens = " ".join(f"WHEN {t} THEN {v}" for t, v in sorted(nz.items()))
+        return f"CASE t {whens} ELSE 0 END"
+
+    seg_cols = []
+    for name in (
+        "projection", "avg", "min", "max", "sum", "where", "groupby",
+        "orderby",
+    ):
+        n_by_t = {t: len(frag[t][name]) for t in frag}
+        ps_by_t = {t: sum(b[c] for c in frag[t][name]) for t in frag}
+        seg_cols.append(
+            f"CAST({case(n_by_t)} AS BIGINT) AS {name}_n,"
+            f" CAST({case(ps_by_t)} AS BIGINT) AS {name}_ps"
+        )
+    segs = ",\n          ".join(seg_cols)
+    return f"""
+        WITH sub AS (
+          SELECT CAST(o_orderkey AS BIGINT) AS sql_id,
+                 CAST((o_orderkey // 37) % 3 AS INT) AS t,
+                 1684000000 + (CAST(o_orderkey AS BIGINT) * 7919) % 1000000
+                   AS evt,
+                 CAST(o_orderkey AS BIGINT) % 1000 AS d,
+                 CAST(o_orderkey AS BIGINT) % 7 AS s,
+                 (CAST(o_orderkey AS BIGINT) * 13) % 1000 AS d2
+          FROM orders WHERE o_orderkey % 37 = 0
+        )
+        SELECT sql_id,
+          CAST(1489 AS INT) AS width,
+          CAST(2 AS BIGINT) AS time_n,
+          CAST(((evt // 86400) + 3) % 7 + 7 + (evt % 86400) // 3600
+               AS BIGINT) AS time_ps,
+          {segs},
+          CAST(2 AS BIGINT) AS selops_n,
+          CAST(CASE t WHEN 0 THEN {so_ps[0]} WHEN 1 THEN {so_ps[1]}
+               ELSE {so_ps[2]} END AS BIGINT) AS selops_ps,
+          CAST(1 AS BIGINT) AS rangebins_n,
+          CAST(CASE t WHEN 0 THEN d // 250
+               WHEN 1 THEN 4 + (CASE WHEN s <= 3 THEN 0 ELSE 1 END)
+               ELSE d2 // 250 END AS BIGINT) AS rangebins_ps,
+          CAST(9 AS BIGINT) AS timeoffset_n,
+          CAST(36 AS BIGINT) AS timeoffset_ps,
+          CAST(0 AS BIGINT) AS timerange_n,
+          CAST(0 AS BIGINT) AS timerange_ps,
+          CAST(0 AS BIGINT) AS granularity_n,
+          CAST(0 AS BIGINT) AS granularity_ps
+        FROM sub
     """
 
 
@@ -2339,6 +2520,7 @@ def oracle_sql() -> dict[str, str]:
         "apm_golden_corpus": _apm_golden_oracle_sql(),
         "sql_minc_ast_encode": _minc_ast_oracle_sql(),
         "sql_apm_encode": _sql_apm_oracle_sql(),
+        "sql_apm_selpred": _sql_apm_selpred_oracle_sql(),
         "embedding_neardup_lsh": """
             SELECT CAST(vec_id AS BIGINT) AS id_a,
                    CAST(vec_id + 100000 AS BIGINT) AS id_b,

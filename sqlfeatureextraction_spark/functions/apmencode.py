@@ -88,6 +88,10 @@ COL_SEGMENTS = (
     "projection", "avg", "min", "max", "sum", "where", "groupby", "orderby",
 )
 
+# selPredOpList (enc/APMFragmentIntent.java:68) — identical to the MINC
+# layout's SEL_PRED_OPS, lowercased
+APM_SEL_PRED_OPS = ("=", "<>", "<=", ">=", "<", ">", "like")
+
 
 # ------------------------------------------------------------------ vocab
 
@@ -102,11 +106,25 @@ class ApmVocab:
     schema_columns    table → tuple of column names (contents only;
                       bit positions come from the global sort)
     top_query_n       window slot capacity (topQueryN)
+    include_sel_op_const  the reference's MINC_SEL_OP_CONST flag
+                      (ApmJavaConfig.txt:12, every published config
+                      ships false): when true, createFragmentVectors
+                      additionally appends selPredOps and
+                      selPredRangeBins segments between orderBy and
+                      timeOffset (enc/APMFragmentIntent.java:740-744)
+    range_bins        "table.col" → tuple of (lo, hi) STRING bin pairs
+                      (the sel-pred range-bin dictionary; only read
+                      when include_sel_op_const)
+    col_types         "table.col" → lowercase type string (int-ness
+                      selects integer vs string bin compare, F6)
     """
 
     candidate_tables: tuple
     schema_columns: dict
     top_query_n: int = 2
+    include_sel_op_const: bool = False
+    range_bins: dict = field(default_factory=dict)
+    col_types: dict = field(default_factory=dict)
 
     @property
     def col_bit(self) -> dict:
@@ -121,11 +139,34 @@ class ApmVocab:
     def n_cols(self) -> int:
         return sum(len(c) for c in self.schema_columns.values())
 
+    @property
+    def bin_offsets(self) -> dict:
+        """full col → (offset, n_bins) within the rangebins segment
+        (bit blocks in full-column-name sort order, mirroring the
+        reference's selPredColRangeBitPos assembly)."""
+        offs, i = {}, 0
+        for fc in sorted(self.range_bins):
+            offs[fc] = (i, len(self.range_bins[fc]))
+            i += len(self.range_bins[fc])
+        return offs
+
     def query_layout(self, ignore_tables: bool = True) -> VectorLayout:
         widths = [("time", 31)]
         if not ignore_tables:
             widths.append(("tables", len(self.schema_columns)))
         widths += [(s, self.n_cols) for s in COL_SEGMENTS]
+        if self.include_sel_op_const:
+            # enc/APMFragmentIntent.java:740-744: selPredOps (one
+            # 7-op block per sel-pred dictionary column — this engine
+            # uses the full column dictionary, like its MINC layout)
+            # then selPredRangeBins, BEFORE the timeOffset segment
+            widths += [
+                ("selops", self.n_cols * len(APM_SEL_PRED_OPS)),
+                (
+                    "rangebins",
+                    sum(len(v) for v in self.range_bins.values()),
+                ),
+            ]
         widths += [("timeoffset", 9), ("timerange", 9), ("granularity", 9)]
         segs, off = [], 0
         for name, w in widths:
@@ -420,6 +461,7 @@ class _ParseState:
     ts_end_seen: bool = False
     gran: list = field(default_factory=lambda: [False] * 9)
     ok: bool = False
+    sel_preds: list = field(default_factory=list)  # (col, op, const)
 
 
 def _walk(expr, target: set, st: _ParseState, depth: int = 0):
@@ -451,6 +493,52 @@ def _walk(expr, target: set, st: _ParseState, depth: int = 0):
                 _walk(a, target, st, depth + 1)
         # zero-arg count() etc: nothing (Java args==null branch)
     # lit / star / qstar / sub: handled by resolution or ignored
+
+
+_SELPRED_CMP = {
+    "equals": "=",
+    "notequals": "<>",
+    "lessorequals": "<=",
+    "greaterorequals": ">=",
+    "less": "<",
+    "greater": ">",
+    "like": "like",
+    "notlike": "like",
+}
+
+
+def _collect_sel_preds(node, st: _ParseState, depth: int = 0) -> None:
+    """Flag-on (includeSelOpConst) sel-pred op/const capture over the
+    WHERE tree — the documented intent of the reference's
+    commented-out selPred population (enc/APMFragmentIntent.java:
+    249-252, whose maps a MINC-style walk would fill; every published
+    config ships the flag off, so the golden corpus never exercises
+    it).  ``col OP literal`` conjuncts yield (col, op, const); LIKE
+    keeps the literal; IS [NOT] NULL maps to (=, null) — the engine's
+    MINC convention.  Equality nodes DO contribute here although the
+    CH column walk skips them: the skip governs the where-column SET
+    (enc ColumnExprVisitor), not the op/const maps."""
+    if node is None or depth > 40 or node[0] != "fn":
+        return
+    name, args = node[1], node[2]
+    if name in _SELPRED_CMP and args and len(args) == 2:
+        left, right = args
+        if left[0] == "id" and right[0] == "lit":
+            col = left[1]
+            col = st.aliases.get(col, ("id", col))
+            if col[0] == "id":
+                st.sel_preds.append(
+                    (col[1], _SELPRED_CMP[name], str(right[1]).lower())
+                )
+        return
+    if name == "isnull" and args and args[0][0] == "id":
+        col = st.aliases.get(args[0][1], ("id", args[0][1]))
+        if col[0] == "id":
+            st.sel_preds.append((col[1], "=", "null"))
+        return
+    if args:
+        for a in args:
+            _collect_sel_preds(a, st, depth + 1)
 
 
 def _capture_ts_bound(name: str, args: list, st: _ParseState) -> None:
@@ -638,7 +726,9 @@ def parse_ch_query(sql: str) -> _ParseState:
         # where
         if "where" in clauses:
             c = _Cursor(clauses["where"])
-            _walk(_parse_expr(c), st.where, st)
+            wexpr = _parse_expr(c)
+            _walk(wexpr, st.where, st)
+            _collect_sel_preds(wexpr, st)
         # the reference computes timeRange after each statement's WHERE
         # group by / order by
         for item in _split_top_commas(clauses.get("group by", [])):
@@ -703,6 +793,35 @@ def _resolve_bits(colset: set, tables: list, vocab: ApmVocab) -> set:
     return bits
 
 
+def _resolve_full_col(c: str, tables: list, vocab: ApmVocab) -> str | None:
+    """Single-column retrieveTabColName: qualified → tokens[-2] must be
+    a FROM table; bare → single-FROM fast path else first FROM table
+    whose schema contains the name (enc/APMFragmentIntent.java:
+    480-532); None on any miss."""
+    cl = c.lower()
+    if "." in cl:
+        toks = cl.split(".")
+        tab, col = toks[-2], toks[-1]
+        if tab not in tables:
+            return None
+    else:
+        col = cl
+        if len(tables) == 1:
+            tab = tables[0]
+        else:
+            tab = next(
+                (
+                    t
+                    for t in tables
+                    if col in vocab.schema_columns.get(t, ())
+                ),
+                None,
+            )
+            if tab is None:
+                return None
+    return f"{tab}.{col}"
+
+
 def _bucket_bits(value, out: np.ndarray, off: int) -> None:
     """bit i set iff value is null OR trunc(value/gran_i) > 0 (Java int
     division truncates toward zero → any negative value sets nothing)
@@ -757,6 +876,38 @@ def apm_query_vector(
         seg = layout.seg(name)
         for b in _resolve_bits(cs, st.tables, vocab):
             vec[seg.offset + b] = 1.0
+    if vocab.include_sel_op_const:
+        # flag-on segments (enc/APMFragmentIntent.java:740-744):
+        # selPredOps = one 7-op block per column bit;
+        # selPredRangeBins = per-column bin blocks, reference bin-match
+        # semantics shared with the MINC layout (_bin_match)
+        from sqlfeatureextraction_spark.functions.sqlencode import _bin_match
+
+        so_off = layout.seg("selops").offset
+        rb_off = layout.seg("rangebins").offset
+        col_bit = vocab.col_bit
+        n_ops = len(APM_SEL_PRED_OPS)
+        bin_offs = vocab.bin_offsets
+        for col, op, const in st.sel_preds:
+            fc = _resolve_full_col(col, st.tables, vocab)
+            if fc is None:
+                continue
+            b = col_bit.get(fc)
+            if b is None:
+                continue
+            try:
+                op_idx = APM_SEL_PRED_OPS.index(op)
+            except ValueError:
+                continue
+            vec[so_off + b * n_ops + op_idx] = 1.0
+            if fc in bin_offs:
+                bi = _bin_match(
+                    vocab.range_bins[fc],
+                    vocab.col_types.get(fc, ""),
+                    str(const).strip("'"),
+                )
+                if bi >= 0:
+                    vec[rb_off + bin_offs[fc][0] + bi] = 1.0
     t_off = None
     if st.ts_end_seen and ts_sec != 0:
         t_off = ts_sec - st.ts_end

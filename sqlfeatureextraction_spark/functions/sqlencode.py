@@ -561,20 +561,20 @@ def canonical_join_keys(
 # ------------------------------------------------------------ encoding
 
 
-def _bin_index(vocab: SqlSchemaVocab, full_col: str, const: str) -> int:
-    """P12 bin match for one (column, constant) — exact reference
-    semantics (enc/APMFragmentIntent.java:560-695): integer compare
-    when the column type is int AND the constant parses as int (F6);
-    otherwise string compareTo between [lo, hi], with a leading-%
+def _bin_match(bins, col_type: str, const: str) -> int:
+    """P12 bin match for one (bins, column type, constant) — exact
+    reference semantics (enc/APMFragmentIntent.java:560-695): integer
+    compare when the column type is int AND the constant parses as int
+    (F6); otherwise string compareTo between [lo, hi], with a leading-%
     constant matched by substring against lo/hi; first matching bin
-    wins; null/null bins match anything; -1 when nothing matches."""
-    bins = vocab.range_bins.get(full_col)
+    wins; null/null bins match anything; -1 when nothing matches.
+    (Shared by the MINC encoders and the flag-on APM layout.)"""
     if bins is None:
         return -1
     is_int = False
     try:
         int(const)
-        is_int = "int" in vocab.col_types.get(full_col, "")
+        is_int = "int" in (col_type or "")
     except ValueError:
         pass
     for i, (lo, hi) in enumerate(bins):
@@ -590,6 +590,14 @@ def _bin_index(vocab: SqlSchemaVocab, full_col: str, const: str) -> int:
         elif lo <= const <= hi:
             return i
     return -1
+
+
+def _bin_index(vocab: SqlSchemaVocab, full_col: str, const: str) -> int:
+    return _bin_match(
+        vocab.range_bins.get(full_col),
+        vocab.col_types.get(full_col, ""),
+        const,
+    )
 
 
 def _scatter_udf(vocab: SqlSchemaVocab):

@@ -263,3 +263,63 @@ def test_vocab_matches_published_3table_config(fx):
             fc, pos = ln.rsplit(":", 1)
             published[fc.strip()] = int(pos)
     assert vocab.col_bit == published
+
+
+def test_selpred_flag_on_layout_and_bits():
+    """includeSelOpConst wiring (enc/APMFragmentIntent.java:740-744):
+    flag-on appends selPredOps + selPredRangeBins between orderBy and
+    timeOffset; op/const capture fills them (including equality nodes,
+    which the where-column walk still skips); flag-off layout is
+    byte-identical to before (the golden corpus path)."""
+    from sqlfeatureextraction_spark.functions.apmencode import (
+        APM_SEL_PRED_OPS,
+        ApmVocab,
+    )
+
+    base = dict(
+        candidate_tables=("dwm_request",),
+        schema_columns={"dwm_request": ("appid", "dur", "status")},
+        top_query_n=2,
+    )
+    voc_off = ApmVocab(**base)
+    voc_on = ApmVocab(
+        **base,
+        include_sel_op_const=True,
+        range_bins={"dwm_request.dur": (("0", "99"), ("100", "999"))},
+        col_types={"dwm_request.dur": "int32"},
+    )
+    lay_off = voc_off.query_layout()
+    lay_on = voc_on.query_layout()
+    n_cols, n_ops = 3, len(APM_SEL_PRED_OPS)
+    assert lay_on.seg("selops").width == n_cols * n_ops
+    assert lay_on.seg("rangebins").width == 2
+    # inserted between orderby and timeoffset
+    assert lay_on.seg("selops").offset == lay_off.seg("timeoffset").offset
+    assert (
+        lay_on.seg("timeoffset").offset
+        == lay_on.seg("rangebins").offset + 2
+    )
+    assert lay_on.width == lay_off.width + n_cols * n_ops + 2
+
+    sql = (
+        "SELECT dur FROM dwm_request WHERE appid = 'x' AND dur >= 150"
+        " AND status > 3"
+    )
+    vec = apm_query_vector(parse_ch_query(sql), 1700000000, voc_on)
+    assert len(vec) == lay_on.width
+    cb = voc_on.col_bit  # sorted: appid=0, dur=1, status=2
+    so = lay_on.seg("selops").offset
+    assert vec[so + cb["dwm_request.appid"] * n_ops + APM_SEL_PRED_OPS.index("=")] == 1.0
+    assert vec[so + cb["dwm_request.dur"] * n_ops + APM_SEL_PRED_OPS.index(">=")] == 1.0
+    assert vec[so + cb["dwm_request.status"] * n_ops + APM_SEL_PRED_OPS.index(">")] == 1.0
+    assert vec[so : so + n_cols * n_ops].sum() == 3.0
+    # the where-column SET keeps the equals-skip quirk
+    wseg = lay_on.seg("where")
+    assert vec[wseg.offset + cb["dwm_request.appid"]] == 0.0
+    assert vec[wseg.offset + cb["dwm_request.dur"]] == 1.0
+    # range bin: int compare, 150 falls in bin [100, 999]
+    rb = lay_on.seg("rangebins").offset
+    assert vec[rb] == 0.0 and vec[rb + 1] == 1.0
+    # flag-off: same SQL encodes at the original width (no segments)
+    vec_off = apm_query_vector(parse_ch_query(sql), 1700000000, voc_off)
+    assert len(vec_off) == lay_off.width
