@@ -609,17 +609,19 @@ def _q_session_validity(spark, sf_dir):
 
 def _q_reorganize_chains(spark, sf_dir):
     """W9 lead-chaining: for every event, the chain of 'first row past
-    the running W-window end' hops (level-synchronous vectorized
-    materialization)."""
+    the running W-window end' hops — via the DISTRIBUTED hop-map path
+    (bucketed forward as-of + iterative joins; no per-conversation
+    single task), equality-pinned against the local pandas path in
+    pytest."""
     from sqlfeatureextraction_spark.operators.reorganize import (
-        reorganize_sessions,
+        reorganize_sessions_distributed,
     )
 
     ev = _events(spark, sf_dir).select(
         F.format_string("u%05d", F.col("user_id").cast("int")).alias("conv_id"),
         "ts",
     )
-    out = reorganize_sessions(
+    out = reorganize_sessions_distributed(
         ev, window_s=7200, max_hops=8, entity_col="conv_id", ts_col="ts"
     )
     return out.select(

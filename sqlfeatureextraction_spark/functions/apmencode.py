@@ -922,6 +922,168 @@ def apm_query_vector(
     return vec
 
 
+# ----------------------------------------------------- vector → template
+
+
+def decode_apm_vector(
+    vec, vocab: ApmVocab, ignore_tables: bool = True
+) -> tuple:
+    """Inverse of ``apm_query_vector`` over the valid-encoding
+    subspace: decode an APM intent vector back to a canonical
+    ClickHouse query template + event time whose RE-ENCODING
+    reproduces the vector bit-for-bit (pinned by the round-trip
+    tests) — the layout-registry self-validation analog of the
+    reference's vector→Druid-template converter
+    (tools/QueryTemplateConverter.java:421-452, whose Query input is
+    exactly this decoded fragment-set form: projCols/selCols/
+    groupByCols/avgCols/sumCols/tables/queryTime/timeOffset/
+    timeRange/queryGranularity).
+
+    Returns ``(sql, ts_sec)``.  Raises ValueError on patterns no SQL
+    encoding can produce (multiple dow/hour bits, non-prefix time
+    buckets, granularity bits outside the CH ladder, columns from
+    more than one table — CH statements are single-FROM here)."""
+    if vocab.include_sel_op_const:
+        raise ValueError("decode supports the flag-off layout only")
+    layout = vocab.query_layout(ignore_tables)
+    vec = np.asarray(vec, dtype=np.float64)
+    if len(vec) != layout.width:
+        raise ValueError("width mismatch")
+
+    def seg_arr(name):
+        s = layout.seg(name)
+        return vec[s.offset : s.offset + s.width]
+
+    time = seg_arr("time")
+    dows, hours = np.nonzero(time[:7])[0], np.nonzero(time[7:31])[0]
+    if len(dows) != 1 or len(hours) != 1:
+        raise ValueError("time segment is not a single (dow, hour)")
+    dow, hour = int(dows[0]), int(hours[0])
+    # pick a representative epoch with that dow/hour, far enough from
+    # zero that every synthesized bound stays a 10-digit epoch (the
+    # ts-bound capture reads the literal's first 10 chars)
+    day = (dow - 3) % 7 + 7 * 2800
+    ts_sec = day * 86400 + hour * 3600
+
+    inv = {i: fc for fc, i in vocab.col_bit.items()}
+
+    def colset(name):
+        return {inv[i] for i in np.nonzero(seg_arr(name))[0]}
+
+    proj = colset("projection")
+    aggs = {a: colset(a) for a in ("avg", "min", "max", "sum")}
+    where = colset("where")
+    groupby = colset("groupby")
+    orderby = colset("orderby")
+    all_cols = proj | where | groupby | orderby
+    for s in aggs.values():
+        all_cols |= s
+    tabs = {fc.split(".", 1)[0] for fc in all_cols}
+    if len(tabs) > 1:
+        raise ValueError("columns from multiple tables (CH is single-FROM)")
+    if not ignore_tables:
+        tbits = np.nonzero(seg_arr("tables"))[0]
+        if len(tbits) != 1:
+            raise ValueError("tables segment is not a single table")
+        table = sorted(vocab.schema_columns)[int(tbits[0])]
+        if tabs and tabs != {table}:
+            raise ValueError("tables bit conflicts with column owners")
+    elif tabs:
+        table = tabs.pop()
+    else:
+        table = (
+            vocab.candidate_tables[0]
+            if vocab.candidate_tables
+            else sorted(vocab.schema_columns)[0]
+        )
+
+    def bare(fc):
+        return fc.split(".", 1)[1]
+
+    # granularity flags → toStartOfInterval clauses (inverse of the
+    # capture ladder; the day chain is cumulative)
+    gset = set(np.nonzero(seg_arr("granularity"))[0].tolist())
+    day_chain = [
+        (frozenset({4, 5, 6, 7, 8}), "toIntervalDay(365)"),
+        (frozenset({4, 5, 6, 7}), "toIntervalDay(90)"),
+        (frozenset({4, 5, 6}), "toIntervalDay(30)"),
+        (frozenset({4, 5}), "toIntervalDay(7)"),
+        (frozenset({4}), "toIntervalDay(1)"),
+    ]
+    gran_items, rem = [], set(gset)
+    for fs, clause in day_chain:
+        if fs <= rem:
+            gran_items.append(f"toStartOfInterval(ts, {clause})")
+            rem -= fs
+            break
+    singles = {
+        0: "toIntervalMinute(1)",
+        3: "toIntervalHour(1)",
+        6: "toIntervalMonth(1)",
+        8: "toIntervalYear(1)",
+    }
+    for i in sorted(rem):
+        if i not in singles:
+            raise ValueError(f"granularity bit {i} unreachable from CH")
+        gran_items.append(f"toStartOfInterval(ts, {singles[i]})")
+
+    ts_fc = f"{table}.ts"
+    items = []
+    for a in ("avg", "min", "max", "sum"):
+        for fc in sorted(aggs[a]):
+            items.append(f"{a}({bare(fc)})")
+    covered = set()
+    for s in aggs.values():
+        covered |= s
+    if gran_items:
+        covered.add(ts_fc)
+    for k, g in enumerate(gran_items):
+        items.append(f"{g} AS g{k}")
+    for fc in sorted(proj - covered):
+        items.append(bare(fc))
+    if not items:
+        items.append("count()")
+
+    def prefix_len(name):
+        nz = np.nonzero(seg_arr(name))[0]
+        p = len(nz)
+        if not np.array_equal(nz, np.arange(p)):
+            raise ValueError(f"non-prefix {name} bucket pattern")
+        return p
+
+    p_off, p_rng = prefix_len("timeoffset"), prefix_len("timerange")
+    conj, ts_handled = [], False
+    if p_off == 9:
+        # no ts<= bound reproduces all-ones; a lone ts>= would leave
+        # the range negative (no bits), so range must be empty here
+        if p_rng != 0:
+            raise ValueError("timerange bits without a ts<= bound")
+    else:
+        off_val = 0 if p_off == 0 else GRAN_SECONDS[p_off - 1]
+        ts_end = ts_sec - off_val
+        conj.append(f"(ts <= toDateTime64({ts_end}.999, 3))")
+        ts_handled = True
+        if p_rng < 9:
+            rng_val = 0 if p_rng == 0 else GRAN_SECONDS[p_rng - 1]
+            conj.append(
+                f"(ts >= toDateTime64({ts_end - rng_val}.000, 3))"
+            )
+        # p_rng == 9: omitting ts>= leaves range = ts_end (≥ 1 year)
+    if ts_fc in where and not ts_handled:
+        conj.append("(ts > 0)")
+    for fc in sorted(where - {ts_fc}):
+        conj.append(f"({bare(fc)} > 0)")
+
+    sql = "SELECT " + ", ".join(items) + f" FROM {table}"
+    if conj:
+        sql += " WHERE " + " AND ".join(conj)
+    if groupby:
+        sql += " GROUP BY " + ", ".join(bare(fc) for fc in sorted(groupby))
+    if orderby:
+        sql += " ORDER BY " + ", ".join(bare(fc) for fc in sorted(orderby))
+    return sql, ts_sec
+
+
 # ------------------------------------------------------------- Spark API
 
 

@@ -143,6 +143,58 @@ def test_reorganize_sessions_hand_case(spark):
     }
 
 
+def test_reorganize_distributed_equals_local(transcripts_df):
+    """The bucketed hop-map formulation must reproduce the local
+    pandas path row-for-row on the fixture (hot conversation, ties,
+    session gaps, single-turn convs) — with rows_per_bucket forced
+    tiny so the multi-bucket probe/suffix machinery is exercised."""
+    from sqlfeatureextraction_spark.operators.reorganize import (
+        reorganize_sessions_distributed,
+    )
+
+    loc = (
+        reorganize_sessions(transcripts_df, window_s=900, max_hops=6)
+        .toPandas()
+    )
+    dist = reorganize_sessions_distributed(
+        transcripts_df, window_s=900, max_hops=6, rows_per_bucket=64
+    ).toPandas()
+    key = ["conv_id", "chain_start_sec", "seq", "ts"]
+    lo = loc.sort_values(key, kind="mergesort").reset_index(drop=True)
+    di = dist.sort_values(key, kind="mergesort").reset_index(drop=True)
+    assert len(lo) == len(di)
+    pd.testing.assert_frame_equal(lo[key], di[key], check_dtype=False)
+
+
+def test_reorganize_distributed_hand_case(spark):
+    import datetime as dt
+
+    from sqlfeatureextraction_spark.operators.reorganize import (
+        reorganize_sessions_distributed,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("c", base + dt.timedelta(seconds=s)) for s in (0, 100, 400, 900)]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp")
+    got = reorganize_sessions_distributed(
+        df, window_s=300, rows_per_bucket=2
+    ).toPandas()
+    base_sec = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+    got["ts_s"] = (
+        got["ts"].astype("datetime64[s]").astype("int64") - base_sec
+    )
+    chains = {
+        int(s - base_sec): sorted(g.sort_values("seq")["ts_s"])
+        for s, g in got.groupby("chain_start_sec")
+    }
+    assert chains == {
+        0: [0, 400, 900],
+        100: [100, 900],
+        400: [400, 900],
+        900: [900],
+    }
+
+
 # ----------------------------------------------------------- A4 OR-combine
 
 
