@@ -16,6 +16,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # module-level: pandas-UDF type hints resolve here
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
@@ -46,8 +48,21 @@ def main() -> None:
     qs = E.queries()
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
-    # warm the JVM/parquet footer caches with a trivial action
+    # warm the JVM/parquet footer caches with a trivial action, and
+    # the Python/Arrow worker pool (fork + numpy/pandas import per
+    # core) with a no-op pandas UDF — otherwise the first measured
+    # Arrow stage pays ~1-2 s of pool spawn that is session setup,
+    # not query work
     spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("double")
+    def _warm(v: pd.Series) -> pd.Series:
+        return v * 1.0
+
+    spark.range(
+        cpus * 4, numPartitions=cpus
+    ).select(_warm(F.col("id").cast("double"))).count()
 
     for name in HEADLINE:
         fn = qs[name]

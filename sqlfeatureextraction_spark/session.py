@@ -50,6 +50,19 @@ def get_spark(
         .config("spark.default.parallelism", str(parallelism))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # floor for AQE coalescing: without it a small narrow shuffle
+        # (e.g. 4 MB of member structs at test scale) coalesces to
+        # ~4 × 1 MB partitions and the CPU-bound Arrow stages lose the
+        # cores; at real scale partitions are >= the 64 MB advisory
+        # size anyway, so the floor only matters when data is small
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            "256k",
+        )
+        # split small single-file inputs into >= one split per core —
+        # a lone parquet file under maxPartitionBytes otherwise scans
+        # (and runs every pre-shuffle expression) on ONE task
+        .config("spark.sql.files.minPartitionNum", str(parallelism))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -142,6 +142,13 @@ def fit_vocabulary(
     Token selection is frequency-thresholded then lexicographically
     ordered, so the bit assignment is independent of partitioning.
     """
+    # a single-row-group input file scans as ONE task no matter the
+    # split configs — spread the tokenize/explode across the cores
+    # when the source parallelism is low (no-op on real-scale inputs,
+    # which already have >= cores partitions)
+    target = transcripts.sparkSession.sparkContext.defaultParallelism
+    if transcripts.rdd.getNumPartitions() < max(2, target // 2):
+        transcripts = transcripts.repartition(target)
     tok_counts = (
         transcripts.select(F.explode(tokenize_col(F.col("text"))).alias("v"))
         .groupBy("v")
@@ -153,8 +160,18 @@ def fit_vocabulary(
         tok_counts = tok_counts.orderBy(F.desc("n"), F.asc("v")).limit(max_tokens)
     tokens = sorted(r["v"] for r in tok_counts.select("v").collect())
 
-    roles = _distinct_sorted(transcripts, F.col("role"))
-    tools = _distinct_sorted(transcripts, F.coalesce(F.col("tool"), F.lit("")))
+    # one job for both dictionaries: the (role, tool) pair-distinct is
+    # tiny and saves a full scan+shuffle vs two separate collects
+    pairs = (
+        transcripts.select(
+            F.col("role").alias("r"),
+            F.coalesce(F.col("tool"), F.lit("")).alias("t"),
+        )
+        .distinct()
+        .collect()
+    )
+    roles = sorted({p["r"] for p in pairs if p["r"] is not None})
+    tools = sorted({p["t"] for p in pairs})
 
     return Vocabulary(
         tokens={t: i for i, t in enumerate(tokens)},
