@@ -173,6 +173,31 @@ def _q_text_stats(spark, sf_dir):
     )
 
 
+def _q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting (rolling winnowed sketch) per
+    operators/textstats.with_fingerprint.  Oracle identity: fingerprint
+    and winnow_min are deterministic functions of text (xxhash64 over
+    the full text / min over k-gram window hashes), and xxhash64 is
+    collision-free at corpus scale, so per (lang, source) bucket the
+    count of distinct fingerprints — and of distinct (fingerprint,
+    winnow_min) sketches — equals the count of distinct texts, and a
+    doc carries a sketch iff it has >= k tokens."""
+    from sqlfeatureextraction_spark.operators.textstats import with_fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = with_fingerprint(docs, k=4)
+    return fp.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("fingerprint").cast("long").alias("n_fp"),
+        F.countDistinct("fingerprint", "winnow_min")
+        .cast("long")
+        .alias("n_sketches"),
+        F.sum(F.col("winnow_min").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_with_sketch"),
+    )
+
+
 def _q_vocab_fit(spark, sf_dir):
     """S2 vocabulary fit: distinct tokens, lexicographic bit positions."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1470,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backfill_spine": _q_backfill_spine,
         "dedup_exact": _q_dedup_exact,
         "text_stats": _q_text_stats,
+        "doc_fingerprint": _q_doc_fingerprint,
         "vocab_fit": _q_vocab_fit,
         "group_agg": _q_group_agg,
         "tumbling_window_agg": _q_tumbling_window_agg,
@@ -2286,6 +2312,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len({_TOK}) AS INT) AS n_tokens,
                    CAST(length(text) AS INT) AS n_chars_txt
             FROM documents
+        """,
+        "doc_fingerprint": f"""
+            -- fingerprint/winnow_min are deterministic, corpus-scale
+            -- collision-free functions of text, so distinct-fp counts
+            -- equal distinct-text counts; Spark's count(distinct a, b)
+            -- drops any-null rows, so n_sketches restricts to docs
+            -- with >= 4 tokens (winnow_min non-null)
+            SELECT lang, source,
+                   COUNT(*) AS n_docs,
+                   COUNT(DISTINCT text) AS n_fp,
+                   COUNT(DISTINCT text)
+                       FILTER (len({_TOK}) >= 4) AS n_sketches,
+                   COALESCE(SUM(CASE WHEN len({_TOK}) >= 4
+                                     THEN 1 ELSE 0 END), 0) AS n_with_sketch
+            FROM documents
+            GROUP BY lang, source
         """,
         "vocab_fit": f"""
             SELECT token,
