@@ -1285,6 +1285,24 @@ def _q_embedding_neardup_lsh(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
 
+def _q_ivf_topk(spark, sf_dir):
+    """IVF ANN with a provable oracle: n_probe == nlist probes every
+    cell, so the result is EXACTLY the brute-force top-10 (same oracle
+    SQL shape as ann_topk) while the full IVF plumbing — distributed
+    spherical-k-means fit (Arrow partial sums, JVM reduce), cell
+    assignment, probe-table broadcast equi-join, in-cell exact
+    ranking — is on the executed path.  Recall at n_probe < nlist is
+    pinned in tests/test_operators.py."""
+    from sqlfeatureextraction_spark.operators.similarity import ivf_topk
+
+    emb, qs = _ann_queries(spark, sf_dir)
+    emb = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    return ivf_topk(emb, qs, k=10, nlist=8, n_probe=8, iters=2)
+
+
 def _q_lsh_topk(spark, sf_dir):
     """ANN via hyperplane-LSH buckets + multiprobe, driver-visible with
     a provable expected result: corpus = embeddings ∪ scaled copies,
@@ -1534,6 +1552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_apm_encode": _q_sql_apm_encode,
         "sql_apm_selpred": _q_sql_apm_selpred,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        "ivf_topk": _q_ivf_topk,
         "lsh_topk": _q_lsh_topk,
         "f12_iso_ladder": _q_f12_iso_ladder,
         "session_split": _q_session_split,
@@ -2570,6 +2589,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(vec_id + 100000 AS BIGINT) AS id_b,
                    1.0 AS cos
             FROM embeddings WHERE vec_id < 400
+        """,
+        "ivf_topk": """
+            -- n_probe == nlist makes IVF exactly brute force, so the
+            -- oracle is the same exact top-10 as ann_topk
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qe
+              FROM embeddings WHERE vec_id < 5
+            ),
+            pairs AS (
+              SELECT q.query_id, c.vec_id AS neighbor_id,
+                ROUND(
+                  (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                   FROM (SELECT UNNEST(q.qe) x, UNNEST(c.embedding) y))
+                  / (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                           FROM (SELECT UNNEST(c.embedding) x)))
+                     * sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                             FROM (SELECT UNNEST(q.qe) x)))), 6) AS cos
+              FROM q, embeddings c
+            )
+            SELECT query_id, rk, neighbor_id, cos FROM (
+              SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rk
+              FROM pairs
+            ) WHERE rk <= 10
         """,
         "lsh_topk": """
             SELECT CAST(vec_id AS INT) AS query_id, 1 AS rk,

@@ -7,9 +7,18 @@ batch (the pure built-in ``F.aggregate``/``zip_with`` formulation is
 also provided for oracle parity — it stays JVM-side but evaluates
 per-element expression trees, slower than BLAS for wide vectors).
 
-Scale path: LSH-bucketed search (random hyperplane signatures, probe =
-query bucket) — candidates come from an equi-join on the bucket id, so
-the corpus is never crossed with the query set.
+Scale paths:
+- LSH-bucketed search (random hyperplane signatures, probe = query
+  bucket) — candidates come from an equi-join on the bucket id, so the
+  corpus is never crossed with the query set.
+- IVF (inverted-file) search — spherical k-means coarse quantizer fit
+  distributed (per-partition Arrow partial sums, nlist·P tiny rows
+  reduced JVM-side), each vector assigned to its nearest-centroid
+  cell, queries probe their n_probe nearest cells; candidates again
+  come from an equi-join on the cell id.  With n_probe == nlist the
+  probe set covers every cell and the result is exactly brute force —
+  the identity the driver-row oracle pins; recall at n_probe < nlist
+  is pinned in pytest.
 """
 
 from __future__ import annotations
@@ -89,6 +98,160 @@ def brute_force_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id")
     )
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "rk", "neighbor_id", "cos")
+    )
+
+
+def fit_ivf_centroids(
+    corpus: DataFrame,
+    nlist: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer, fit distributed.
+
+    Deterministic seeding (the ``nlist`` rows with the smallest
+    ``xxhash64(id)``), then ``iters`` Lloyd rounds.  Each round is ONE
+    job: an Arrow ``mapInPandas`` emits per-partition partial sums
+    (≤ nlist rows per partition, nlist·dim doubles), which are reduced
+    JVM-side via posexplode + groupBy(cell, pos) — only nlist·dim tiny
+    rows ever reach the driver, never corpus vectors.  Empty cells keep
+    their previous centroid.  Returns L2-normalized (nlist, dim)."""
+    seeds = (
+        corpus.select(id_col, vec_col)
+        .withColumn("_h", F.xxhash64(F.col(id_col)))
+        .orderBy("_h", id_col)
+        .limit(nlist)
+        .collect()
+    )
+    cent = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in seeds])
+    cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    nlist_eff, dim = cent.shape
+
+    for _ in range(iters):
+        cent_n = cent  # capture current centroids for this round
+
+        def partials(batches, _c=cent_n):
+            sums = np.zeros((nlist_eff, dim))
+            cnts = np.zeros(nlist_eff, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                mat /= np.maximum(
+                    np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+                )
+                cells = np.argmax(mat @ _c.T, axis=1)
+                np.add.at(sums, cells, mat)
+                cnts += np.bincount(cells, minlength=nlist_eff)
+            nz = np.nonzero(cnts)[0]
+            yield pd.DataFrame(
+                {
+                    "cell": nz.astype("int32"),
+                    "cnt": cnts[nz],
+                    "vsum": [sums[i].tolist() for i in nz],
+                }
+            )
+
+        red = (
+            corpus.select(vec_col)
+            .mapInPandas(partials, "cell int, cnt long, vsum array<double>")
+            .select(
+                "cell", "cnt", F.posexplode("vsum").alias("pos", "v")
+            )
+            .groupBy("cell", "pos")
+            .agg(F.sum("v").alias("s"), F.sum("cnt").alias("c"))
+            .collect()
+        )
+        new = cent.copy()
+        sums = np.zeros((nlist_eff, dim))
+        cnts = np.zeros(nlist_eff, dtype=np.int64)
+        for r in red:
+            sums[r["cell"], r["pos"]] = r["s"]
+            if r["pos"] == 0:
+                cnts[r["cell"]] = r["c"]
+        live = cnts > 0
+        new[live] = sums[live] / cnts[live, None]
+        new /= np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+        cent = new
+    return cent
+
+
+def _cell_udf(cent: np.ndarray):
+    """nearest-centroid cell id per vector (argmax cosine, one matmul
+    per Arrow batch; ties break to the lowest cell id via argmax)."""
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_of(vs: pd.Series) -> pd.Series:
+        mat = np.vstack(vs.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(mat @ cent.T, axis=1).astype(np.int32))
+
+    return cell_of
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nlist: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """ANN top-k via an IVF coarse quantizer.
+
+    The corpus is assigned to ``nlist`` cells once (write-time at
+    scale — pass precomputed ``centroids`` to skip the fit); each query
+    probes its ``n_probe`` nearest cells, candidates come from an
+    equi-join on the cell id (broadcast of the tiny (query, cell) probe
+    table — the corpus is never crossed with the query set), exact
+    cosine rank inside the probed cells.  ``n_probe == nlist`` probes
+    everything and is exactly brute force."""
+    cent = (
+        fit_ivf_centroids(corpus, nlist, iters, vec_col, id_col)
+        if centroids is None
+        else centroids
+    )
+    qids = [q[0] for q in queries]
+    qmat = np.asarray([q[1] for q in queries], dtype=np.float64)
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(-(qn @ cent.T), axis=1, kind="stable")
+    probe_rows = [
+        (qid, int(c))
+        for qid, row in zip(qids, order)
+        for c in row[: min(n_probe, cent.shape[0])]
+    ]
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(probe_rows, "query_id int, cell int")
+
+    assigned = corpus.select(
+        F.col(id_col), F.col(vec_col), _cell_udf(cent)(F.col(vec_col)).alias("cell")
+    )
+    cand = assigned.join(F.broadcast(probes), "cell").select(
+        "query_id", F.col(id_col).alias("neighbor_id"), vec_col
+    )
+    cos_all = _cosine_matrix_udf(qmat)
+    sims = cand.withColumn("sims", cos_all(F.col(vec_col))).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.element_at(
+                "sims",
+                F.array_position(
+                    F.array(*[F.lit(q) for q in qids]), F.col("query_id")
+                ).cast("int"),
+            ),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         sims.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)

@@ -225,6 +225,60 @@ def test_lsh_topk_recall(spark):
     assert np.mean(recall) >= 0.4, recall
 
 
+def test_ivf_topk_full_probe_is_exact(spark):
+    # n_probe == nlist probes every cell -> byte-identical to brute force
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pdf = emb.toPandas()
+    queries = [
+        (int(pdf["vec_id"].iloc[i]), list(map(float, pdf["embedding"].iloc[i])))
+        for i in range(3)
+    ]
+    exact = (
+        SIM.brute_force_topk(emb, queries, k=10)
+        .toPandas()
+        .sort_values(["query_id", "rk"])
+        .reset_index(drop=True)
+    )
+    full = (
+        SIM.ivf_topk(emb, queries, k=10, nlist=8, n_probe=8, iters=2)
+        .toPandas()
+        .sort_values(["query_id", "rk"])
+        .reset_index(drop=True)
+    )
+    assert full.equals(exact)
+
+
+def test_ivf_topk_partial_probe_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pdf = emb.toPandas()
+    queries = [
+        (int(pdf["vec_id"].iloc[i]), list(map(float, pdf["embedding"].iloc[i])))
+        for i in range(5)
+    ]
+    exact = SIM.brute_force_topk(emb, queries, k=10).toPandas()
+    approx = SIM.ivf_topk(emb, queries, k=10, nlist=8, n_probe=2, iters=2).toPandas()
+    recall = []
+    for qid, _ in queries:
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        # the query's own cell is always its nearest centroid, so the
+        # query itself is always a candidate and ranks first
+        assert qid in a
+        recall.append(len(e & a) / len(e))
+    # probing 2/8 cells must beat the 0.25 random-candidate baseline
+    assert np.mean(recall) >= 0.4, recall
+
+
+def test_ivf_centroids_deterministic(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    c1 = SIM.fit_ivf_centroids(emb, nlist=4, iters=2)
+    c2 = SIM.fit_ivf_centroids(emb, nlist=4, iters=2)
+    # seeding is exact-deterministic; the Lloyd reduce sums floats in
+    # shuffle order, so equality holds to fp-reassociation tolerance
+    assert np.allclose(c1, c2, atol=1e-12)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
 # -------------------------------------------------------------- textstats
 
 
