@@ -323,3 +323,94 @@ def test_selpred_flag_on_layout_and_bits():
     # flag-off: same SQL encodes at the original width (no segments)
     vec_off = apm_query_vector(parse_ch_query(sql), 1700000000, voc_off)
     assert len(vec_off) == lay_off.width
+
+
+# ----------------------------------------------------- TestAstParser pins
+# The reference's own direct-encoder unit queries
+# (test/sql/clickhouse/parser/TestAstParser.java:114-136, testSQL2-4) run
+# through createQueryVector with no schema; pin the extraction facts the
+# Java walk produces for each.
+
+TESTSQL2 = (
+    "SELECT count() AS total_RESP, toStartOfInterval(ts, INTERVAL 7 day,"
+    " 'Asia/Shanghai') AS ts_RESP FROM dwm_request_cluster WHERE (appid ="
+    " 'pro-api-g10-xingyun') AND (ts <= toDateTime64(1684487339.999, 3))"
+    " AND (ts >= toDateTime64(1677834480.000, 3)) GROUP BY ts_RESP ORDER"
+    " BY ts_RESP ASC"
+)
+TESTSQL3 = (
+    "SELECT sum(biz) AS biz_RESP, sum(err) AS err_RESP, sum(exception) AS"
+    " exception_RESP, sum(fail) AS fail_RESP, sum(frustrated) AS"
+    " frustrated_RESP, sum(tolerated) AS tolerated_RESP, count() AS"
+    " total_RESP, group FROM dwm_request WHERE (appid ="
+    " 'pro-api-g10-xingyun') AND (is_model = true) AND (ts <="
+    " toDateTime64(1684406399.999, 3)) AND (ts >="
+    " toDateTime64(1683801540.000, 3)) GROUP BY group ORDER BY total_RESP"
+    " DESC LIMIT 0, 5"
+)
+TESTSQL4 = (
+    "select * from viewifpermitted(select message from system.warnings"
+    " else null('message string'))"
+)
+
+
+def test_astparser_testsql2_pins():
+    """TestAstParser.testSQL2 (:114-121): _cluster strip, INTERVAL-form
+    granularity ladder (7 day -> day+week, ch/ClickhouseSQLParser.java
+    :195-227), both ts bounds via first-10-chars (:177-194), equals-skip
+    on appid (:161), ts_RESP alias re-resolution into every clause set,
+    count() capturing nothing (agg branch needs a bare-identifier first
+    arg, :164-176)."""
+    st = parse_ch_query(TESTSQL2)
+    assert st.tables == ["dwm_request"]  # _cluster stripped (:96-100)
+    assert st.projection == {"ts"} and st.where == {"ts"}
+    assert st.groupby == {"ts"} and st.orderby == {"ts"}
+    assert not any(st.aggs.values())
+    assert (st.ts_start, st.ts_end) == (1677834480, 1684487339)
+    assert st.ts_end_seen
+    assert [i for i, g in enumerate(st.gran) if g] == [4, 5]
+
+
+def test_astparser_testsql3_pins():
+    """TestAstParser.testSQL3 (:123-129): six sum() captures land in BOTH
+    sumColumns and selectionColumns (trailing arg walk, :229-231); the
+    bare `group` column; ORDER BY total_RESP resolves to count() which
+    contributes no identifier; equals-skip drops appid/is_model."""
+    st = parse_ch_query(TESTSQL3)
+    sums = {"biz", "err", "exception", "fail", "frustrated", "tolerated"}
+    assert st.aggs["sum"] == sums
+    assert not st.aggs["avg"] and not st.aggs["max"] and not st.aggs["min"]
+    assert st.projection == sums | {"group"}
+    assert st.groupby == {"group"} and st.orderby == set()
+    assert st.where == {"ts"}
+    assert (st.ts_start, st.ts_end) == (1683801540, 1684406399)
+    assert [i for i, g in enumerate(st.gran) if g] == []
+
+
+def test_astparser_testsql4_vector_equals_aborted_statement(fx):
+    """TestAstParser.testSQL4 (:130-136): a table-function FROM has no
+    plain identifier, so the reference aborts extraction before reading
+    select items (ch/ClickhouseSQLParser.java:92-94) — every fragment set
+    stays empty.  Our splitter instead records the function name as a
+    table token (documented divergence); pin that it is vector-INVISIBLE:
+    the encoded query vector equals an empty extraction's, and the bogus
+    name can never set a tablesIntent bit (not a candidate table)."""
+    from sqlfeatureextraction_spark.functions.apmencode import _ParseState
+
+    vocab, _ = fx
+    st = parse_ch_query(TESTSQL4)
+    assert st.projection == set() and st.where == set()
+    assert not any(st.aggs.values())
+    assert st.tables == ["viewifpermitted"]
+    assert st.tables[0] not in list(vocab.candidate_tables)
+    epoch = 1684487339
+    v = apm_query_vector(st, epoch, vocab)
+    empty = _ParseState()
+    empty.ok = True  # parse succeeded, extraction aborted (:92-94)
+    v_empty = apm_query_vector(empty, epoch, vocab)
+    assert v is not None and np.array_equal(v, v_empty)
+    # the aborted statement still carries time one-hots and the
+    # null-timeOffset all-ones block (enc/APMFragmentIntent.java:791-802)
+    lay = vocab.query_layout()
+    off = lay.seg("timeoffset").offset
+    assert v[off : off + 9].sum() == 9.0
