@@ -414,3 +414,99 @@ def test_astparser_testsql4_vector_equals_aborted_statement(fx):
     lay = vocab.query_layout()
     off = lay.seg("timeoffset").offset
     assert v[off : off + 9].sum() == 9.0
+
+
+def test_astparser_testquerys_tsv_corpus():
+    """The reference's input/testQuerys.tsv corpus (5 rows, driven by
+    TestAstParser.testSQL:84-113 via ExcelReader.filterSql — all five
+    pass its DDL/select gate, rdr/ExcelReader.java:123-130).  Queries
+    inlined verbatim (reference TEST DATA, provenance: input/
+    testQuerys.tsv column `query`).  Pins per row: db-qualified FROM
+    keeps the last dotted part, INTERVAL-form vs toIntervalDay-form
+    granularity both land gran[day] only for n=1, a trailing-dot
+    toDateTime64 literal still yields first-10-chars epoch, an
+    aggregate alias in ORDER BY re-walks into the orderby set, and an
+    OR-chain of equals predicates contributes no where columns."""
+    corpus = [
+        (  # row 0: INTERVAL 1 day; _cluster strip
+            "SELECT count() AS total_RESP, toStartOfInterval(ts, INTERVAL 1"
+            " day, 'Asia/Shanghai') AS ts_RESP FROM dwm_request_cluster"
+            " WHERE (appid = 'app-member-activity-xc') AND (ts <="
+            " toDateTime64(1684479899.999, 3)) AND (ts >="
+            " toDateTime64(1683529440.000, 3)) GROUP BY ts_RESP ORDER BY"
+            " ts_RESP ASC",
+            dict(tables=["dwm_request"], proj={"ts"}, where={"ts"},
+                 gb={"ts"}, ob={"ts"}, aggs={}, ts=(1683529440, 1684479899),
+                 gran=[4]),
+        ),
+        (  # row 1: db-qualified; toIntervalDay(1); trailing-dot literal
+            "SELECT count() AS total_RESP, toStartOfInterval(ts,"
+            " toIntervalDay(1), 'Asia/Shanghai') AS ts_RESP FROM"
+            " pmone_0d5de51f17.dwm_sql WHERE (appsysid ="
+            " '6b999963-2c75-416e-9aa0-8493fafd3b9b') AND (ts <="
+            " toDateTime64(1684484219.999, 3)) AND (ts >="
+            " toDateTime64(1683879360., 3)) GROUP BY ts_RESP ORDER BY"
+            " ts_RESP ASC",
+            dict(tables=["dwm_sql"], proj={"ts"}, where={"ts"}, gb={"ts"},
+                 ob={"ts"}, aggs={}, ts=(1683879360, 1684484219), gran=[4]),
+        ),
+        (  # row 2: avg alias resolved in ORDER BY -> dur lands in orderby
+            "SELECT avg(dur) AS avg_dur_RESP, group FROM"
+            " pmone_0d5de51f17.dwm_request WHERE (appid ="
+            " 'app-member-activity-xc') AND (appsysid ="
+            " '6cdca5d2-ff63-4479-b05e-46c758c9ff79') AND (ts <="
+            " toDateTime64(1684425599.999, 3)) AND (ts >="
+            " toDateTime64(1684339200., 3)) GROUP BY group ORDER BY"
+            " avg_dur_RESP DESC LIMIT 0, 8",
+            dict(tables=["dwm_request"], proj={"dur", "group"},
+                 where={"ts"}, gb={"group"}, ob={"dur"},
+                 aggs={"avg": {"dur"}}, ts=(1684339200, 1684425599),
+                 gran=[]),
+        ),
+        (  # row 3: OR-chain of equals -> no where cols; 7 sum captures
+            "SELECT sum(err) AS err_RESP, sum(exception) AS exception_RESP,"
+            " sum(fail) AS fail_RESP, sum(frustrated) AS frustrated_RESP,"
+            " sum(httperr) AS httperr_RESP, sum(neterr) AS neterr_RESP,"
+            " sum(tolerated) AS slow_RESP, count() AS total_RESP, group"
+            " FROM dwm_request_cluster WHERE (appid = 'pro-api-g10-xingyun')"
+            " AND (service_type = '1170') AND (ts <="
+            " toDateTime64(1684404119.999, 3)) AND (ts >="
+            " toDateTime64(1683799260.000, 3)) AND ((group ="
+            " '112B025F88838E9F') OR (group = '3DF9D4ECFB6B1791') OR (group"
+            " = '40CA8BDA95BD41A3') OR (group = '628747FC25DAB8A8') OR"
+            " (group = '96299FC7A384B583') OR (group = '9926CA6C668D6DF8')"
+            " OR (group = 'A7C080C28F86A01B') OR (group ="
+            " 'B29538867F5098B0') OR (group = 'B3D6282393299C8E') OR (group"
+            " = 'E01090DB3A6CC1BA') OR (group = 'E820303E475A700D')) GROUP"
+            " BY group ORDER BY total_RESP DESC LIMIT 0, 1000",
+            dict(tables=["dwm_request"],
+                 proj={"err", "exception", "fail", "frustrated", "group",
+                       "httperr", "neterr", "tolerated"},
+                 where={"ts"}, gb={"group"}, ob=set(),
+                 aggs={"sum": {"err", "exception", "fail", "frustrated",
+                               "httperr", "neterr", "tolerated"}},
+                 ts=(1683799260, 1684404119), gran=[]),
+        ),
+        (  # row 4: multi-column GROUP BY; dwm_exception_cluster strip
+            "SELECT count() AS total_RESP, appsysid, class FROM"
+            " dwm_exception_cluster WHERE (ts <="
+            " toDateTime64(1684481219.999, 3)) AND (ts >="
+            " toDateTime64(1683876360.000, 3)) GROUP BY appsysid, class"
+            " LIMIT 0, 1000",
+            dict(tables=["dwm_exception"], proj={"appsysid", "class"},
+                 where={"ts"}, gb={"appsysid", "class"}, ob=set(), aggs={},
+                 ts=(1683876360, 1684481219), gran=[]),
+        ),
+    ]
+    for i, (sql, exp) in enumerate(corpus):
+        st = parse_ch_query(sql)
+        assert st.ok, i
+        assert st.tables == exp["tables"], i
+        assert st.projection == exp["proj"], i
+        assert st.where == exp["where"], i
+        assert st.groupby == exp["gb"], i
+        assert st.orderby == exp["ob"], i
+        got_aggs = {k: v for k, v in st.aggs.items() if v}
+        assert got_aggs == exp["aggs"], i
+        assert (st.ts_start, st.ts_end) == exp["ts"], i
+        assert [j for j, g in enumerate(st.gran) if g] == exp["gran"], i
