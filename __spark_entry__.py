@@ -1367,6 +1367,42 @@ def _q_f12_iso_ladder(spark, sf_dir):
     )
 
 
+def _q_sql_druid_rewrite(spark, sf_dir):
+    """F11 CH→Druid rewrite chain (functions/sqlrewrite.py, reference
+    tools/SQLConverter.java:14-216 + SqlGroupByReplacer.java:11-98)
+    exercised distributed: a per-row templated ClickHouse query is
+    built from events columns, rewritten by the Arrow UDF, and the
+    row-varying facts are regexp-extracted BACK out of the Druid SQL —
+    the millis-as-text bound (epoch seconds), the avg→sum(x_sum)/
+    sum("count") rule chain (measure name), and the LIMIT 0,n
+    collapse; the oracle re-derives each from the generating columns."""
+    from sqlfeatureextraction_spark.functions.sqlrewrite import (
+        druid_rewrite_udf,
+    )
+
+    ev = _events(spark, sf_dir).where(F.col("event_id") % 7 == 0)
+    ch = F.concat(
+        F.lit("SELECT avg("),
+        F.col("event_type"),
+        F.lit(") AS m_RESP, group FROM pmone_0d5de51f17.dwm_request"
+              " WHERE (appid = 'x') AND (ts <= toDateTime64("),
+        F.col("ts_sec").cast("string"),
+        F.lit(".999, 3)) GROUP BY group ORDER BY m_RESP DESC LIMIT 0, "),
+        (F.col("event_id") % 100 + 1).cast("string"),
+    )
+    out = ev.withColumn("druid", druid_rewrite_udf()(ch))
+    return out.select(
+        F.col("event_id").alias("sql_id"),
+        F.regexp_extract(
+            "druid", r"MILLIS_TO_TIMESTAMP\((\d+) \* 1000 \+ 999\)", 1
+        ).cast("long").alias("ts_end_sec"),
+        F.regexp_extract("druid", r"sum\((\w+)_sum\)", 1).alias("measure"),
+        F.regexp_extract("druid", r"LIMIT (\d+)$", 1)
+        .cast("long").alias("limit_n"),
+        F.regexp_extract("druid", r"FROM (\w+) WHERE", 1).alias("from_tbl"),
+    )
+
+
 def _q_sql_minc_ast_encode(spark, sf_dir):
     """AST-grade MINC front end (functions/mincparse.py) on the SQL
     shapes the regex layer cannot handle structurally: nested FROM
@@ -1558,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_split": _q_session_split,
         "apm_window_backfill": _q_apm_window_backfill,
         "sql_minc_ast_encode": _q_sql_minc_ast_encode,
+        "sql_druid_rewrite": _q_sql_druid_rewrite,
     }
 
 
@@ -2938,5 +2975,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT i AS media_id, 'image' AS kind,
                    8 AS n_bins, 1.0 AS hist_sum
             FROM range(64) t(i) WHERE i % 3 = 0
+        """,
+        # F11: the rewritten Druid SQL's row-varying facts re-derived
+        # from the generating columns (ts bound seconds, measure name
+        # through the avg→sum(x_sum) chain, LIMIT 0,n collapse, the
+        # pmone-db + _cluster table normalizations)
+        "sql_druid_rewrite": """
+            SELECT CAST(event_id AS BIGINT) AS sql_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS ts_end_sec,
+                   event_type AS measure,
+                   CAST(event_id % 100 + 1 AS BIGINT) AS limit_n,
+                   'dwm_request' AS from_tbl
+            FROM events WHERE event_id % 7 = 0
         """,
     }

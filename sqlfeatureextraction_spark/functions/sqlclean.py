@@ -12,8 +12,11 @@ D5 recurring prune   enc/IntentCreatorMultiThread.java:206-247
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas-UDF type hints must resolve
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_ = pd  # re-exported into module globals for stringified hints
 
 
 def clean_sql_text(col: Column) -> Column:
@@ -57,3 +60,51 @@ def prune_recurring(
         c = F.col(sql_col).rlike(p)
         cond = c if cond is None else (cond | c)
     return df.where(~cond) if cond is not None else df
+
+
+def longest_common_substrings(s: str, t: str) -> set:
+    """F7: ALL longest common substrings of two strings — exact DP
+    semantics of enc/MINCFragmentIntent.java:667-690
+    ``longestCommonSubstrings`` (a tie returns every maximal substring;
+    two empty inputs return the empty set).  Unused on the reference's
+    main encode path (SURVEY §2.8) — provided for template-similarity
+    work; O(|s|·|t|) per pair, so at scale apply it only AFTER a
+    candidate-pair generation stage (MinHash/SimHash bucketing in
+    operators/dedup.py), never all-pairs."""
+    longest = 0
+    result: set = set()
+    prev = [0] * len(t)
+    for i in range(len(s)):
+        cur = [0] * len(t)
+        si = s[i]
+        for j in range(len(t)):
+            if si != t[j]:
+                continue
+            v = 1 if (i == 0 or j == 0) else 1 + prev[j - 1]
+            cur[j] = v
+            if v > longest:
+                longest = v
+                result.clear()
+            if v == longest:
+                result.add(s[i - longest + 1 : i + 1])
+        prev = cur
+    return result
+
+
+def lcs_pairs_udf():
+    """Arrow-batched (Series, Series) -> Series UDF producing the
+    sorted longest-common-substring array per candidate pair."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def lcs(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                sorted(longest_common_substrings(x, y))
+                if x is not None and y is not None
+                else None
+                for x, y in zip(a, b)
+            ]
+        )
+
+    return lcs
