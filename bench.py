@@ -20,6 +20,27 @@ import pandas as pd  # module-level: pandas-UDF type hints resolve here
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+def _cpu_stat():
+    """First /proc/stat line as ints (user..steal) or None."""
+    try:
+        return [int(x) for x in open("/proc/stat").readline().split()[1:9]]
+    except Exception:  # non-Linux
+        return None
+
+
+def _calibrate() -> float:
+    """Fixed single-thread work unit (seconds) — a host-noise sentinel:
+    on a quiet box this is stable to a few percent; CPU-steal bursts
+    show up directly as inflation here."""
+    import numpy as np
+
+    a = np.arange(1_500_000, dtype=np.float64)
+    t0 = time.perf_counter()
+    for _ in range(40):
+        a = np.sqrt(a * 1.000001 + 1.0)
+    return round(time.perf_counter() - t0, 4)
+
+
 HEADLINE = [
     "transcript_window_features",  # flagship end-to-end pipeline
     "pit_window_sum",
@@ -54,6 +75,7 @@ def main() -> None:
     # Arrow stage pays ~1-2 s of pool spawn that is session setup,
     # not query work
     spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     from pyspark.sql import functions as F
 
     @F.pandas_udf("double")
@@ -64,19 +86,47 @@ def main() -> None:
         cpus * 4, numPartitions=cpus
     ).select(_warm(F.col("id").cast("double"))).count()
 
-    # best-of-2 per query: the host's background load swings single
-    # runs by tens of percent (documented in BENCH_SCALING.md); the min
-    # of two back-to-back reps is the standard low-noise estimator
-    reps = int(os.environ.get("BENCH_REPS", "2"))
-    for name in HEADLINE:
-        fn = qs[name]
-        best = float("inf")
-        for _ in range(reps):
+    # best-of-3 per query, reps ROUND-ROBIN (rep 1 of every query,
+    # then rep 2, ...): this VM shows bursty CPU steal (a fixed
+    # single-thread numpy matmul swings +-40% run-to-run; /proc/stat
+    # records ~3% average steal with multi-minute bursts), and a
+    # 32-task stage is gated by its SLOWEST task, so single reps swing
+    # 2-6x.  Back-to-back reps of one query all land inside the same
+    # burst; round-robin separates a query's reps by minutes so the
+    # min over reps actually dodges it.  Steal%% over the bench window
+    # and a fixed-work calibration are recorded in the JSON so a
+    # contaminated record is identifiable.
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    max_passes = int(os.environ.get("BENCH_MAX_PASSES", "6"))
+    stat0 = _cpu_stat()
+    cals = [_calibrate()]
+    clean_passes = 0
+    passes = 0
+    while passes < max_passes:
+        for name in HEADLINE:
             t0 = time.perf_counter()
-            n = fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        rows[name] = n
+            n = qs[name](spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            if dt < timings.get(name, float("inf")):
+                timings[name] = dt
+            rows[name] = n
+        cals.append(_calibrate())
+        passes += 1
+        # a pass whose bracketing calibrations are both within 1.5x of
+        # the best calibration seen ran on a quiet host; keep passing
+        # (up to the cap) until `reps` passes were clean, so a steal
+        # burst over the first passes cannot poison the recorded min
+        best_cal = min(cals)
+        if cals[-2] < 1.5 * best_cal and cals[-1] < 1.5 * best_cal:
+            clean_passes += 1
+            if clean_passes >= reps:
+                break
+    timings = {k: round(v, 3) for k, v in timings.items()}
+    stat1 = _cpu_stat()
+    steal_pct = None
+    if stat0 and stat1:
+        d = [y - x for x, y in zip(stat0, stat1)]
+        steal_pct = round(100.0 * d[7] / max(sum(d), 1), 2)
 
     total = round(sum(timings.values()), 3)
     n_turns = rows.get("pit_window_sum", 0)
@@ -88,8 +138,13 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "parallelism": cpus,
-        "reps_per_query": reps,
-        "timing": "min over reps (host-noise mitigation)",
+        "reps_per_query": passes,
+        "clean_passes": clean_passes,
+        "timing": "min over round-robin passes (host-noise mitigation)",
+        "host_noise": {
+            "steal_pct_bench_window": steal_pct,
+            "fixed_work_cal_sec": cals,
+        },
         "rows": rows,
         "turns_per_sec": round(n_turns / flagship_s, 1) if flagship_s else None,
     }
