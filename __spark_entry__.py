@@ -428,6 +428,20 @@ def _q_minhash_pairs(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: minhash-LSH pairs closed transitively via
+    min-label-propagation connected components; every document gets its
+    component's min doc_id as cluster_id (singletons: own id).  Same
+    LSH recall argument as minhash_pairs (32 bands × 2 rows ⇒ miss
+    ≤ 1e-4 at J≥0.5), so the DuckDB oracle — exact all-pairs Jaccard
+    pairs + recursive-CTE transitive closure — recomputes the identical
+    clustering."""
+    from sqlfeatureextraction_spark.operators.dedup import dedup_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_clusters(docs, threshold=0.5, num_hashes=64, bands=32)
+
+
 def _q_simhash_dedup(spark, sf_dir):
     """SimHash duplicate groups (Hamming-0).  The 60-bit fingerprint is
     md5-derived and fully JVM-side, so DuckDB recomputes it exactly."""
@@ -1562,6 +1576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_dedup": _q_simhash_dedup,
+        "dedup_clusters": _q_dedup_clusters,
         "embedding_neardup": _q_embedding_neardup,
         "asof_join_orders": _q_asof_join_orders,
         "oov_stats": _q_oov_stats,
@@ -2871,6 +2886,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, ROUND(ni * 1.0 / nu, 6) AS jaccard
             FROM p WHERE nu > 0 AND ni * 1.0 / nu >= 0.5
+        """,
+        # exact-Jaccard pairs (same recall argument as minhash_pairs)
+        # closed transitively with a recursive CTE; cluster id = the
+        # component's min doc_id, singletons keep their own id
+        "dedup_clusters": f"""
+            WITH RECURSIVE t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            s AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) >= 3 THEN
+                  list_distinct(list_transform(range(len(toks) - 2),
+                    i -> toks[i+1] || toks[i+2] || toks[i+3]))
+                ELSE [] END AS sh
+              FROM t
+            ),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE len(a.sh) + len(b.sh)
+                    - len(list_intersect(a.sh, b.sh)) > 0
+                AND len(list_intersect(a.sh, b.sh)) * 1.0
+                    / (len(a.sh) + len(b.sh)
+                       - len(list_intersect(a.sh, b.sh))) >= 0.5
+            ),
+            e AS (
+              SELECT id_a AS u, id_b AS v FROM p
+              UNION
+              SELECT id_b AS u, id_a AS v FROM p
+            ),
+            reach(u, v) AS (
+              SELECT u, v FROM e
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+              WHERE e.v <> r.u
+            ),
+            m AS (SELECT u, MIN(v) AS mv FROM reach GROUP BY u)
+            SELECT d.doc_id,
+                   LEAST(d.doc_id, COALESCE(m.mv, d.doc_id)) AS cluster_id
+            FROM documents d LEFT JOIN m ON d.doc_id = m.u
         """,
         # identical md5-derived 60-bit simhash recomputed in SQL
         "simhash_dedup": f"""

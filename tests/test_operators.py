@@ -160,6 +160,49 @@ def test_jaccard_value_exact(spark):
     assert abs(j["jaccard"].iloc[0] - 1 / 3) < 1e-9
 
 
+def test_connected_components_chain(spark):
+    # chain 1-2, 2-3, 3-4 plus isolated pair 10-11: the closure must
+    # collapse the whole chain to min id 1 even though (1,4) is not a
+    # pair (similarity is not transitive; the closure is the point)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = (
+        D.connected_components(pairs)
+        .toPandas()
+        .set_index("doc_id")["cluster_id"]
+    )
+    assert {got[i] for i in (1, 2, 3, 4)} == {1}
+    assert got[10] == got[11] == 10
+
+
+def test_connected_components_singletons(spark):
+    pairs = spark.createDataFrame([(2, 5)], "id_a long, id_b long")
+    verts = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    got = (
+        D.connected_components(pairs, vertices=verts)
+        .toPandas()
+        .set_index("doc_id")["cluster_id"]
+    )
+    assert got[2] == got[5] == 2
+    for i in (0, 1, 3, 4, 6):
+        assert got[i] == i
+
+
+def test_dedup_clusters_end_to_end(docs):
+    got = (
+        D.dedup_clusters(docs, threshold=0.5, num_hashes=64, bands=32)
+        .toPandas()
+        .set_index("doc_id")["cluster_id"]
+    )
+    # 0 and 1 identical, 2 a near-dup of both → one cluster rooted at 0
+    assert got[0] == got[1] == got[2] == 0
+    # 3/4 share every token (reordered) → 0 shingle-3 overlap is NOT
+    # guaranteed, but they must never merge with cluster 0
+    assert got[3] != 0 and got[5] == 5
+    assert len(got) == 6  # every doc labeled, singletons included
+
+
 def test_simhash_dedup(docs):
     got = D.simhash_dedup(docs).toPandas()
     assert len(got[got["n_copies"] >= 2]) >= 1
