@@ -75,8 +75,14 @@ def job():
 
 n = job()  # warm-up (JIT, parquet footers, Arrow init)
 times = []
-for _ in range(reps):
+for i in range(reps):
     t0 = time.perf_counter(); n = job(); times.append(time.perf_counter() - t0)
+    # progress line per rep so a late crash (executor-loss on the last
+    # rep, teardown storm before the summary prints) loses at most ONE
+    # rep instead of the whole leg — the parent reconstructs a summary
+    # from these if the final line never lands
+    print(json.dumps({"rep": i, "rows": n, "sec": round(times[-1], 3)}))
+    sys.stdout.flush()
 med = sorted(times)[len(times) // 2]
 best = min(times)
 print(json.dumps({"parallelism": par, "rows": n,
@@ -149,13 +155,44 @@ def run_level(
         env=env,
         check=False,
     )
+    if mode == "executors":
+        # the child's deterministic os._exit(0) can orphan the driver
+        # JVM (and with it the in-process master/worker + executor
+        # processes); sweep anything local-cluster-shaped so the next
+        # leg starts on an idle box.  Targeted: these patterns only
+        # match executors-mode JVMs, never a concurrent local[N] run.
+        import time as _t
+
+        for pat in ("CoarseGrainedExecutorBackend", "local-cluster"):
+            subprocess.run(["pkill", "-f", pat], check=False)
+        _t.sleep(3)
     lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
-    if not lines:  # no measurement emitted — a REAL failure
-        raise RuntimeError(
-            f"level {par} produced no result (rc={out.returncode}):\n"
-            + out.stderr[-4000:]
-        )
-    return json.loads(lines[-1])
+    recs = [json.loads(ln) for ln in lines]
+    final = [r for r in recs if "sec_median" in r]
+    if final:
+        return final[-1]
+    # no summary — reconstruct from per-rep progress lines (a crash on
+    # the last rep / teardown storm loses at most one rep)
+    prog = [r for r in recs if "sec" in r]
+    if prog:
+        times = [r["sec"] for r in prog]
+        n = prog[-1]["rows"]
+        med = sorted(times)[len(times) // 2]
+        best = min(times)
+        return {
+            "parallelism": par,
+            "rows": n,
+            "sec_median": round(med, 3),
+            "sec_min": round(best, 3),
+            "all_secs": [round(t, 1) for t in times],
+            "rows_per_sec_median": round(n / med, 1),
+            "rows_per_sec_min": round(n / best, 1),
+            "partial_reps": len(times),
+        }
+    raise RuntimeError(
+        f"level {par} produced no result (rc={out.returncode}):\n"
+        + out.stderr[-4000:]
+    )
 
 
 def main() -> None:
