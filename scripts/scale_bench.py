@@ -155,6 +155,10 @@ def run_level(
         env=env,
         check=False,
     )
+    # child stderr always lands on disk — a leg that loses reps to an
+    # executor crash is diagnosable post-hoc
+    with open(f"/tmp/scale_lvl{par}_{mode}.stderr", "w") as f:
+        f.write(out.stderr)
     if mode == "executors":
         # the child's deterministic os._exit(0) can orphan the driver
         # JVM (and with it the in-process master/worker + executor

@@ -176,6 +176,48 @@ def test_connected_components_chain(spark):
     assert got[10] == got[11] == 10
 
 
+def test_star_components_long_chain(spark):
+    # a 60-node path is the min-label worst case (diameter 59 >
+    # max_iter); the star algorithm must collapse it in O(log n)
+    # rounds well inside its max_rounds=20
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "id_a long, id_b long"
+    )
+    got = (
+        D.connected_components(pairs, algorithm="star")
+        .toPandas()
+        .set_index("doc_id")["cluster_id"]
+    )
+    assert len(got) == 60 and set(got) == {0}
+
+
+def test_star_vs_label_random_graph(spark):
+    # fixed-seed random graph: both algorithms must produce the
+    # identical clustering (min-id per component)
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    e = rng.randint(0, 60, size=(80, 2))
+    e = e[e[:, 0] != e[:, 1]]
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in e], "id_a long, id_b long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+    lab = (
+        D.connected_components(pairs, vertices=verts, max_iter=100)
+        .toPandas()
+        .set_index("doc_id")["cluster_id"]
+        .sort_index()
+    )
+    star = (
+        D.connected_components(pairs, vertices=verts, algorithm="star")
+        .toPandas()
+        .set_index("doc_id")["cluster_id"]
+        .sort_index()
+    )
+    assert (lab == star).all()
+
+
 def test_connected_components_singletons(spark):
     pairs = spark.createDataFrame([(2, 5)], "id_a long, id_b long")
     verts = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
