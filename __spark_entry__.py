@@ -442,6 +442,55 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(docs, threshold=0.5, num_hashes=64, bands=32)
 
 
+def _q_corpus_curation(spark, sf_dir):
+    """End-to-end corpus curation (composed pipeline): heuristic
+    quality gate (score >= 0.7, a dead zone of the score distribution
+    so the boundary is fp-stable) -> exact text dedup (min doc_id per
+    text) -> near-dup cluster keep-one (minhash LSH pairs + transitive
+    closure, same recall argument as minhash_pairs) -> per-language
+    survivor counts at every stage.  Each stage is individually
+    oracle-pinned elsewhere (quality_score, dedup_exact,
+    dedup_clusters); this row pins their COMPOSITION."""
+    from sqlfeatureextraction_spark.operators.dedup import dedup_clusters
+    from sqlfeatureextraction_spark.operators.textstats import (
+        with_quality_score,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    gated = with_quality_score(docs).where(F.col("quality_score") >= 0.7)
+    w = Window.partitionBy("text").orderBy("doc_id")
+    exact = (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "text", "lang")
+    )
+    reps = (
+        dedup_clusters(exact, threshold=0.5, num_hashes=64, bands=32)
+        .where(F.col("cluster_id") == F.col("doc_id"))
+        .select("doc_id")
+    )
+    total = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
+    nq = gated.groupBy("lang").agg(F.count("*").alias("n_quality"))
+    ne = exact.groupBy("lang").agg(F.count("*").alias("n_exact"))
+    nf = (
+        exact.join(reps, "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_final"))
+    )
+    return (
+        total.join(nq, "lang", "left")
+        .join(ne, "lang", "left")
+        .join(nf, "lang", "left")
+        .select(
+            "lang",
+            "n_total",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            F.coalesce("n_final", F.lit(0)).alias("n_final"),
+        )
+    )
+
+
 def _q_simhash_dedup(spark, sf_dir):
     """SimHash duplicate groups (Hamming-0).  The 60-bit fingerprint is
     md5-derived and fully JVM-side, so DuckDB recomputes it exactly."""
@@ -1577,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_dedup": _q_simhash_dedup,
         "dedup_clusters": _q_dedup_clusters,
+        "corpus_curation": _q_corpus_curation,
         "embedding_neardup": _q_embedding_neardup,
         "asof_join_orders": _q_asof_join_orders,
         "oov_stats": _q_oov_stats,
@@ -2924,6 +2974,105 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    LEAST(d.doc_id, COALESCE(m.mv, d.doc_id)) AS cluster_id
             FROM documents d LEFT JOIN m ON d.doc_id = m.u
+        """,
+        # composed curation pipeline: quality gate (rounded score, same
+        # formula as the quality_score oracle) -> exact text dedup (min
+        # doc_id per text) -> near-dup keep-one (exact-Jaccard pairs
+        # over the survivors + recursive-CTE closure; same recall
+        # argument as minhash_pairs/dedup_clusters) -> per-lang counts
+        "corpus_curation": f"""
+            WITH RECURSIVE
+            r AS (
+              SELECT doc_id, text, lang,
+                coalesce(text, '') AS txt,
+                CAST(GREATEST(length(coalesce(text, '')), 1) AS DOUBLE)
+                  AS n_sf,
+                CAST(GREATEST(len({_TOK}), 1) AS DOUBLE) AS n_toks,
+                length(coalesce(text, '')) AS n
+              FROM documents
+            ),
+            q AS (
+              SELECT doc_id, text, lang, n,
+                ROUND(length(regexp_replace(txt, '[^.,;:!?]', '', 'g'))
+                      / n_sf, 6) AS punct_ratio,
+                ROUND(length(regexp_replace(txt, '[^0-9]', '', 'g'))
+                      / n_sf, 6) AS digit_ratio,
+                ROUND(len(list_filter(
+                  list_filter(string_split_regex(lower(txt), '[^a-z0-9]+'),
+                              x -> x <> ''),
+                  x -> list_contains(
+                    ['the','and','of','to','is','in','that','it','for'], x)))
+                  / n_toks, 6) AS stopword_ratio
+              FROM r
+            ),
+            gated AS (
+              SELECT doc_id, text, lang FROM q
+              WHERE ROUND(
+                (CASE WHEN n < 10 THEN 0.0 WHEN n < 50 THEN 0.5
+                      WHEN n < 5000 THEN 1.0 ELSE 0.5 END) * 0.4
+                + (1 - LEAST(punct_ratio * 5, 1.0)) * 0.2
+                + (1 - LEAST(digit_ratio * 4, 1.0)) * 0.2
+                + LEAST(stopword_ratio * 3, 1.0) * 0.2, 6) >= 0.7
+            ),
+            exact AS (
+              SELECT doc_id, text, lang FROM (
+                SELECT doc_id, text, lang,
+                       ROW_NUMBER() OVER (PARTITION BY text
+                                          ORDER BY doc_id) AS rn
+                FROM gated
+              ) WHERE rn = 1
+            ),
+            t AS (SELECT doc_id, {_TOK} AS toks FROM exact),
+            s AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) >= 3 THEN
+                  list_distinct(list_transform(range(len(toks) - 2),
+                    i -> toks[i+1] || toks[i+2] || toks[i+3]))
+                ELSE [] END AS sh
+              FROM t
+            ),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+              WHERE len(a.sh) + len(b.sh)
+                    - len(list_intersect(a.sh, b.sh)) > 0
+                AND len(list_intersect(a.sh, b.sh)) * 1.0
+                    / (len(a.sh) + len(b.sh)
+                       - len(list_intersect(a.sh, b.sh))) >= 0.5
+            ),
+            e AS (
+              SELECT id_a AS u, id_b AS v FROM p
+              UNION
+              SELECT id_b AS u, id_a AS v FROM p
+            ),
+            reach(u, v) AS (
+              SELECT u, v FROM e
+              UNION
+              SELECT r2.u, e.v FROM reach r2 JOIN e ON r2.v = e.u
+              WHERE e.v <> r2.u
+            ),
+            m AS (SELECT u, MIN(v) AS mv FROM reach GROUP BY u),
+            fin AS (
+              SELECT x.doc_id, x.lang
+              FROM exact x LEFT JOIN m ON x.doc_id = m.u
+              WHERE LEAST(x.doc_id, COALESCE(m.mv, x.doc_id)) = x.doc_id
+            ),
+            tot AS (SELECT lang, COUNT(*) AS n_total
+                    FROM documents GROUP BY lang),
+            nq AS (SELECT lang, COUNT(*) AS n_quality
+                   FROM gated GROUP BY lang),
+            ne AS (SELECT lang, COUNT(*) AS n_exact
+                   FROM exact GROUP BY lang),
+            nf AS (SELECT lang, COUNT(*) AS n_final
+                   FROM fin GROUP BY lang)
+            SELECT tot.lang, tot.n_total,
+                   COALESCE(nq.n_quality, 0) AS n_quality,
+                   COALESCE(ne.n_exact, 0) AS n_exact,
+                   COALESCE(nf.n_final, 0) AS n_final
+            FROM tot
+            LEFT JOIN nq ON tot.lang = nq.lang
+            LEFT JOIN ne ON tot.lang = ne.lang
+            LEFT JOIN nf ON tot.lang = nf.lang
         """,
         # identical md5-derived 60-bit simhash recomputed in SQL
         "simhash_dedup": f"""
