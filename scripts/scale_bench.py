@@ -54,9 +54,16 @@ from sqlfeatureextraction_spark.operators.asof_merge import window_features_merg
 
 if mode == "executors":
     # real executor JVMs (local-cluster[par,1,mem]); engine shipped as a
-    # zip exactly like spark-submit --py-files would on a cluster
+    # zip exactly like spark-submit --py-files would on a cluster.
+    # Per-executor memory must be sized to the cached working set
+    # (SCALE_EXEC_MEM_MB): the 10M-turn input caches ~12 GB of turn
+    # vectors, and 6 GB executors hit BytesToBytesMap allocation
+    # failures (hash-agg execution memory vs storage contention) that
+    # degrade the hi leg disproportionately — a real cluster sizes
+    # executors to the workload, so the bench must too.
+    exec_mb = int(os.environ.get("SCALE_EXEC_MEM_MB", "6144"))
     spark = get_spark("scale", parallelism=par, shuffle_partitions=par,
-                      n_executors=par)
+                      n_executors=par, executor_mem_mb=exec_mb)
     spark.sparkContext.addPyFile(os.environ["PYFILES_ZIP"])
 else:
     spark = get_spark("scale", parallelism=par, shuffle_partitions=par)
@@ -129,6 +136,10 @@ def run_level(
 ) -> dict:
     env = _env()
     if mode == "executors":
+        # work happens in the executor JVMs; a 48g driver heap (the
+        # thread-mode default) would push 8 right-sized executors past
+        # this box's 128 GiB — the driver only coordinates here
+        env.setdefault("SPARK_DRIVER_MEM", "8g")
         zip_path = os.path.join(env["REPO_ROOT"], "sqlfeatureextraction_spark.zip")
         subprocess.run(
             [

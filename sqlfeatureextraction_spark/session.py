@@ -75,6 +75,21 @@ def get_spark(
         builder = builder.config(
             "spark.executor.memory", f"{executor_mem_mb}m"
         )
+        # Liveness-detection slack for noisy / overcommitted hosts
+        # (this sandbox VM shows multi-minute CPU-steal bursts; the
+        # same settings are standard on preemptible or oversubscribed
+        # cluster nodes): with the 120s default network timeout a
+        # burst makes the driver declare healthy executors dead, the
+        # worker relaunches them, every relaunch drops the block
+        # cache, and the job degrades into a relaunch storm (observed:
+        # executor IDs into the 30s for an 8-executor app).  A dead
+        # JVM is still detected — just on a timescale longer than a
+        # steal burst.
+        builder = (
+            builder.config("spark.executor.heartbeatInterval", "30s")
+            .config("spark.network.timeout", "600s")
+            .config("spark.worker.timeout", "600")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
