@@ -1602,6 +1602,128 @@ def _q_apm_window_backfill(spark, sf_dir):
     ).withColumnRenamed("width", "win_width")
 
 
+def _q_raw_log_scan(spark, sf_dir):
+    """S1 raw-log TSV scan: materialize events as a header TSV (the
+    reference's input shape, tools/IOUtil.java:53-100), scan it back
+    through read_raw_log_tsv (typed minute-granularity timestamp parse)
+    and emit typed columns.  The oracle recomputes the same fields from
+    the parquet table directly — agreement means the TSV sink→scan→parse
+    chain is lossless at the format's minute granularity.  jitter=False
+    here because the hash-jitter variant is xxhash64-keyed (not
+    DuckDB-reproducible); jitter determinism is pinned in pytest."""
+    from sqlfeatureextraction_spark.sources.io import read_raw_log_tsv
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/driver_raw_log_{tag}"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    (
+        ev.select(
+            F.col("event_id").cast("string").alias("event_id"),
+            F.date_format("ts", "yyyy/M/d HH:mm").alias("event_time"),
+            F.col("user_id").cast("string").alias("user_id"),
+            "event_type",
+            F.col("value").cast("string").alias("value"),
+        )
+        .write.mode("overwrite")
+        .option("sep", "\t")
+        .option("header", True)
+        .csv(path)
+    )
+    raw = read_raw_log_tsv(spark, path, ts_col="event_time", jitter=False)
+    return raw.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.round(F.col("value").cast("double"), 4).alias("value"),
+        F.col("ts").cast("long").alias("ts_min_sec"),
+    )
+
+
+def _q_session_log_resume(spark, sf_dir):
+    """S4 session-log line scan with sequential resume: write a
+    deterministic line-oriented log (one file, event_id order; every
+    third line is a 'Query' line with messy whitespace), then scan with
+    keep_pattern='Query' and start_line=100.  Pins BOTH semantics the
+    reference's countLines*/MINC_START_LINE_NUM path needs
+    (enc/APMFragmentIntent.java:848-1002): the contiguous global line
+    index (zipWithIndex, not monotonically_increasing_id) and the
+    whitespace normalization."""
+    from sqlfeatureextraction_spark.sources.io import read_session_log_lines
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/driver_session_log_{tag}"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lines = ev.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.format_string(
+                "Query %d;  type=%s   user=%d",
+                F.col("event_id"),
+                F.col("event_type"),
+                F.col("user_id"),
+            ),
+        )
+        .otherwise(F.format_string("noise %d", F.col("event_id")))
+        .alias("value"),
+    )
+    (
+        lines.repartition(1)
+        .sortWithinPartitions("event_id")
+        .select("value")
+        .write.mode("overwrite")
+        .text(path)
+    )
+    return read_session_log_lines(
+        spark, path, keep_pattern="Query", start_line=100
+    )
+
+
+def _q_vocab_dim_roundtrip(spark, sf_dir):
+    """S3 vocabulary dimension-table source: to_df → parquet sink →
+    scan → from_df → to_df must be the identity on the (segment, value,
+    bit_pos) dim table (reference persists/reloads the fitted dict as
+    ApmColBitPos.txt, rdr/ExcelReader.java:101).  The bow segment is
+    the documents token fit (same lexicographic assignment the
+    vocab_fit row pins); role/tool segments are fixed literals."""
+    from sqlfeatureextraction_spark.vocab import Vocabulary
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = [
+        r["token"]
+        for r in docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
+        .distinct()
+        .orderBy("token")
+        .collect()  # vocabulary is tiny by construction (S3 contract)
+    ]
+    vocab = Vocabulary(
+        tokens={t: i for i, t in enumerate(toks)},
+        roles={"assistant": 0, "user": 1},
+        tools={"": 0, "search": 1},
+    )
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/driver_vocab_dim_{tag}"
+    vocab.to_df(spark).write.mode("overwrite").parquet(path)
+    v2 = Vocabulary.from_df(spark.read.parquet(path))
+    return v2.to_df(spark)
+
+
+def _q_oov_observe(spark, sf_dir):
+    """A6 success/fail counters: observe() metrics attached to the OOV
+    pipeline (vocab.observe_oov — the reference's accumulated
+    success/skip counters, enc/IntentCreatorMultiThread.java run
+    loggers), with the returned row being the counters' defining
+    aggregates so the oracle can recompute them."""
+    from sqlfeatureextraction_spark.vocab import observe_oov
+
+    per_doc = observe_oov(_q_oov_stats(spark, sf_dir))
+    return per_doc.agg(
+        F.sum("n_oov").cast("long").alias("total_oov"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pit_window_sum": _q_pit_window_sum,
@@ -1660,6 +1782,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apm_window_backfill": _q_apm_window_backfill,
         "sql_minc_ast_encode": _q_sql_minc_ast_encode,
         "sql_druid_rewrite": _q_sql_druid_rewrite,
+        "raw_log_scan": _q_raw_log_scan,
+        "session_log_resume": _q_session_log_resume,
+        "vocab_dim_roundtrip": _q_vocab_dim_roundtrip,
+        "oov_observe": _q_oov_observe,
     }
 
 
@@ -3189,5 +3315,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(event_id % 100 + 1 AS BIGINT) AS limit_n,
                    'dwm_request' AS from_tbl
             FROM events WHERE event_id % 7 = 0
+        """,
+        # S1: the TSV sink→scan→parse chain is lossless except the
+        # format's minute granularity, so the oracle is the source
+        # table with ts truncated to the minute
+        "raw_log_scan": """
+            SELECT event_id, user_id, event_type,
+                   ROUND(value, 4) AS value,
+                   CAST(floor(epoch(date_trunc('minute', ts))) AS BIGINT)
+                     AS ts_min_sec
+            FROM events
+        """,
+        # S4: lines are written in event_id order (one file), so the
+        # contiguous line index is rank-by-event_id; resume drops the
+        # first 100 lines, the pattern keeps event_id % 3 = 0, and the
+        # scan collapses runs of whitespace
+        "session_log_resume": """
+            WITH numbered AS (
+              SELECT event_id, event_type, user_id,
+                     ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS idx
+              FROM events
+            )
+            SELECT printf('Query %d; type=%s user=%d',
+                          event_id, event_type, user_id) AS line
+            FROM numbered
+            WHERE idx >= 100 AND event_id % 3 = 0
+        """,
+        # S3: sink→scan round-trip must be the identity on the dim
+        # table; bow = the vocab_fit lexicographic assignment,
+        # role/tool segments are the row's fixed literals
+        "vocab_dim_roundtrip": f"""
+            SELECT 'bow' AS segment, token AS value,
+                   CAST(ROW_NUMBER() OVER (ORDER BY token) - 1 AS INT)
+                     AS bit_pos
+            FROM (SELECT DISTINCT UNNEST({_TOK}) AS token FROM documents)
+            UNION ALL SELECT 'role', 'assistant', CAST(0 AS INT)
+            UNION ALL SELECT 'role', 'user', CAST(1 AS INT)
+            UNION ALL SELECT 'tool', '', CAST(0 AS INT)
+            UNION ALL SELECT 'tool', 'search', CAST(1 AS INT)
+        """,
+        # A6: the observe() counters' defining aggregates over the
+        # oov_stats per-doc frame
+        "oov_observe": f"""
+            WITH tok AS (
+              SELECT doc_id, UNNEST({_TOK}) AS t FROM documents
+            ),
+            v AS (SELECT t FROM tok GROUP BY t HAVING COUNT(*) >= 5),
+            o AS (
+              SELECT doc_id, COUNT(*) AS n_oov
+              FROM tok ANTI JOIN v USING (t) GROUP BY doc_id
+            )
+            SELECT CAST(SUM(COALESCE(o.n_oov, 0)) AS BIGINT) AS total_oov,
+                   CAST(SUM(len({_TOK})) AS BIGINT) AS total_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM documents d LEFT JOIN o USING (doc_id)
         """,
     }
