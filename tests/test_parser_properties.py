@@ -249,6 +249,79 @@ def test_fuzz_total_and_deterministic(text):
     assert _state_key(m) == _state_key(n)
 
 
+def _tiny_vocab():
+    from sqlfeatureextraction_spark.functions.sqlencode import SqlSchemaVocab
+
+    return SqlSchemaVocab(
+        tables=("t_items", "t_orders", "t_users"),
+        columns={
+            "t_items": ("c_c", "c_d"),
+            "t_orders": ("c_b", "c_c"),
+            "t_users": ("c_a", "c_b"),
+        },
+        col_types={},
+        join_pairs={},
+        range_bins={},
+    )
+
+
+@given(simple_select())
+@SETTINGS
+def test_minc_bit_scatter_constructive_oracle(case):
+    """Bit-level constructive oracle: scatter the parsed state through
+    minc_state_vector and compare against a vector built directly from
+    the generated query parts — independently exercising owner
+    resolution (single-FROM fast path), the per-segment col_bit
+    placement, the limit bit and the (col, op) sel-pred grid.  Columns
+    absent from the FROM table's schema must leave their bits unset
+    (the reference swallows lookup misses,
+    enc/APMFragmentIntent.java:303-305)."""
+    import numpy as np
+
+    from sqlfeatureextraction_spark.functions.mincparse import (
+        minc_state_vector,
+    )
+    from sqlfeatureextraction_spark.functions.sqlfragments import (
+        SEL_PRED_OPS,
+    )
+
+    sql, exp = case
+    vocab = _tiny_vocab()
+    layout = vocab.layout()
+    tab = exp["tables"][0]
+    cols = set(vocab.columns[tab])
+    col_bit = vocab.col_bit
+
+    expected = np.zeros(layout.width)
+    expected[layout.seg("qtype").offset] = 1.0  # select
+    expected[layout.seg("tables").offset + vocab.tables.index(tab)] = 1.0
+
+    def put(names, seg):
+        off = layout.seg(seg).offset
+        for n in names:
+            if n in cols:
+                expected[off + col_bit[f"{tab}.{n}"]] = 1.0
+
+    put(exp["projection"], "projection")
+    for agg in ("avg", "min", "max", "sum"):
+        put(exp["aggs"][agg], agg)
+    put(exp["where"], "selection")
+    put(exp["groupby"], "groupby")
+    put(exp["orderby"], "orderby")
+    if exp["limit"]:
+        expected[layout.seg("limit").offset] = 1.0
+    ops_off = layout.seg("selops").offset
+    for col, op, const in exp["sel_preds"]:
+        if col in cols:
+            b = col_bit[f"{tab}.{col}"]
+            expected[
+                ops_off + b * len(SEL_PRED_OPS) + SEL_PRED_OPS.index(op)
+            ] = 1.0
+
+    got = minc_state_vector(parse_minc_query(sql), vocab)
+    assert np.array_equal(got, expected)
+
+
 @given(
     st.lists(
         st.sampled_from(
