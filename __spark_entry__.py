@@ -1724,6 +1724,62 @@ def _q_oov_observe(spark, sf_dir):
     )
 
 
+def _q_stream_pit_window(spark, sf_dir):
+    """§2.9 streaming flagship analog: the W2/W3 right-closed
+    (ts−300s, ts] rolling window computed INCREMENTALLY via
+    applyInPandasWithState (trailing-window arrays in GroupState,
+    vectorized cumsum+searchsorted per batch — no per-row Python),
+    driven to completion over the bounded events table.  Shares the
+    batch pit_window_sum oracle exactly: streaming ≡ batch on bounded
+    input, including RANGE-frame tie semantics.  True cross-batch state
+    carry is pinned in tests/test_stateful_stream.py."""
+    import tempfile
+    import uuid
+
+    from sqlfeatureextraction_spark.streaming.stream import (
+        stateful_pit_window,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wdir = tempfile.mkdtemp(prefix="stream_pw_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(wdir, "events.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(wdir)
+        .select(
+            F.col("user_id").cast("string").alias("user_id"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+    out = stateful_pit_window(
+        stream,
+        entity_col="user_id",
+        id_col="event_id",
+        window_s=300,
+    )
+    name = f"stream_pw_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select(
+        "event_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        "ts_sec",
+        F.round("w_sum", 4).alias("w_sum"),
+        "w_cnt",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pit_window_sum": _q_pit_window_sum,
@@ -1786,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_log_resume": _q_session_log_resume,
         "vocab_dim_roundtrip": _q_vocab_dim_roundtrip,
         "oov_observe": _q_oov_observe,
+        "stream_pit_window": _q_stream_pit_window,
     }
 
 
@@ -2491,6 +2548,17 @@ def _lang_case_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "pit_window_sum": f"""
+            SELECT event_id, user_id, ts_sec,
+                   ROUND(SUM(value) OVER w, 4) AS w_sum,
+                   COUNT(*) OVER w AS w_cnt
+            FROM ({_EV_TS})
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                         RANGE BETWEEN 299 PRECEDING AND CURRENT ROW)
+        """,
+        # streaming PIT window: identical semantics to pit_window_sum —
+        # the incremental applyInPandasWithState path must reproduce the
+        # batch RANGE frame bit-for-bit on bounded input
+        "stream_pit_window": f"""
             SELECT event_id, user_id, ts_sec,
                    ROUND(SUM(value) OVER w, 4) AS w_sum,
                    COUNT(*) OVER w AS w_cnt

@@ -140,6 +140,91 @@ def stateful_turn_counter(
     )
 
 
+def stateful_pit_window(
+    stream: DataFrame,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    window_s: int = 300,
+):
+    """Streaming point-in-time rolling window (the W2/W3 flagship
+    semantics, incrementally): per entity, emit the right-closed
+    ``(ts − window_s, ts]`` trailing sum/count for every arriving row,
+    with the trailing window's (ts, value) arrays kept in GroupState
+    across micro-batches.
+
+    Matches the batch formulation exactly (``Window.partitionBy(entity)
+    .orderBy(ts_sec).rangeBetween(-(window_s-1), 0)``) INCLUDING the
+    RANGE-frame tie semantics: rows sharing one ts_sec all see the same
+    window, which contains every equal-ts row — so within a batch the
+    emit is computed per distinct ts over the full batch+state timeline
+    (vectorized: one sort + cumsum + two searchsorted calls per group,
+    no per-row Python).
+
+    Cross-batch contract: micro-batches must arrive in event-time order
+    per entity (an append-only time-ordered log — the same contract the
+    reference's sequential reader has, enc/APMFragmentIntent.java's
+    line-ordered session logs) and equal-ts ties must not straddle a
+    batch boundary; the pytest pins multi-batch equality to the batch
+    engine under that contract (tests/test_stateful_stream.py).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{entity_col} string, {id_col} long, ts_sec long, "
+        "w_sum double, w_cnt long"
+    )
+    state_schema = "ts array<long>, val array<double>"
+    lo_lag = window_s - 1  # right-closed: keep ts' >= ts - (W-1)
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            s_ts, s_val = state.get
+            s_ts = np.asarray(s_ts, dtype=np.int64)
+            s_val = np.asarray(s_val, dtype=np.float64)
+        else:
+            s_ts = np.empty(0, dtype=np.int64)
+            s_val = np.empty(0, dtype=np.float64)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+            b_ts = (
+                pdf[ts_col].astype("datetime64[s]").astype("int64").to_numpy()
+            )
+            b_val = pdf[val_col].to_numpy(dtype=np.float64)
+            ts_all = np.concatenate([s_ts, b_ts])
+            val_all = np.concatenate([s_val, b_val])
+            csum = np.concatenate([[0.0], np.cumsum(val_all)])
+            # per batch row: window = rows with ts in [ts_i - (W-1), ts_i]
+            lo = np.searchsorted(ts_all, b_ts - lo_lag, side="left")
+            hi = np.searchsorted(ts_all, b_ts, side="right")
+            yield pd.DataFrame(
+                {
+                    entity_col: key[0],
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    "ts_sec": b_ts,
+                    "w_sum": csum[hi] - csum[lo],
+                    "w_cnt": (hi - lo).astype(np.int64),
+                }
+            )
+            # carry only what any future (ts >= max_ts) window can reach
+            keep = ts_all >= ts_all[-1] - lo_lag
+            s_ts, s_val = ts_all[keep], val_all[keep]
+        state.update((s_ts.tolist(), s_val.tolist()))
+
+    return stream.groupBy(entity_col).applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(agg: DataFrame, name: str):
     """Drive a bounded file-backed stream to completion synchronously;
     results land in the in-memory table `name`."""

@@ -1,5 +1,7 @@
 """Stateful streaming operator + S4 session-log scan."""
 
+import os
+
 from pyspark.sql import functions as F
 
 from sqlfeatureextraction_spark.sources.io import read_session_log_lines
@@ -61,6 +63,91 @@ def test_stateful_turn_counter_matches_batch(tmp_path, spark, transcripts_df):
         # deterministic synth writes each conv into one partition file,
         # so per-conv order is preserved and session counts must match
         assert row["n_sess"] == exp.loc[conv, "n_sess"], conv
+
+
+def test_stateful_pit_window_matches_batch_across_batches(
+    tmp_path, spark, transcripts_df
+):
+    """Streaming PIT rolling window == batch rangeBetween, with every
+    conversation's rows SPLIT ACROSS two micro-batches at a global time
+    threshold (true cross-batch GroupState carry, unlike the turn
+    counter test where each conv lives in one file).  Ties cannot
+    straddle the split because the split is on ts itself."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    from sqlfeatureextraction_spark.streaming.stream import (
+        stateful_pit_window,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ev = transcripts_df.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("event_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("duration_ms").cast("double").alias("value"),
+    )
+    t_split = ev.agg(
+        F.expr("percentile_approx(cast(ts as long), 0.5)")
+    ).collect()[0][0]
+    early = ev.where(F.col("ts").cast("long") < t_split)
+    late = ev.where(F.col("ts").cast("long") >= t_split)
+    early.coalesce(1).write.mode("overwrite").parquet(str(src / "a"))
+    late.coalesce(1).write.mode("overwrite").parquet(str(src / "b"))
+    # one file per trigger, oldest mtime first -> a then b
+    a_file = next((src / "a").glob("part-*.parquet"))
+    b_file = next((src / "b").glob("part-*.parquet"))
+    (src / "f1.parquet").write_bytes(a_file.read_bytes())
+    (src / "f2.parquet").write_bytes(b_file.read_bytes())
+    os.utime(src / "f1.parquet", (1_000_000, 1_000_000))
+    os.utime(src / "f2.parquet", (2_000_000, 2_000_000))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*.parquet"))
+    )
+    out = stateful_pit_window(
+        stream, entity_col="conv_id", window_s=300
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pitwin")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.sql("SELECT * FROM pitwin")
+        .toPandas()
+        .sort_values(["conv_id", "event_id"])
+        .reset_index(drop=True)
+    )
+
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-299, 0)
+    )
+    exp = (
+        ev.select(
+            "conv_id",
+            "event_id",
+            F.col("ts").cast("long").alias("ts_sec"),
+            F.sum("value").over(w).alias("w_sum"),
+            F.count("*").over(w).alias("w_cnt"),
+        )
+        .toPandas()
+        .sort_values(["conv_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["conv_id"] == exp["conv_id"]).all()
+    assert (got["ts_sec"].to_numpy() == exp["ts_sec"].to_numpy()).all()
+    assert (got["w_cnt"].to_numpy() == exp["w_cnt"].to_numpy()).all()
+    assert np.allclose(got["w_sum"].to_numpy(), exp["w_sum"].to_numpy())
 
 
 def test_session_log_scan(tmp_path, spark):
