@@ -3,7 +3,10 @@
 Runs each ``queries()`` entry on Spark and its ``oracle_sql()`` on
 DuckDB over the same parquet dir, compares row count, sorted schema and
 an order-insensitive value hash (columns sorted by name, rows sorted,
-floats canonicalized).  Usage: python scripts/check_correctness.py [sf_dir]
+floats canonicalized).
+
+Usage: python scripts/check_correctness.py [sf_dir] [query_name ...]
+(no names = all queries + the entry() smoke)
 """
 
 from __future__ import annotations
@@ -63,6 +66,13 @@ def main() -> int:
             )
 
     qs, oracles = E.queries(), E.oracle_sql()
+    only = set(sys.argv[2:])
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}")
+            return 1
+        qs = {k: v for k, v in qs.items() if k in only}
     n_fail = 0
     for name, fn in qs.items():
         try:
@@ -99,9 +109,10 @@ def main() -> int:
             print(x[bad_rows].head(3))
 
     # smoke: entry()
-    res = E.entry(spark)
-    n = res.count()
-    print(f"entry(): {n} rows, schema {res.schema.simpleString()}")
+    if not only:
+        res = E.entry(spark)
+        n = res.count()
+        print(f"entry(): {n} rows, schema {res.schema.simpleString()}")
     print("ALL OK" if n_fail == 0 else f"{n_fail} FAILURES")
     return 1 if n_fail else 0
 
