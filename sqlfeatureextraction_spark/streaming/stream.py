@@ -188,10 +188,16 @@ def stateful_pit_window(
         else:
             s_ts = np.empty(0, dtype=np.int64)
             s_val = np.empty(0, dtype=np.float64)
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+        # pdfs is an iterator of ARROW CHUNKS of one group's micro-batch
+        # (positional ~10k-row splits, NOT time-ordered): the batch is
+        # one atomic set, so concat + one sort, never per-chunk windows
+        # — a per-chunk pass would mis-window any group larger than one
+        # chunk whose later chunk holds earlier timestamps
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            pdf = pd.concat(frames, ignore_index=True).sort_values(
+                [ts_col, id_col], kind="mergesort"
+            )
             b_ts = (
                 pdf[ts_col].astype("datetime64[s]").astype("int64").to_numpy()
             )
@@ -214,7 +220,7 @@ def stateful_pit_window(
             # carry only what any future (ts >= max_ts) window can reach
             keep = ts_all >= ts_all[-1] - lo_lag
             s_ts, s_val = ts_all[keep], val_all[keep]
-        state.update((s_ts.tolist(), s_val.tolist()))
+            state.update((s_ts.tolist(), s_val.tolist()))
 
     return stream.groupBy(entity_col).applyInPandasWithState(
         fn,

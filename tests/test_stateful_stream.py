@@ -150,6 +150,80 @@ def test_stateful_pit_window_matches_batch_across_batches(
     assert np.allclose(got["w_sum"].to_numpy(), exp["w_sum"].to_numpy())
 
 
+def test_stateful_pit_window_multichunk_group(tmp_path, spark):
+    """A group larger than one Arrow chunk arrives as MULTIPLE pdfs in
+    arbitrary row order within one micro-batch; the operator must
+    window over the whole batch, not per chunk.  Forced with a 64-row
+    Arrow batch size and a 500-row single-conversation input written in
+    shuffled order."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from sqlfeatureextraction_spark.streaming.stream import (
+        stateful_pit_window,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 500
+    ts = pd.Timestamp("2026-01-01") + pd.to_timedelta(
+        np.sort(rng.integers(0, 3600, n)), unit="s"
+    )
+    pdf = pd.DataFrame(
+        {
+            "conv_id": "c0",
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": ts,
+            "value": rng.integers(1, 100, n).astype(np.float64),
+        }
+    ).sample(frac=1.0, random_state=3)  # shuffled row order on disk
+    src = str(tmp_path / "src")
+    ev = spark.createDataFrame(pdf)
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        out = stateful_pit_window(stream, entity_col="conv_id", window_s=300)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("pitchunk")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    got = (
+        spark.sql("SELECT * FROM pitchunk")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-299, 0)
+    )
+    exp = (
+        ev.select(
+            "event_id",
+            F.sum("value").over(w).alias("w_sum"),
+            F.count("*").over(w).alias("w_cnt"),
+        )
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == n
+    assert (got["w_cnt"].to_numpy() == exp["w_cnt"].to_numpy()).all()
+    assert np.allclose(got["w_sum"].to_numpy(), exp["w_sum"].to_numpy())
+
+
 def test_session_log_scan(tmp_path, spark):
     p = tmp_path / "log.txt"
     p.write_text(
