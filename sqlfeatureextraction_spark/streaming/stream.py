@@ -99,16 +99,19 @@ def stateful_turn_counter(
 
     def fn(key, pdfs, state):
         # vectorized within each micro-batch: gap flags → cumsum; only
-        # the scalar (n, last_ts, sess) carries across batches
+        # the scalar (n, last_ts, sess) carries across batches.
+        # pdfs is an iterator of positional Arrow chunks in ARBITRARY
+        # row order — the batch is one atomic set, so concat + ONE sort
+        # (a per-chunk pass mis-orders any group larger than one chunk)
         n, last_ts, sess = state.get if state.exists else (0, None, 0)
-        frames = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "turn_idx"], kind="mergesort"
+            )
             ts_sec = (
                 pdf["ts"].astype("datetime64[s]").astype("int64").to_numpy()
             )
-            if len(ts_sec) == 0:
-                continue
             prev = np.empty_like(ts_sec)
             prev[1:] = ts_sec[:-1]
             prev[0] = last_ts if last_ts is not None else ts_sec[0]
@@ -118,18 +121,17 @@ def stateful_turn_counter(
             n += len(ts_sec)
             last_ts = int(ts_sec[-1])
             sess = int(sess_ids[-1])
-            frames.append(
-                pd.DataFrame(
-                    {
-                        entity_col: key[0],
-                        "ts": pdf["ts"].to_numpy(),
-                        "turn_no": turn_no,
-                        "session_id": sess_ids,
-                    }
-                )
+            state.update((n, last_ts, sess))
+            yield pd.DataFrame(
+                {
+                    entity_col: key[0],
+                    "ts": pdf["ts"].to_numpy(),
+                    "turn_no": turn_no,
+                    "session_id": sess_ids,
+                }
             )
-        state.update((n, last_ts, sess))
-        yield from frames
+        else:
+            state.update((n, last_ts, sess))
 
     return stream.groupBy(entity_col).applyInPandasWithState(
         fn,
