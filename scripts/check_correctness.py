@@ -52,6 +52,10 @@ def value_hash(pdf: pd.DataFrame) -> str:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        # catches `check_correctness.py <query_name>` (sf_dir omitted)
+        print(f"first argument must be a data dir, got {sf_dir!r}")
+        return 1
     import __spark_entry__ as E
     from sqlfeatureextraction_spark.session import get_spark
 

@@ -149,6 +149,7 @@ def stateful_pit_window(
     val_col: str = "value",
     id_col: str = "event_id",
     window_s: int = 300,
+    idle_timeout_s: int | None = None,
 ):
     """Streaming point-in-time rolling window (the W2/W3 flagship
     semantics, incrementally): per entity, emit the right-closed
@@ -169,7 +170,19 @@ def stateful_pit_window(
     reference's sequential reader has, enc/APMFragmentIntent.java's
     line-ordered session logs) and equal-ts ties must not straddle a
     batch boundary; the pytest pins multi-batch equality to the batch
-    engine under that contract (tests/test_stateful_stream.py).
+    engine under that contract (tests/test_stateful_stream.py).  A
+    violation (a batch row OLDER than already-consumed state) would
+    make the searchsorted timeline unsorted and corrupt results
+    silently, so it raises instead — fail loudly, never emit wrong
+    windows.
+
+    Per-key state is bounded by the window span; TOTAL state is
+    bounded only if idle keys are evicted — pass ``idle_timeout_s`` on
+    unbounded high-cardinality streams to remove a key's state after
+    that much processing-time inactivity (an evicted key that later
+    reappears is treated as fresh, correct whenever the key was idle
+    longer than window_s of EVENT time too).  None keeps state forever
+    (bounded replays, tests).
     """
     import numpy as np
     import pandas as pd
@@ -181,8 +194,16 @@ def stateful_pit_window(
     )
     state_schema = "ts array<long>, val array<double>"
     lo_lag = window_s - 1  # right-closed: keep ts' >= ts - (W-1)
+    timeout_mode = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_s is not None
+        else GroupStateTimeout.NoTimeout
+    )
 
     def fn(key, pdfs, state):
+        if idle_timeout_s is not None and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             s_ts, s_val = state.get
             s_ts = np.asarray(s_ts, dtype=np.int64)
@@ -203,6 +224,15 @@ def stateful_pit_window(
             b_ts = (
                 pdf[ts_col].astype("datetime64[s]").astype("int64").to_numpy()
             )
+            if len(s_ts) and b_ts[0] < s_ts[-1]:
+                # ordering-contract violation: the timeline would be
+                # unsorted and every window silently wrong from here on
+                raise ValueError(
+                    f"stateful_pit_window: batch for key {key[0]!r} "
+                    f"contains ts {b_ts[0]} older than already-consumed "
+                    f"state max {s_ts[-1]}; micro-batches must arrive "
+                    "in per-entity event-time order"
+                )
             b_val = pdf[val_col].to_numpy(dtype=np.float64)
             ts_all = np.concatenate([s_ts, b_ts])
             val_all = np.concatenate([s_val, b_val])
@@ -223,21 +253,27 @@ def stateful_pit_window(
             keep = ts_all >= ts_all[-1] - lo_lag
             s_ts, s_val = ts_all[keep], val_all[keep]
             state.update((s_ts.tolist(), s_val.tolist()))
+            if idle_timeout_s is not None:
+                state.setTimeoutDuration(idle_timeout_s * 1000)
 
     return stream.groupBy(entity_col).applyInPandasWithState(
         fn,
         out_schema,
         state_schema,
         "append",
-        GroupStateTimeout.NoTimeout,
+        timeout_mode,
     )
 
 
-def run_stream_to_memory(agg: DataFrame, name: str):
+def run_stream_to_memory(
+    agg: DataFrame, name: str, output_mode: str = "complete"
+):
     """Drive a bounded file-backed stream to completion synchronously;
-    results land in the in-memory table `name`."""
+    results land in the in-memory table `name`.  output_mode:
+    "complete" for full-result aggregations, "append" for stateful
+    per-row operators."""
     q = (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .start()
