@@ -183,6 +183,12 @@ def stateful_pit_window(
     reappears is treated as fresh, correct whenever the key was idle
     longer than window_s of EVENT time too).  None keeps state forever
     (bounded replays, tests).
+
+    Operational caveat: with ProcessingTimeTimeout the micro-batch
+    engine always has a pending timeout-evaluation batch, so
+    ``query.processAllAvailable()`` never quiesces — drive timed
+    queries with a processing-time trigger and poll the sink/progress
+    instead (see tests/test_stateful_stream.py's eviction test).
     """
     import numpy as np
     import pandas as pd

@@ -224,6 +224,180 @@ def test_stateful_pit_window_multichunk_group(tmp_path, spark):
     assert np.allclose(got["w_sum"].to_numpy(), exp["w_sum"].to_numpy())
 
 
+def test_stateful_pit_window_idle_timeout_evicts(tmp_path, spark):
+    """idle_timeout_s removes a key's GroupState after processing-time
+    inactivity; keys that reappear after more than window_s of EVENT
+    time produce identical output to the batch oracle (eviction is
+    semantically invisible there), and the state-store metrics show the
+    removal actually happened.
+
+    NOTE: with ProcessingTimeTimeout the micro-batch engine always has
+    another timeout-evaluation batch to run, so processAllAvailable()
+    NEVER quiesces — the test paces the query with a processing-time
+    trigger and deadline-polls the memory sink instead."""
+    import time
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from sqlfeatureextraction_spark.streaming.stream import (
+        stateful_pit_window,
+    )
+
+    base = pd.Timestamp("2026-01-01")
+
+    def write_slice(path, rows, mtime):
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "event_id", "ts_off", "value"]
+        )
+        pdf["ts"] = base + pd.to_timedelta(pdf.pop("ts_off"), unit="s")
+        pdf = pdf[["conv_id", "event_id", "ts", "value"]]
+        pdf["event_id"] = pdf["event_id"].astype(np.int64)
+        pdf["value"] = pdf["value"].astype(np.float64)
+        tmp = str(tmp_path / "_w")
+        sdf = spark.createDataFrame(pdf)
+        sdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next((tmp_path / "_w").glob("part-*.parquet"))
+        (tmp_path / path).write_bytes(part.read_bytes())
+        os.utime(tmp_path / path, (mtime, mtime))
+        return sdf.schema
+
+    # every reappearance is > window_s (300 s) later in EVENT time, so
+    # evicting the idle state between files cannot change any window
+    schema = write_slice(
+        "f1.parquet",
+        [("A", 0, 0, 10.0), ("A", 1, 100, 20.0), ("B", 0, 50, 5.0)],
+        1_000_000,
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "f*.parquet"))
+    )
+    out = stateful_pit_window(
+        stream, entity_col="conv_id", window_s=300, idle_timeout_s=1
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .format("memory")
+        .queryName("pitevict")
+        .start()
+    )
+
+    def wait_rows(n, deadline_s=90):
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < deadline_s:
+            if spark.sql("SELECT count(*) FROM pitevict").collect()[0][0] >= n:
+                return
+            time.sleep(0.3)
+        raise AssertionError(f"sink never reached {n} rows")
+
+    wait_rows(3)
+    time.sleep(2.5)  # idle > 1 s -> both keys' timeouts fire
+    write_slice("f2.parquet", [("B", 1, 500, 7.0)], 2_000_000)
+    wait_rows(4)
+    time.sleep(2.5)
+    write_slice(
+        "f3.parquet",
+        [("A", 2, 1000, 40.0), ("B", 2, 1000, 1.0)],
+        3_000_000,
+    )
+    wait_rows(6)
+    # deadline-poll the state metrics for the eviction evidence
+    t0 = time.monotonic()
+    removed = 0
+    while time.monotonic() - t0 < 60 and removed < 1:
+        removed = sum(
+            so.get("numRowsRemoved", 0)
+            for p in q.recentProgress
+            for so in p.get("stateOperators", [])
+        )
+        time.sleep(0.3)
+    q.stop()
+    assert removed >= 1  # the eviction actually fired
+
+    got = (
+        spark.sql("SELECT * FROM pitevict")
+        .toPandas()
+        .sort_values(["conv_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    ev = spark.read.parquet(str(tmp_path / "f*.parquet")).select(
+        "conv_id", "event_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-299, 0)
+    )
+    exp = (
+        ev.select(
+            "conv_id",
+            "event_id",
+            F.sum("value").over(w).alias("w_sum"),
+            F.count("*").over(w).alias("w_cnt"),
+        )
+        .toPandas()
+        .sort_values(["conv_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["w_cnt"].to_numpy() == exp["w_cnt"].to_numpy()).all()
+    assert (got["w_sum"].to_numpy() == exp["w_sum"].to_numpy()).all()
+
+
+def test_stateful_pit_window_rejects_out_of_order_batch(tmp_path, spark):
+    """A micro-batch carrying a row OLDER than the key's consumed state
+    must fail the query loudly (unsorted timeline => silently wrong
+    windows), not emit results."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from sqlfeatureextraction_spark.streaming.stream import (
+        stateful_pit_window,
+    )
+
+    base = pd.Timestamp("2026-01-01")
+
+    def write_slice(path, ts_off, mtime):
+        pdf = pd.DataFrame(
+            {
+                "conv_id": ["A"],
+                "event_id": np.array([0], dtype=np.int64),
+                "ts": [base + pd.to_timedelta(ts_off, unit="s")],
+                "value": [1.0],
+            }
+        )
+        tmp = str(tmp_path / "_w")
+        sdf = spark.createDataFrame(pdf)
+        sdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next((tmp_path / "_w").glob("part-*.parquet"))
+        (tmp_path / path).write_bytes(part.read_bytes())
+        os.utime(tmp_path / path, (mtime, mtime))
+        return sdf.schema
+
+    schema = write_slice("f1.parquet", 1000, 1_000_000)
+    write_slice("f2.parquet", 500, 2_000_000)  # older -> must raise
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "f*.parquet"))
+    )
+    out = stateful_pit_window(stream, entity_col="conv_id", window_s=300)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pitooo")
+        .start()
+    )
+    with pytest.raises(Exception, match="older than already-consumed"):
+        q.processAllAvailable()
+    q.stop()
+
+
 def test_session_log_scan(tmp_path, spark):
     p = tmp_path / "log.txt"
     p.write_text(
