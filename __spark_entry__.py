@@ -428,6 +428,24 @@ def _q_minhash_pairs(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_ngram_jaccard(spark, sf_dir):
+    """EXACT n-gram Jaccard similarity join via prefix filtering
+    (AllPairs family, Vernica et al. SIGMOD 2010 distributed form):
+    candidates from an equi-join on rarest-first prefix tokens + length
+    filter, then exact set verification.  Unlike minhash_pairs, recall
+    is GUARANTEED, not probabilistic — the oracle (exact all-pairs
+    Jaccard) must match with no miss-probability argument at all."""
+    from sqlfeatureextraction_spark.operators.dedup import (
+        ngram_jaccard_join,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_join(docs, n=3, threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERS: minhash-LSH pairs closed transitively via
     min-label-propagation connected components; every document gets its
@@ -1802,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_agg": _q_join_agg,
         "ann_topk": _q_ann_topk,
         "minhash_pairs": _q_minhash_pairs,
+        "ngram_jaccard": _q_ngram_jaccard,
         "simhash_dedup": _q_simhash_dedup,
         "dedup_clusters": _q_dedup_clusters,
         "corpus_curation": _q_corpus_curation,
@@ -3112,6 +3131,29 @@ def oracle_sql() -> dict[str, str]:
         # xxhash64 of the separator-less token concat, so the DuckDB
         # side concatenates identically (hash is injective in practice)
         "minhash_pairs": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            s AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) >= 3 THEN
+                  list_distinct(list_transform(range(len(toks) - 2),
+                    i -> toks[i+1] || toks[i+2] || toks[i+3]))
+                ELSE [] END AS sh
+              FROM t
+            ),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.sh, b.sh)) AS ni,
+                     len(a.sh) + len(b.sh)
+                       - len(list_intersect(a.sh, b.sh)) AS nu
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, ROUND(ni * 1.0 / nu, 6) AS jaccard
+            FROM p WHERE nu > 0 AND ni * 1.0 / nu >= 0.5
+        """,
+        # identical oracle to minhash_pairs — but here the Spark side
+        # is the prefix-filter EXACT join, so equality needs no LSH
+        # miss-probability argument: completeness is a theorem
+        "ngram_jaccard": f"""
             WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
             s AS (
               SELECT doc_id,

@@ -160,6 +160,88 @@ def test_jaccard_value_exact(spark):
     assert abs(j["jaccard"].iloc[0] - 1 / 3) < 1e-9
 
 
+def _bruteforce_jaccard_pairs(texts, n, threshold):
+    """All-pairs exact n-gram Jaccard in plain Python (test oracle)."""
+    from sqlfeatureextraction_spark.functions.text import tokenize_pandas
+
+    toks = tokenize_pandas(pd.Series([t for _, t in texts]))
+    sets = []
+    for tk in toks:
+        sets.append(
+            {tuple(tk[i : i + n]) for i in range(len(tk) - n + 1)}
+        )
+    ids = [i for i, _ in texts]
+    out = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sets[x], sets[y]
+            if not a or not b:
+                continue
+            j = len(a & b) / len(a | b)
+            if j >= threshold:
+                ia, ib = sorted((ids[x], ids[y]))
+                out[(ia, ib)] = j
+    return out
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.8])
+def test_ngram_jaccard_join_exact_vs_bruteforce(spark, threshold):
+    """Prefix filtering must be COMPLETE (guaranteed recall, unlike
+    LSH): the pair set and values equal all-pairs brute force, on an
+    adversarial corpus — exact dups, boundary J == t cases, a token
+    shared by every doc (hot prefix bucket), empties, single-shingle
+    docs."""
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different text about spark engines"),
+        (4, "spark engines are completely different text about"),
+        (5, ""),
+        (6, "zz yy xx"),  # single shingle
+        (7, "zz yy xx"),  # J == 1 with 6
+        # J exactly 0.5 with 9: sets {a b c, b c d} vs {a b c, b c e}
+        (8, "a b c d"),
+        (9, "a b c e"),
+        # every doc below shares the hot token "common"
+        (10, "common one two three four five"),
+        (11, "common one two three four six"),
+        (12, "common seven eight nine ten eleven"),
+    ]
+    exp = _bruteforce_jaccard_pairs(texts, n=3, threshold=threshold)
+    got = (
+        D.ngram_jaccard_join(
+            spark.createDataFrame(texts, "doc_id long, text string"),
+            n=3,
+            threshold=threshold,
+        )
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+    )
+    got_pairs = {
+        (int(r.id_a), int(r.id_b)): r.jaccard for r in got.itertuples()
+    }
+    assert set(got_pairs) == set(exp)
+    for k, v in exp.items():
+        assert abs(got_pairs[k] - v) < 1e-9, k
+
+
+def test_ngram_jaccard_join_matches_bruteforce_on_documents(spark):
+    """Same completeness check on the real synthetic documents table
+    (sf0.001, 500 docs with planted near-dup families)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pdf = docs.select("doc_id", "text").toPandas()
+    texts = list(zip(pdf["doc_id"].astype(int), pdf["text"]))
+    exp = _bruteforce_jaccard_pairs(texts, n=3, threshold=0.5)
+    got = D.ngram_jaccard_join(docs, n=3, threshold=0.5).toPandas()
+    got_pairs = {
+        (int(r.id_a), int(r.id_b)): r.jaccard for r in got.itertuples()
+    }
+    assert set(got_pairs) == set(exp)
+    for k, v in exp.items():
+        assert abs(got_pairs[k] - v) < 1e-9, k
+
+
 def test_connected_components_chain(spark):
     # chain 1-2, 2-3, 3-4 plus isolated pair 10-11: the closure must
     # collapse the whole chain to min id 1 even though (1,4) is not a
