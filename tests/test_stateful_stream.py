@@ -398,6 +398,111 @@ def test_stateful_pit_window_rejects_out_of_order_batch(tmp_path, spark):
     q.stop()
 
 
+def test_stateful_pit_window_restart_from_checkpoint(tmp_path, spark):
+    """Kill-and-resume: stop the query after the first micro-batch,
+    then restart from the same checkpointLocation with more files
+    present.  Source offsets AND the per-key GroupState must both
+    recover — the resumed windows span the pre-kill rows — and the
+    file sink must hold every event exactly once, equal to the batch
+    rangeBetween oracle over the full input."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from sqlfeatureextraction_spark.streaming.stream import (
+        stateful_pit_window,
+    )
+
+    base = pd.Timestamp("2026-01-01")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def write_slice(path, rows, mtime):
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "event_id", "ts_off", "value"]
+        )
+        pdf["ts"] = base + pd.to_timedelta(pdf.pop("ts_off"), unit="s")
+        pdf = pdf[["conv_id", "event_id", "ts", "value"]]
+        pdf["event_id"] = pdf["event_id"].astype(np.int64)
+        pdf["value"] = pdf["value"].astype(np.float64)
+        tmp = str(tmp_path / "_w")
+        sdf = spark.createDataFrame(pdf)
+        sdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next((tmp_path / "_w").glob("part-*.parquet"))
+        (tmp_path / path).write_bytes(part.read_bytes())
+        os.utime(tmp_path / path, (mtime, mtime))
+        return sdf.schema
+
+    # f2/f3 rows fall INSIDE the 300 s window of f1 rows, so resumed
+    # output is only correct if the state survived the restart
+    schema = write_slice(
+        "f1.parquet",
+        [("A", 0, 0, 10.0), ("A", 1, 100, 20.0), ("B", 0, 50, 5.0)],
+        1_000_000,
+    )
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "f*.parquet"))
+        )
+        out = stateful_pit_window(stream, entity_col="conv_id", window_s=300)
+        return (
+            out.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .format("parquet")
+            .option("path", sink)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()  # simulated failure after batch 1
+
+    write_slice(
+        "f2.parquet", [("A", 2, 200, 1.0), ("B", 1, 250, 2.0)], 2_000_000
+    )
+    write_slice("f3.parquet", [("A", 3, 350, 4.0)], 3_000_000)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = (
+        spark.read.parquet(sink)
+        .toPandas()
+        .sort_values(["conv_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    ev = spark.read.parquet(str(tmp_path / "f*.parquet")).select(
+        "conv_id", "event_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-299, 0)
+    )
+    exp = (
+        ev.select(
+            "conv_id",
+            "event_id",
+            F.sum("value").over(w).alias("w_sum"),
+            F.count("*").over(w).alias("w_cnt"),
+        )
+        .toPandas()
+        .sort_values(["conv_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)  # exactly once, no dup re-emits
+    assert (got["conv_id"] == exp["conv_id"]).all()
+    assert (got["event_id"].to_numpy() == exp["event_id"].to_numpy()).all()
+    # A@200 window must include A@0 and A@100 (pre-kill state): cnt 3
+    a2 = got[(got["conv_id"] == "A") & (got["event_id"] == 2)]
+    assert a2["w_cnt"].iloc[0] == 3
+    assert (got["w_cnt"].to_numpy() == exp["w_cnt"].to_numpy()).all()
+    assert np.allclose(got["w_sum"].to_numpy(), exp["w_sum"].to_numpy())
+
+
 def test_session_log_scan(tmp_path, spark):
     p = tmp_path / "log.txt"
     p.write_text(
