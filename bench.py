@@ -100,6 +100,7 @@ def main() -> None:
     max_passes = int(os.environ.get("BENCH_MAX_PASSES", "6"))
     stat0 = _cpu_stat()
     cals = [_calibrate()]
+    brackets: list[tuple[float, float]] = []
     clean_passes = 0
     passes = 0
     while passes < max_passes:
@@ -112,15 +113,26 @@ def main() -> None:
             rows[name] = n
         cals.append(_calibrate())
         passes += 1
+        brackets.append((cals[-2], cals[-1]))
         # a pass whose bracketing calibrations are both within 1.5x of
         # the best calibration seen ran on a quiet host; keep passing
-        # (up to the cap) until `reps` passes were clean, so a steal
-        # burst over the first passes cannot poison the recorded min
+        # (up to the cap) until `reps` passes were clean.  EVERY pass
+        # is re-certified against the GLOBAL min each iteration: if a
+        # steal burst covers the first passes, they self-certify
+        # against the inflated min-so-far, but the first quiet pass
+        # drops the global min and DE-certifies them, so the loop
+        # keeps going until `reps` passes are clean under the final
+        # min (or the cap is hit — clean_passes in the JSON then says
+        # so).  Inflation can only slow a pass, so taking the min of
+        # timings over all passes, clean or not, stays sound.
         best_cal = min(cals)
-        if cals[-2] < 1.5 * best_cal and cals[-1] < 1.5 * best_cal:
-            clean_passes += 1
-            if clean_passes >= reps:
-                break
+        clean_passes = sum(
+            1
+            for a, b in brackets
+            if a < 1.5 * best_cal and b < 1.5 * best_cal
+        )
+        if clean_passes >= reps:
+            break
     timings = {k: round(v, 3) for k, v in timings.items()}
     stat1 = _cpu_stat()
     steal_pct = None

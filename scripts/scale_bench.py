@@ -46,16 +46,10 @@ par, path, reps = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
 path_name = sys.argv[4] if len(sys.argv) > 4 else "builtin"
 mode = sys.argv[5] if len(sys.argv) > 5 else "threads"
 
-def _calibrate():
-    # fixed single-thread work unit — the same host-noise sentinel
-    # bench.py uses: stable to a few % on a quiet box, inflates
-    # directly under CPU-steal bursts
-    import numpy as np
-    a = np.arange(1_500_000, dtype=np.float64)
-    t0 = time.perf_counter()
-    for _ in range(40):
-        a = np.sqrt(a * 1.000001 + 1.0)
-    return round(time.perf_counter() - t0, 4)
+# the SAME host-noise sentinel bench.py uses — imported, not copied,
+# so the two benches' calibration series stay comparable if it is
+# ever retuned (REPO_ROOT is already on sys.path)
+from bench import _calibrate
 from sqlfeatureextraction_spark.session import get_spark
 from sqlfeatureextraction_spark.config import FeatureConfig
 from sqlfeatureextraction_spark.vocab import fit_vocabulary
@@ -102,15 +96,22 @@ if mode == "executors":
 # recorded hi-leg reps of 285/180/120 s on identical work, purely
 # host noise.
 cap = int(os.environ.get("SCALE_MAX_REPS", str(max(reps * 3, reps + 3))))
-times, clean, cals = [], [], [_calibrate()]
+times, brackets, cals = [], [], [_calibrate()]
+clean = []
 for i in range(cap):
     t0 = time.perf_counter(); n = job(); dt = time.perf_counter() - t0
     times.append(dt)
     cals.append(_calibrate())
+    brackets.append((cals[-2], cals[-1], dt))
+    # re-certify EVERY rep against the global-min calibration each
+    # iteration: a steal burst covering the first reps would otherwise
+    # self-certify against its own inflated min-so-far; the first
+    # quiet rep drops the global min and de-certifies them
     best_cal = min(cals)
-    is_clean = cals[-2] < 1.5 * best_cal and cals[-1] < 1.5 * best_cal
-    if is_clean:
-        clean.append(dt)
+    clean = [t for a, b, t in brackets
+             if a < 1.5 * best_cal and b < 1.5 * best_cal]
+    is_clean = (brackets[-1][0] < 1.5 * best_cal
+                and brackets[-1][1] < 1.5 * best_cal)
     # progress line per rep so a late crash (executor-loss on the last
     # rep, teardown storm before the summary prints) loses at most ONE
     # rep instead of the whole leg — the parent reconstructs a summary

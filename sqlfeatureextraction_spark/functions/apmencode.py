@@ -1053,13 +1053,23 @@ def decode_apm_vector(
 
     p_off, p_rng = prefix_len("timeoffset"), prefix_len("timerange")
     conj, ts_handled = [], False
-    if p_off == 9:
-        # no ts<= bound reproduces all-ones; a lone ts>= would leave
-        # the range negative (no bits), so range must be empty here
-        if p_rng != 0:
-            raise ValueError("timerange bits without a ts<= bound")
+    if p_off == 9 and p_rng == 0:
+        # all-ones offset + empty range: decoded as the null-offset
+        # encoding (no ts<= bound; a lone ts>= leaves the range
+        # negative → no bits).  An offset >= GRAN_SECONDS[8] with a
+        # non-positive range also lands here — the layout genuinely
+        # conflates the two; null is the canonical pre-image.
+        pass
     else:
-        off_val = 0 if p_off == 0 else GRAN_SECONDS[p_off - 1]
+        # p_off == 9 with range bits is NOT invalid: any ts<= bound
+        # >= 1 year before event time sets all nine offset bits too
+        # (value // GRAN_SECONDS[8] > 0).  Decode to the minimal such
+        # offset so the round-trip re-encodes to the same bits.
+        off_val = (
+            GRAN_SECONDS[8]
+            if p_off == 9
+            else (0 if p_off == 0 else GRAN_SECONDS[p_off - 1])
+        )
         ts_end = ts_sec - off_val
         conj.append(f"(ts <= toDateTime64({ts_end}.999, 3))")
         ts_handled = True

@@ -88,8 +88,8 @@ def reorganize_sessions(
         )
 
     schema = (
-        f"{entity_col} string, chain_start_sec long, seq int, "
-        f"{ts_col} timestamp"
+        f"{entity_col} {anchors.schema[entity_col].dataType.simpleString()}, "
+        f"chain_start_sec long, seq int, {ts_col} timestamp"
     )
     return anchors.select(entity_col, ts_col).groupBy(entity_col).applyInPandas(
         fn, schema
@@ -103,6 +103,7 @@ def reorganize_sessions_distributed(
     entity_col: str = "conv_id",
     ts_col: str = "ts",
     rows_per_bucket: int = 65536,
+    unpersist_with: list | None = None,
 ) -> DataFrame:
     """Scale path of W9 lead-chaining — same output as
     ``reorganize_sessions`` with NO per-conversation single task.
@@ -136,12 +137,24 @@ def reorganize_sessions_distributed(
     join each (keys (conv_id, sec); a hot conversation's keys
     hash-spread over the cluster).  The representative is the same tie
     row the local path's stable sort picks; output rows/values are
-    identical to reorganize_sessions (equality-pinned in tests)."""
+    identical to reorganize_sessions (equality-pinned in tests).
+
+    Cache lifecycle: two intermediates (the distinct value space and
+    the hop map) are persisted because the returned LAZY plan reuses
+    them across every chain level — no action runs inside this
+    function, so they cannot be unpersisted here without defeating the
+    reuse.  Pass ``unpersist_with=[]`` to receive them and call
+    ``.unpersist()`` on each after the result has been consumed;
+    without it they stay cached for the session (CacheManager entries
+    are not GC-reclaimed)."""
+    ent_ddl = anchors.schema[entity_col].dataType.simpleString()
     sec = F.col(ts_col).cast("timestamp").cast("long")
     base = anchors.select(
         F.col(entity_col), F.col(ts_col), sec.alias("_v")
     )
     dist = base.select(entity_col, "_v").distinct().persist()
+    if unpersist_with is not None:
+        unpersist_with.append(dist)
     stats = dist.groupBy(entity_col).agg(
         F.count("*").alias("_n"),
         F.min("_v").alias("_t0"),
@@ -206,7 +219,7 @@ def reorganize_sessions_distributed(
         .groupBy(entity_col, "_b")
         .applyInPandas(
             bucket_fn,
-            f"{entity_col} string, _v long, _b long, _local long",
+            f"{entity_col} {ent_ddl}, _v long, _b long, _local long",
         )
     )
 
@@ -262,6 +275,8 @@ def reorganize_sessions_distributed(
     # executor re-fails the job instead of recomputing lineage); the
     # frames are narrow (3 longs + key) and recompute is one rerun.
     hop = hop.persist()
+    if unpersist_with is not None:
+        unpersist_with.append(hop)
     rep = base.groupBy(entity_col, "_v").agg(
         F.min(ts_col).alias("_rep_ts")
     )

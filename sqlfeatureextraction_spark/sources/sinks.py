@@ -40,9 +40,14 @@ def jdbc_eval_sink(
 ) -> None:
     """Write an eval DataFrame to a JDBC store (reference:
     DruidQueryJDBCExecutor's Avatica sink).  ``num_writers`` caps
-    concurrent connections via coalesce (coalesce is narrow — no
-    shuffle is introduced ahead of the write)."""
-    out = df.coalesce(num_writers) if num_writers else df
+    concurrent connections via ``repartition`` — a real shuffle, chosen
+    deliberately over the narrow ``coalesce``: coalesce propagates the
+    reduced partition count UPSTREAM, so the whole computation feeding
+    the sink would run at ``num_writers`` parallelism, not just the
+    write.  The shuffled frame is the small post-aggregation eval
+    output, so the exchange is cheap; the compute keeps full
+    parallelism."""
+    out = df.repartition(num_writers) if num_writers else df
     out.write.jdbc(url=url, table=table, mode=mode,
                    properties=properties or {})
 

@@ -25,6 +25,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _col_ddl(df: DataFrame, col: str) -> str:
+    """DDL type string of an input column, so applyInPandasWithState
+    output schemas track the caller's actual entity type instead of
+    hardcoding string."""
+    return df.schema[col].dataType.simpleString()
+
+
 def windowed_counts(
     stream: DataFrame,
     window: str = "5 minutes",
@@ -91,7 +98,8 @@ def stateful_turn_counter(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = (
-        f"{entity_col} string, ts timestamp, turn_no long, session_id long"
+        f"{entity_col} {_col_ddl(stream, entity_col)}, ts timestamp, "
+        "turn_no long, session_id long"
     )
     state_schema = "n long, last_ts long, sess long"
 
@@ -195,8 +203,8 @@ def stateful_pit_window(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = (
-        f"{entity_col} string, {id_col} long, ts_sec long, "
-        "w_sum double, w_cnt long"
+        f"{entity_col} {_col_ddl(stream, entity_col)}, {id_col} long, "
+        "ts_sec long, w_sum double, w_cnt long"
     )
     state_schema = "ts array<long>, val array<double>"
     lo_lag = window_s - 1  # right-closed: keep ts' >= ts - (W-1)
@@ -230,14 +238,20 @@ def stateful_pit_window(
             b_ts = (
                 pdf[ts_col].astype("datetime64[s]").astype("int64").to_numpy()
             )
-            if len(s_ts) and b_ts[0] < s_ts[-1]:
-                # ordering-contract violation: the timeline would be
-                # unsorted and every window silently wrong from here on
+            if len(s_ts) and b_ts[0] <= s_ts[-1]:
+                # ordering-contract violation.  Strictly older: the
+                # timeline would be unsorted.  EQUAL: a tie straddling
+                # the batch boundary — the tied row already emitted in
+                # the earlier batch can never see this one, so its
+                # window silently diverges from the batch RANGE frame.
+                # Both corrupt results from here on; fail loudly.
                 raise ValueError(
                     f"stateful_pit_window: batch for key {key[0]!r} "
-                    f"contains ts {b_ts[0]} older than already-consumed "
-                    f"state max {s_ts[-1]}; micro-batches must arrive "
-                    "in per-entity event-time order"
+                    f"contains ts {b_ts[0]} not strictly newer than "
+                    f"already-consumed state max {s_ts[-1]}; "
+                    "micro-batches must arrive in per-entity event-time "
+                    "order and equal-ts ties must not straddle a batch "
+                    "boundary"
                 )
             b_val = pdf[val_col].to_numpy(dtype=np.float64)
             ts_all = np.concatenate([s_ts, b_ts])

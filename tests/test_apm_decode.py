@@ -64,6 +64,28 @@ def fx():
     return golden_vocab(FIXTURE)
 
 
+def test_roundtrip_offset_over_one_year(fx):
+    """A ts<= bound >= 1 year before event time sets ALL NINE
+    timeoffset bits — the same pattern as a null offset — while a
+    finite ts range still sets range bits.  That vector is in the
+    valid-encoding subspace and must round-trip, not be rejected as
+    'timerange bits without a ts<= bound' (decode picks the minimal
+    >= 1-year offset as the canonical pre-image)."""
+    vocab, _ = fx
+    ts_end = 1600000000
+    ts_sec = ts_end + 31536000  # exactly one year after the bound
+    sql = (
+        "SELECT dur FROM dwm_request WHERE (ts <= toDateTime64("
+        f"{ts_end}.999, 3)) AND (ts >= toDateTime64({ts_end - 600}.000,"
+        " 3))"
+    )
+    vec = apm_query_vector(parse_ch_query(sql), ts_sec, vocab)
+    assert vec is not None
+    seg = vocab.query_layout(True).seg("timeoffset")
+    assert vec[seg.offset : seg.offset + 9].sum() == 9  # all-ones
+    _roundtrip(vec, vocab)
+
+
 @pytest.mark.parametrize("idx", range(len(TEMPLATES)))
 def test_roundtrip_synthesized_templates(fx, idx):
     vocab, _ = fx

@@ -393,7 +393,7 @@ def test_stateful_pit_window_rejects_out_of_order_batch(tmp_path, spark):
         .queryName("pitooo")
         .start()
     )
-    with pytest.raises(Exception, match="older than already-consumed"):
+    with pytest.raises(Exception, match="not strictly newer than"):
         q.processAllAvailable()
     q.stop()
 
