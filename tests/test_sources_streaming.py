@@ -78,6 +78,80 @@ def test_streaming_windowed_counts_matches_batch(tmp_path, spark, transcripts_df
     assert (m["total_cost_s"] == m["total_cost_b"]).all()
 
 
+def test_streaming_windowed_counts_drops_late_data(tmp_path, spark):
+    """Watermark semantics under APPEND output: once the watermark
+    (max event time − 10 min, lagged one batch) passes a window's end,
+    the window finalizes and emits — and a row arriving LATER than the
+    watermark for that window is dropped, not merged.  Pinned with a
+    two-batch replay: batch 2 carries a row for a window batch 1
+    already pushed past the watermark."""
+    import os as _os
+
+    import pandas as pd
+
+    base = pd.Timestamp("2026-01-01 10:00:00")
+
+    def write_slice(path, offsets_min, mtime):
+        pdf = pd.DataFrame(
+            {
+                "tool": "t1",
+                "ts": [
+                    base + pd.to_timedelta(m, unit="min")
+                    for m in offsets_min
+                ],
+                "duration_ms": [10.0] * len(offsets_min),
+            }
+        )
+        tmp = str(tmp_path / "_w")
+        sdf = spark.createDataFrame(pdf)
+        sdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next((tmp_path / "_w").glob("part-*.parquet"))
+        (tmp_path / path).write_bytes(part.read_bytes())
+        _os.utime(tmp_path / path, (mtime, mtime))
+        return sdf.schema
+
+    # Watermark eviction lags: the watermark computed from batch N's
+    # max event time takes effect in batch N+1, and a window's state
+    # is evicted (and emitted) at the END of the first batch whose
+    # watermark passed its end — a late row landing in THAT batch
+    # still merges (Spark's documented best-effort semantics).  The
+    # drop guarantee starts one batch later, so the late row goes in
+    # batch 3:
+    #   batch 1 [10:00, 10:02, 11:00] -> wm 0, max 11:00
+    #   batch 2 [11:30]               -> wm 10:50: 10:00-window
+    #                                    finalizes+emits (n=2)
+    #   batch 3 [10:01 LATE, 12:00]   -> wm 11:20 > 10:05: the late
+    #                                    row is dropped, never re-emits
+    schema = write_slice("f1.parquet", [0, 2, 60], 1_000_000)
+    write_slice("f2.parquet", [90], 2_000_000)
+    write_slice("f3.parquet", [1, 120], 3_000_000)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "f*.parquet"))
+    )
+    agg = windowed_counts(
+        stream, window="5 minutes", watermark="10 minutes", entity_col="tool"
+    )
+    run_stream_to_memory(agg, "late_counts", output_mode="append")
+    got = spark.sql("SELECT * FROM late_counts").toPandas()
+    w10 = got[got["window_start"] == base]
+    # exactly ONE emission for the 10:00 window, with the two on-time
+    # rows only — the batch-3 late row neither merged nor re-emitted
+    assert len(w10) == 1
+    assert w10["n_turns"].iloc[0] == 2
+    assert w10["total_cost"].iloc[0] == 20.0
+    # 11:00 window flushed once the watermark passed its end
+    w11 = got[got["window_start"] == base + pd.Timedelta(minutes=60)]
+    assert len(w11) == 1 and w11["n_turns"].iloc[0] == 1
+    # the 12:00 window is still open (no later data advanced the
+    # watermark past 12:05)
+    assert not (
+        got["window_start"] == base + pd.Timedelta(minutes=120)
+    ).any()
+
+
 def test_streaming_session_windows(tmp_path, spark, transcripts_df):
     src_dir = str(tmp_path / "stream_src2")
     transcripts_df.write.mode("overwrite").parquet(src_dir)
