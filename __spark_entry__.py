@@ -446,6 +446,22 @@ def _q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _q_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup pairs at Hamming <= 3 via pigeonhole banding
+    (4 disjoint 15-bit bands: a pair within Hamming 3 differs in at
+    most 3 bands, so it agrees exactly on >= 1 — candidates are an
+    equi-join on (band, bits) with GUARANTEED recall, verified by one
+    codegen'd bit_count(xor)).  Oracle = exact all-pairs popcount over
+    the identical md5-derived fingerprints (cross-engine reproducible,
+    same construction as the simhash_dedup oracle)."""
+    from sqlfeatureextraction_spark.operators.dedup import (
+        simhash_neardup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_neardup_pairs(docs, max_hamming=3)
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERS: minhash-LSH pairs closed transitively via
     min-label-propagation connected components; every document gets its
@@ -1821,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "minhash_pairs": _q_minhash_pairs,
         "ngram_jaccard": _q_ngram_jaccard,
+        "simhash_neardup": _q_simhash_neardup,
         "simhash_dedup": _q_simhash_dedup,
         "dedup_clusters": _q_dedup_clusters,
         "corpus_curation": _q_corpus_curation,
@@ -3345,6 +3362,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT simhash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
             FROM alldocs GROUP BY simhash HAVING COUNT(*) > 1
+        """,
+        # all-pairs Hamming over the SAME md5-derived fingerprints the
+        # simhash_dedup oracle builds; the Spark side's banded join has
+        # guaranteed recall, so exact equality needs no miss argument
+        "simhash_neardup": f"""
+            WITH tok AS (
+              SELECT doc_id, UNNEST({_TOK}) AS t FROM documents
+            ),
+            h AS (
+              SELECT doc_id,
+                list_aggregate(list_transform(range(0, 15),
+                  i -> CAST(strpos('0123456789abcdef',
+                         substr(md5(t), CAST(i + 1 AS INT), 1)) - 1
+                       AS BIGINT) * (1::BIGINT << CAST((14 - i) * 4 AS INT))),
+                  'sum') AS hv
+              FROM tok
+            ),
+            bits AS (
+              SELECT doc_id, b,
+                     SUM(CASE WHEN (hv >> CAST(b AS INT)) & 1 = 1
+                         THEN 1 ELSE -1 END) AS acc
+              FROM h CROSS JOIN (SELECT UNNEST(range(60)) AS b)
+              GROUP BY doc_id, b
+            ),
+            sim AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN acc > 0
+                         THEN 1::BIGINT << CAST(b AS INT)
+                         ELSE 0 END) AS simhash
+              FROM bits GROUP BY doc_id
+            ),
+            alldocs AS (
+              SELECT d.doc_id,
+                     CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash
+              FROM documents d LEFT JOIN sim s USING (doc_id)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)
+                     AS hamming
+            FROM alldocs a JOIN alldocs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         # exact all-pairs cosine at the same threshold
         "embedding_neardup": """

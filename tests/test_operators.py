@@ -242,6 +242,40 @@ def test_ngram_jaccard_join_matches_bruteforce_on_documents(spark):
         assert abs(got_pairs[k] - v) < 1e-9, k
 
 
+@pytest.mark.parametrize("k", [1, 3])
+def test_simhash_neardup_pairs_vs_bruteforce(spark, k):
+    """Pigeonhole banding must produce EXACTLY the all-pairs Hamming
+    <= k pair set (guaranteed recall + exact verify), pinned against a
+    popcount brute force over the same fingerprints on the sf0.001
+    documents table."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fp = (
+        D.with_simhash(docs)
+        .select("doc_id", "simhash")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    ids = fp["doc_id"].to_numpy()
+    hs = fp["simhash"].to_numpy(dtype=np.int64)
+    exp = {}
+    for x in range(len(ids)):
+        xo = np.bitwise_xor(hs[x + 1 :], hs[x])
+        d = np.array([bin(int(v)).count("1") for v in xo])
+        for off in np.nonzero(d <= k)[0]:
+            y = x + 1 + off
+            ia, ib = int(ids[x]), int(ids[y])
+            if ia > ib:
+                ia, ib = ib, ia
+            exp[(ia, ib)] = int(d[off])
+    got = D.simhash_neardup_pairs(docs, max_hamming=k).toPandas()
+    got_pairs = {
+        (int(r.id_a), int(r.id_b)): int(r.hamming)
+        for r in got.itertuples()
+    }
+    assert got_pairs == exp
+    assert len(exp) > 0  # the planted near-dups make this non-vacuous
+
+
 def test_connected_components_chain(spark):
     # chain 1-2, 2-3, 3-4 plus isolated pair 10-11: the closure must
     # collapse the whole chain to min id 1 even though (1,4) is not a
