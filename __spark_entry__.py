@@ -1111,6 +1111,42 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+def _q_media_resize(spark, sf_dir):
+    """Multimodal resize plumbing, composed through TWO real-pixel
+    mapInPandas stages: valid PPM payloads → nearest-neighbor resize to
+    16×12 (re-encoded PPM, meta updated) → REAL decode + feature
+    extraction of the resized payloads.  Structural facts (dims, exact
+    payload byte size = 13-byte header + 16·12·3, histogram norm) are
+    generator-derivable for the oracle; pixel-level nearest-neighbor
+    exactness is pinned in tests/test_multimodal_reorg.py."""
+    from sqlfeatureextraction_spark.operators.multimodal import (
+        extract_media_features,
+        resize_images,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=64, real_images=True)
+    small = resize_images(media, out_w=16, out_h=12)
+    feats = extract_media_features(
+        small.withColumn("kind", F.lit("image")), fake=False
+    )
+    return small.select(
+        "media_id",
+        F.col("meta.width").alias("new_w"),
+        F.col("meta.height").alias("new_h"),
+        F.length("payload").alias("n_bytes"),
+    ).join(
+        feats.select(
+            "media_id",
+            F.size("feat_hist").alias("n_bins"),
+            F.round(
+                F.aggregate("feat_hist", F.lit(0.0), lambda a, x: a + x), 4
+            ).alias("hist_sum"),
+        ),
+        "media_id",
+    )
+
+
 def _apm_fixture_path() -> str:
     import os
 
@@ -1863,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_resume": _q_checkpoint_resume,
         "media_frame_sample": _q_media_frame_sample,
         "media_features": _q_media_features,
+        "media_resize": _q_media_resize,
         "apm_golden_corpus": _q_apm_golden_corpus,
         "sql_apm_encode": _q_sql_apm_encode,
         "sql_apm_selpred": _q_sql_apm_selpred,
@@ -3470,6 +3507,14 @@ def oracle_sql() -> dict[str, str]:
         "media_features": """
             SELECT i AS media_id, 'image' AS kind,
                    8 AS n_bins, 1.0 AS hist_sum
+            FROM range(64) t(i) WHERE i % 3 = 0
+        """,
+        # resized payload = 'P6\\n16 12\\n255\\n' (13 bytes) + 16*12*3
+        # raster = 589 bytes exactly; dims from the resize args;
+        # histogram over any pixels normalizes to 1
+        "media_resize": """
+            SELECT i AS media_id, 16 AS new_w, 12 AS new_h,
+                   589 AS n_bytes, 8 AS n_bins, 1.0 AS hist_sum
             FROM range(64) t(i) WHERE i % 3 = 0
         """,
         # F11: the rewritten Druid SQL's row-varying facts re-derived

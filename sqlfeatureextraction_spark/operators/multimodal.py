@@ -81,14 +81,13 @@ def encode_ppm(px: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + px.astype(np.uint8).tobytes()
 
 
-def _decode_ppm(data: bytes) -> np.ndarray:
-    """Parse binary PPM (P6) → (h, w) uint8 grayscale (integer-mean of
-    RGB — deterministic, no float rounding)."""
+def _ppm_rgb(data: bytes) -> np.ndarray:
+    """Parse binary PPM (P6) → (h, w, 3) uint8 RGB."""
     if not data.startswith(b"P6"):
         raise ValueError("not a P6 PPM")
     # header: magic, width, height, maxval — whitespace separated, then
     # a single whitespace byte before the raster
-    parts, pos, vals = [], 2, []
+    pos, vals = 2, []
     while len(vals) < 3:
         while pos < len(data) and data[pos : pos + 1].isspace():
             pos += 1
@@ -101,12 +100,18 @@ def _decode_ppm(data: bytes) -> np.ndarray:
     if maxval > 255:
         raise ValueError("16-bit PPM unsupported")
     raster = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
-    rgb = raster.reshape(h, w, 3).astype(np.uint16)
+    return raster.reshape(h, w, 3)
+
+
+def _decode_ppm(data: bytes) -> np.ndarray:
+    """Parse binary PPM (P6) → (h, w) uint8 grayscale (integer-mean of
+    RGB — deterministic, no float rounding)."""
+    rgb = _ppm_rgb(data).astype(np.uint16)
     return (rgb.sum(axis=2) // 3).astype(np.uint8)
 
 
-def _decode_bmp(data: bytes) -> np.ndarray:
-    """Parse uncompressed 24-bit BMP → (h, w) uint8 grayscale."""
+def _bmp_rgb(data: bytes) -> np.ndarray:
+    """Parse uncompressed 24-bit BMP → (h, w, 3) uint8 RGB."""
     if not data.startswith(b"BM"):
         raise ValueError("not a BMP")
     off = int.from_bytes(data[10:14], "little")
@@ -123,7 +128,13 @@ def _decode_bmp(data: bytes) -> np.ndarray:
     bgr = raster.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
     if flip:
         bgr = bgr[::-1]
-    return (bgr.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
+    return bgr[:, :, ::-1]  # BGR on disk → RGB
+
+
+def _decode_bmp(data: bytes) -> np.ndarray:
+    """Parse uncompressed 24-bit BMP → (h, w) uint8 grayscale."""
+    rgb = _bmp_rgb(data).astype(np.uint16)
+    return (rgb.sum(axis=2) // 3).astype(np.uint8)
 
 
 def decode_payload(data: bytes) -> np.ndarray:
@@ -201,6 +212,59 @@ def extract_media_features(
                 yield decode_image_batch(pdf, fake)
 
     return media.where(F.col("kind").isin(*kinds)).mapInPandas(run, out_schema)
+
+
+def resize_images(
+    media: DataFrame, out_w: int, out_h: int, kinds: tuple = ("image",)
+) -> DataFrame:
+    """Nearest-neighbor image resize over binary payloads — the third
+    mapInPandas media transform (decode → RESIZE → re-encode).  Real
+    pixels only: PPM/BMP payloads are parsed natively, resized with a
+    pure-numpy index map (row i ← floor(i·h/out_h), col j ←
+    floor(j·w/out_w)), and re-encoded as binary PPM (P6) with the meta
+    struct's dims updated.  Output payload size is exactly
+    header + out_w·out_h·3 bytes, which the driver oracle recomputes
+    arithmetically."""
+    out_schema = (
+        "media_id long, payload binary, "
+        "meta struct<width:int, height:int, n_frames:int, sample_rate:int>"
+    )
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids, payloads, metas = [], [], []
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                data = bytes(payload)
+                rgb = (
+                    _ppm_rgb(data)
+                    if data.startswith(b"P6")
+                    else _bmp_rgb(data)
+                )
+                h, w = rgb.shape[:2]
+                rows = (np.arange(out_h) * h) // out_h
+                cols = (np.arange(out_w) * w) // out_w
+                small = rgb[rows][:, cols]
+                ids.append(mid)
+                payloads.append(encode_ppm(small))
+                metas.append(
+                    {
+                        "width": out_w,
+                        "height": out_h,
+                        "n_frames": int(meta["n_frames"]),
+                        "sample_rate": int(meta["sample_rate"]),
+                    }
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return media.where(F.col("kind").isin(*kinds)).mapInPandas(
+        run, out_schema
+    )
 
 
 def sample_frames(

@@ -66,6 +66,43 @@ def test_media_real_decode_ppm_end_to_end(spark):
         assert abs(row["mean_intensity"] - px.mean()) < 1e-9
 
 
+def test_resize_images_nearest_neighbor_exact(spark):
+    """resize_images must emit valid PPM payloads whose pixels equal
+    the numpy nearest-neighbor reference (row i <- floor(i*h/out_h),
+    col j <- floor(j*w/out_w)) of the original RGB raster, with meta
+    dims updated and payload size exactly header + w*h*3."""
+    from sqlfeatureextraction_spark.operators.multimodal import (
+        _ppm_rgb,
+        resize_images,
+    )
+
+    out_w, out_h = 16, 12
+    media = synth_media(spark, n=30, real_images=True)
+    got = (
+        resize_images(media, out_w=out_w, out_h=out_h)
+        .toPandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 10  # the image third of 30
+    originals = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.where("kind='image'").collect()
+    }
+    header_len = len(b"P6\n%d %d\n255\n" % (out_w, out_h))
+    for _, row in got.iterrows():
+        assert row["meta"]["width"] == out_w
+        assert row["meta"]["height"] == out_h
+        data = bytes(row["payload"])
+        assert len(data) == header_len + out_w * out_h * 3
+        small = _ppm_rgb(data)
+        rgb = _ppm_rgb(originals[row["media_id"]])
+        h, w = rgb.shape[:2]
+        rows = (np.arange(out_h) * h) // out_h
+        cols = (np.arange(out_w) * w) // out_w
+        assert (small == rgb[rows][:, cols]).all()
+
+
 def test_bmp_decoder_roundtrip():
     """Hand-built uncompressed 24-bit BMP (bottom-up, padded rows)
     decodes to the expected grayscale."""
