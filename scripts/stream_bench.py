@@ -43,22 +43,26 @@ def main() -> None:
     )
 
     spark = get_spark("stream_bench", parallelism=par, shuffle_partitions=par)
-    batch = spark.read.parquet(path)
+    # NULL-ts rows can never match a time slice; drop them up front so
+    # the row count (and rows/sec) covers exactly what is replayed
+    batch = spark.read.parquet(path).where(F.col("ts").isNotNull())
     n_rows = batch.count()
 
     # ---- stage: K time slices, one file each, mtime = slice order ----
     stage = tempfile.mkdtemp(prefix="stream_bench_slices_")
     qs = [i / n_slices for i in range(1, n_slices)]
-    bounds = batch.agg(
-        F.expr(
-            "percentile_approx(cast(cast(ts as timestamp) as long), "
-            f"array({', '.join(f'{q}D' for q in qs)}))"
-        )
-    ).collect()[0][0]
-    edges = [None] + list(bounds) + [None]
+    bounds = None
+    if qs:  # n_slices == 1 -> no interior cuts, one full slice
+        bounds = batch.agg(
+            F.expr(
+                "percentile_approx(cast(cast(ts as timestamp) as long), "
+                f"array({', '.join(f'{q}D' for q in qs)}))"
+            )
+        ).collect()[0][0]
+    edges = [None] + list(bounds or []) + [None]
     ts_long = F.col("ts").cast("timestamp").cast("long")
     n_files = 0
-    for i in range(n_slices):
+    for i in range(len(edges) - 1):
         sl = batch
         if edges[i] is not None:
             sl = sl.where(ts_long >= edges[i])
@@ -75,27 +79,29 @@ def main() -> None:
         shutil.rmtree(tmp)
         n_files += 1
 
-    # ---- measure ----
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(stage, "f*.parquet"))
-        .select(
-            "conv_id",
-            F.col("turn_idx").cast("long").alias("event_id"),
-            F.col("ts").cast("timestamp").alias("ts"),
-            F.col("duration_ms").cast("double").alias("value"),
+    # ---- measure (staging dir reclaimed even on query failure) ----
+    try:
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(stage, "f*.parquet"))
+            .select(
+                "conv_id",
+                F.col("turn_idx").cast("long").alias("event_id"),
+                F.col("ts").cast("timestamp").alias("ts"),
+                F.col("duration_ms").cast("double").alias("value"),
+            )
         )
-    )
-    out = stateful_pit_window(stream, entity_col="conv_id", window_s=300)
-    t0 = time.perf_counter()
-    q = out.writeStream.outputMode("append").format("noop").start()
-    q.processAllAvailable()
-    last = q.lastProgress
-    n_batches = (last["batchId"] + 1) if last else 0
-    q.stop()
-    dt = time.perf_counter() - t0
-    shutil.rmtree(stage, ignore_errors=True)
+        out = stateful_pit_window(stream, entity_col="conv_id", window_s=300)
+        t0 = time.perf_counter()
+        q = out.writeStream.outputMode("append").format("noop").start()
+        q.processAllAvailable()
+        last = q.lastProgress
+        n_batches = (last["batchId"] + 1) if last else 0
+        q.stop()
+        dt = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
     print(
         json.dumps(
             {

@@ -157,6 +157,27 @@ def decode_payload(data: bytes) -> np.ndarray:
     return np.asarray(img, dtype=np.uint8)
 
 
+def _rgb_payload(data: bytes) -> np.ndarray:
+    """Real image decode → (h, w, 3) uint8 RGB.  PPM/BMP natively;
+    other formats through PIL when importable, with an accurate error
+    otherwise (mirrors decode_payload's grayscale dispatch)."""
+    data = bytes(data)
+    if data.startswith(b"P6"):
+        return _ppm_rgb(data)
+    if data.startswith(b"BM"):
+        return _bmp_rgb(data)
+    try:  # optional dependency — absent in this container
+        import io
+
+        from PIL import Image  # type: ignore
+    except ImportError:
+        raise NotImplementedError(
+            "payload is neither PPM nor BMP and PIL is not installed"
+        ) from None
+    img = Image.open(io.BytesIO(data)).convert("RGB")
+    return np.asarray(img, dtype=np.uint8)
+
+
 def _fake_decode(payload: bytes, w: int, h: int) -> np.ndarray:
     """Deterministic stand-in for a real image decoder: pixels derived
     from the payload hash — stable across partitions and runs."""
@@ -238,12 +259,7 @@ def resize_images(
             for mid, payload, meta in zip(
                 pdf["media_id"], pdf["payload"], pdf["meta"]
             ):
-                data = bytes(payload)
-                rgb = (
-                    _ppm_rgb(data)
-                    if data.startswith(b"P6")
-                    else _bmp_rgb(data)
-                )
+                rgb = _rgb_payload(bytes(payload))
                 h, w = rgb.shape[:2]
                 rows = (np.arange(out_h) * h) // out_h
                 cols = (np.arange(out_w) * w) // out_w

@@ -14,6 +14,22 @@ def spark():
     yield s
 
 
+def stage_slice_file(spark, tmp_path, pdf, name, mtime):
+    """Write a pandas frame as ONE parquet file at tmp_path/name with a
+    pinned mtime — the staging step for mtime-ordered micro-batch
+    replays (the file source consumes files oldest-mtime-first, one per
+    trigger with maxFilesPerTrigger=1).  Returns the Spark schema.
+    Shared by the streaming replay tests; scripts/stream_bench.py keeps
+    its own variant because it additionally handles empty slices."""
+    tmp = str(tmp_path / "_w")
+    sdf = spark.createDataFrame(pdf)
+    sdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next((tmp_path / "_w").glob("part-*.parquet"))
+    (tmp_path / name).write_bytes(part.read_bytes())
+    os.utime(tmp_path / name, (mtime, mtime))
+    return sdf.schema
+
+
 @pytest.fixture(scope="session")
 def transcripts_pdf():
     from sqlfeatureextraction_spark.synth import make_transcripts_pdf

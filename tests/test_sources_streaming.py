@@ -3,6 +3,7 @@
 import numpy as np
 from pyspark.sql import functions as F
 
+from conftest import stage_slice_file
 from sqlfeatureextraction_spark.sources.io import (
     read_encoded_lines,
     read_raw_log_tsv,
@@ -85,8 +86,6 @@ def test_streaming_windowed_counts_drops_late_data(tmp_path, spark):
     watermark for that window is dropped, not merged.  Pinned with a
     two-batch replay: batch 2 carries a row for a window batch 1
     already pushed past the watermark."""
-    import os as _os
-
     import pandas as pd
 
     base = pd.Timestamp("2026-01-01 10:00:00")
@@ -102,13 +101,7 @@ def test_streaming_windowed_counts_drops_late_data(tmp_path, spark):
                 "duration_ms": [10.0] * len(offsets_min),
             }
         )
-        tmp = str(tmp_path / "_w")
-        sdf = spark.createDataFrame(pdf)
-        sdf.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next((tmp_path / "_w").glob("part-*.parquet"))
-        (tmp_path / path).write_bytes(part.read_bytes())
-        _os.utime(tmp_path / path, (mtime, mtime))
-        return sdf.schema
+        return stage_slice_file(spark, tmp_path, pdf, path, mtime)
 
     # Watermark eviction lags: the watermark computed from batch N's
     # max event time takes effect in batch N+1, and a window's state

@@ -4,6 +4,7 @@ import os
 
 from pyspark.sql import functions as F
 
+from conftest import stage_slice_file
 from sqlfeatureextraction_spark.sources.io import read_session_log_lines
 from sqlfeatureextraction_spark.streaming.stream import stateful_turn_counter
 
@@ -255,13 +256,7 @@ def test_stateful_pit_window_idle_timeout_evicts(tmp_path, spark):
         pdf = pdf[["conv_id", "event_id", "ts", "value"]]
         pdf["event_id"] = pdf["event_id"].astype(np.int64)
         pdf["value"] = pdf["value"].astype(np.float64)
-        tmp = str(tmp_path / "_w")
-        sdf = spark.createDataFrame(pdf)
-        sdf.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next((tmp_path / "_w").glob("part-*.parquet"))
-        (tmp_path / path).write_bytes(part.read_bytes())
-        os.utime(tmp_path / path, (mtime, mtime))
-        return sdf.schema
+        return stage_slice_file(spark, tmp_path, pdf, path, mtime)
 
     # every reappearance is > window_s (300 s) later in EVENT time, so
     # evicting the idle state between files cannot change any window
@@ -371,13 +366,7 @@ def test_stateful_pit_window_rejects_out_of_order_batch(tmp_path, spark):
                 "value": [1.0],
             }
         )
-        tmp = str(tmp_path / "_w")
-        sdf = spark.createDataFrame(pdf)
-        sdf.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next((tmp_path / "_w").glob("part-*.parquet"))
-        (tmp_path / path).write_bytes(part.read_bytes())
-        os.utime(tmp_path / path, (mtime, mtime))
-        return sdf.schema
+        return stage_slice_file(spark, tmp_path, pdf, path, mtime)
 
     schema = write_slice("f1.parquet", 1000, 1_000_000)
     write_slice("f2.parquet", 500, 2_000_000)  # older -> must raise
@@ -425,13 +414,7 @@ def test_stateful_pit_window_restart_from_checkpoint(tmp_path, spark):
         pdf = pdf[["conv_id", "event_id", "ts", "value"]]
         pdf["event_id"] = pdf["event_id"].astype(np.int64)
         pdf["value"] = pdf["value"].astype(np.float64)
-        tmp = str(tmp_path / "_w")
-        sdf = spark.createDataFrame(pdf)
-        sdf.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next((tmp_path / "_w").glob("part-*.parquet"))
-        (tmp_path / path).write_bytes(part.read_bytes())
-        os.utime(tmp_path / path, (mtime, mtime))
-        return sdf.schema
+        return stage_slice_file(spark, tmp_path, pdf, path, mtime)
 
     # f2/f3 rows fall INSIDE the 300 s window of f1 rows, so resumed
     # output is only correct if the state survived the restart
