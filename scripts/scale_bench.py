@@ -184,26 +184,38 @@ def run_level(
             capture_output=True,
         )
         env["PYFILES_ZIP"] = zip_path
-    out = subprocess.run(
-        [
-            sys.executable,
-            "-c",
-            CHILD,
-            str(par),
-            path,
-            str(reps),
-            path_name,
-            mode,
-        ],
-        capture_output=True,
-        text=True,
-        env=env,
-        check=False,
-    )
-    # child stderr always lands on disk — a leg that loses reps to an
-    # executor crash is diagnosable post-hoc
-    with open(f"/tmp/scale_lvl{par}_{mode}.stderr", "w") as f:
-        f.write(out.stderr)
+    # child stdout AND stderr stream to disk AS THE LEG RUNS — a parent
+    # crash (or a failure in the OTHER leg) can no longer lose a
+    # completed leg's per-rep record, and a running leg is observable
+    # by tailing the files
+    stdout_path = f"/tmp/scale_lvl{par}_{mode}.stdout"
+    stderr_path = f"/tmp/scale_lvl{par}_{mode}.stderr"
+    with open(stdout_path, "w") as so, open(stderr_path, "w") as se:
+        rc = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                CHILD,
+                str(par),
+                path,
+                str(reps),
+                path_name,
+                mode,
+            ],
+            stdout=so,
+            stderr=se,
+            text=True,
+            env=env,
+            check=False,
+        ).returncode
+
+    class _Out:
+        pass
+
+    out = _Out()
+    out.returncode = rc
+    out.stdout = open(stdout_path).read()
+    out.stderr = open(stderr_path).read()
     if mode == "executors":
         # the child's deterministic os._exit(0) can orphan the driver
         # JVM (and with it the in-process master/worker + executor
