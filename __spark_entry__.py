@@ -1078,6 +1078,71 @@ def _q_checkpoint_resume(spark, sf_dir):
     return cp.read_output(spark).drop("bucket")
 
 
+def _q_incremental_update(spark, sf_dir):
+    """Touched-entity-only feature refresh (operators/incremental.py):
+    snapshot A = users with hash%5 != 0, the append touches the rest;
+    carried ∪ recomputed must equal the full PIT-window recompute —
+    which is exactly the pit_window_sum oracle over all of events."""
+    from sqlfeatureextraction_spark.operators.incremental import (
+        incremental_update,
+    )
+
+    ev = _events(spark, sf_dir)
+    is_new = F.abs(F.xxhash64(F.col("user_id").cast("string"))) % 5 == 0
+
+    def fn(df):
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts_sec")
+            .rangeBetween(-299, 0)
+        )
+        return df.select(
+            "event_id",
+            "user_id",
+            "ts_sec",
+            F.round(F.sum("value").over(w), 4).alias("w_sum"),
+            F.count("*").over(w).alias("w_cnt"),
+        )
+
+    old_features = fn(ev.where(~is_new))
+    return incremental_update(
+        ev, ev.where(is_new), old_features, fn, key="user_id"
+    )
+
+
+def _q_snapshot_time_travel(spark, sf_dir):
+    """Iceberg-shaped snapshot table (sources/snaptable.py): two
+    appends split by event_id parity, then (a) a time-travel read
+    pinned to the first snapshot and (b) an incremental append scan of
+    exactly the second append — each aggregated per event_type.  The
+    oracle re-derives both legs from the parity filters."""
+    import shutil
+    import tempfile
+
+    from sqlfeatureextraction_spark.sources import snaptable
+
+    root = tempfile.mkdtemp(prefix="snaptbl_")
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        s1 = snaptable.append(ev.where(F.col("event_id") % 2 == 0), root)
+        s2 = snaptable.append(ev.where(F.col("event_id") % 2 == 1), root)
+
+        def agg(df, leg):
+            return df.groupBy("event_type").agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+            ).withColumn("leg", F.lit(leg))
+
+        tt = agg(snaptable.read(spark, root, s1), "tt")
+        inc = agg(snaptable.incremental_read(spark, root, s1, s2), "inc")
+        out = tt.unionByName(inc)
+        # materialize before the temp table vanishes
+        pdf = out.toPandas()
+        return spark.createDataFrame(pdf, schema=out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_media_frame_sample(spark, sf_dir):
     """Multimodal UDTF plumbing: every-4th frame sampling over video
     payloads (mapInPandas generator).  frame_hash is pinned by pytest;
@@ -1897,6 +1962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts": _q_stream_windowed_counts,
         "stream_stateful_counter": _q_stream_stateful_counter,
         "checkpoint_resume": _q_checkpoint_resume,
+        "snapshot_time_travel": _q_snapshot_time_travel,
+        "incremental_update": _q_incremental_update,
         "media_frame_sample": _q_media_frame_sample,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
@@ -2621,6 +2688,17 @@ def _lang_case_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "pit_window_sum": f"""
+            SELECT event_id, user_id, ts_sec,
+                   ROUND(SUM(value) OVER w, 4) AS w_sum,
+                   COUNT(*) OVER w AS w_cnt
+            FROM ({_EV_TS})
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                         RANGE BETWEEN 299 PRECEDING AND CURRENT ROW)
+        """,
+        # incremental touched-entity refresh: carried ∪ recomputed must
+        # equal a FULL recompute — so the oracle is simply the full
+        # pit-window aggregation over all of events
+        "incremental_update": f"""
             SELECT event_id, user_id, ts_sec,
                    ROUND(SUM(value) OVER w, 4) AS w_sum,
                    COUNT(*) OVER w AS w_cnt
@@ -3494,6 +3572,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(user_id AS VARCHAR) AS conv_id, event_type,
                    ROUND(SUM(value), 4) AS total_cost, COUNT(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        # snapshot table: time-travel to snapshot 1 sees exactly the
+        # even-event_id append; the incremental scan (s1, s2] sees
+        # exactly the odd append
+        "snapshot_time_travel": """
+            SELECT event_type, COUNT(*) AS n,
+                   ROUND(SUM(value), 4) AS total_value, 'tt' AS leg
+            FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+            UNION ALL
+            SELECT event_type, COUNT(*) AS n,
+                   ROUND(SUM(value), 4) AS total_value, 'inc' AS leg
+            FROM events WHERE event_id % 2 = 1 GROUP BY event_type
         """,
         # synth_media is a closed-form table: videos are i%3==2 with
         # n_frames = 16 + i%4; every-4th sampling → k*4 < n_frames

@@ -23,14 +23,25 @@ from pyspark.sql import functions as F
 TRANSCRIPT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 
-def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
+def read_transcripts(
+    spark: SparkSession, path: str, snapshot_id: int | None = None
+) -> DataFrame:
     """Read a transcripts table.  Tries Iceberg (`catalog.db.table`
-    identifiers) when the runtime has it; falls back to parquet paths."""
+    identifiers) when the runtime has it; recognizes a snaptable root
+    (the Iceberg-shaped snapshot layer, sources/snaptable.py) and
+    honors time-travel by snapshot id there; falls back to parquet."""
     if "/" not in path and "." in path:
         try:
-            return spark.read.format("iceberg").load(path)
+            reader = spark.read.format("iceberg")
+            if snapshot_id is not None:
+                reader = reader.option("snapshot-id", str(snapshot_id))
+            return reader.load(path)
         except Exception:  # Iceberg jars not on classpath in sandbox
             pass
+    from . import snaptable
+
+    if snaptable.is_snap_table(path):
+        return snaptable.read(spark, path, snapshot_id)
     return spark.read.parquet(path)
 
 

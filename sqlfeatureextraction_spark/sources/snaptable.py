@@ -1,0 +1,477 @@
+"""Iceberg-shaped snapshot table over parquet (append / time-travel /
+incremental / rollback).
+
+The north rule's input is "an Iceberg table of multi-turn transcripts";
+the sandbox has no Iceberg runtime jars, so this module implements the
+SEMANTICS the engine needs from Iceberg's public spec — immutable data
+files + versioned metadata with a snapshot log — over plain parquet:
+
+  <root>/data/snap<seq>-<i>.parquet        immutable data files
+  <root>/metadata/v<N>.metadata.json       full metadata at version N
+  <root>/metadata/version-hint.text        current version (HadoopTables
+                                           layout, Iceberg spec §"File
+                                           System Tables")
+
+Capabilities (all metadata-only except the append's data write):
+  append(df, root)                 -> new snapshot id (deterministic)
+  read(spark, root, snapshot_id=)  -> DataFrame, time-travel by id
+  incremental_read(spark, root, a, b) -> rows appended in (a, b]
+                                      (Iceberg "incremental append scan")
+  rollback(root, snapshot_id)      -> current pointer moves back
+  snapshots(root) / current_snapshot_id(root)
+
+Commit protocol: optimistic, like Iceberg's — the writer renames a
+complete v<N+1>.metadata.json into place with os.rename (atomic on
+POSIX; fails if a concurrent writer won the version) and retries on
+top of the new current version.  Data files are immutable and never
+rewritten, so readers pinned to any snapshot are unaffected by commits.
+
+Scale posture: metadata is O(total files) JSON held driver-side —
+exactly Iceberg's manifest-list role; reads hand Spark the pinned file
+list (spark.read.parquet(*files)), so column pruning / predicate
+pushdown / split planning are unchanged, and no data ever passes
+through the driver.  At a real 10^12-turn deployment the same call
+sites take `spark.read.format("iceberg")` — read_transcripts already
+tries that first (io.py:29-33).
+
+Checkpoint lineage: CheckpointedRun's `snapshot_id` (checkpoint.py:67)
+is fed from current_snapshot_id(root), making "input snapshot id" in
+the per-bucket manifest a real, resolvable table version.
+
+Reference analog: the reference re-reads a growing log file with a
+line-offset resume (enc/APMFragmentIntent.java:856-864); snapshots +
+incremental reads are the table-format generalization of that offset.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+_HINT = "version-hint.text"
+
+
+def _meta_dir(root: str) -> str:
+    return os.path.join(root, "metadata")
+
+
+def _data_dir(root: str) -> str:
+    return os.path.join(root, "data")
+
+
+def _current_version(root: str) -> int:
+    """Current metadata version, 0 if the table doesn't exist yet.
+    The hint file is advisory (it lags briefly between a winner's
+    metadata link and its hint update) — the committed v*.metadata.json
+    files are the truth, so scan for the max like Iceberg's
+    HadoopTableOperations does on a missing/stale hint."""
+    md = _meta_dir(root)
+    if not os.path.isdir(md):
+        return 0
+    versions = [
+        int(f[1:-len(".metadata.json")])
+        for f in os.listdir(md)
+        if f.startswith("v") and f.endswith(".metadata.json")
+    ]
+    return max(versions, default=0)
+
+
+def _load_meta(root: str, version: int | None = None) -> dict:
+    v = _current_version(root) if version is None else version
+    if v == 0:
+        return {"format-version": 1, "schema": None, "snapshots": [],
+                "current-snapshot-id": None, "last-sequence-number": 0}
+    with open(os.path.join(_meta_dir(root), f"v{v}.metadata.json")) as f:
+        return json.load(f)
+
+
+def _snapshot_id(parent: int | None, files: list[str], n_rows: int) -> int:
+    """Deterministic snapshot id: content-addressed over (parent id,
+    added file names, row count).  Same appends ⇒ same ids, which lets
+    tests and driver oracles pin time-travel results by value."""
+    payload = f"{parent}|{','.join(sorted(files))}|{n_rows}"
+    return int(hashlib.sha256(payload.encode()).hexdigest()[:15], 16)
+
+
+def _commit(root: str, meta: dict, expected_version: int) -> int:
+    """Atomically publish metadata as v<expected_version+1>.  Uses
+    os.link (fails with EEXIST if a concurrent committer won) then
+    updates the advisory hint.  Raises FileExistsError on conflict —
+    callers re-read and retry on top of the winner."""
+    os.makedirs(_meta_dir(root), exist_ok=True)
+    new_v = expected_version + 1
+    target = os.path.join(_meta_dir(root), f"v{new_v}.metadata.json")
+    fd, tmp = tempfile.mkstemp(dir=_meta_dir(root), suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(meta, f)
+    try:
+        os.link(tmp, target)  # atomic create-if-absent
+    finally:
+        os.unlink(tmp)
+    hint_tmp = os.path.join(_meta_dir(root), _HINT + ".tmp")
+    with open(hint_tmp, "w") as f:
+        f.write(str(new_v))
+    os.replace(hint_tmp, os.path.join(_meta_dir(root), _HINT))
+    return new_v
+
+
+def _schema_of(meta: dict):
+    from pyspark.sql.types import StructType
+
+    if meta["schema"] is None:
+        return StructType([])
+    return StructType.fromJson(json.loads(meta["schema"]))
+
+
+def is_snap_table(root: str) -> bool:
+    return _current_version(root) > 0
+
+
+def snapshots(root: str) -> list[dict]:
+    return _load_meta(root)["snapshots"]
+
+
+def current_snapshot_id(root: str) -> int | None:
+    return _load_meta(root)["current-snapshot-id"]
+
+
+def append(df: DataFrame, root: str, retries: int = 5) -> int:
+    """Append df as a new snapshot; returns the new snapshot id.
+
+    The data write happens ONCE (to a staging dir, a normal distributed
+    Spark write); only the metadata commit retries on conflict."""
+    stage = tempfile.mkdtemp(prefix="snapstage_")
+    try:
+        df.write.mode("overwrite").parquet(stage)
+        parts = sorted(
+            f for f in os.listdir(stage)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        schema_json = df.schema.json()
+        # row counts + per-file column min/max from parquet footers —
+        # no extra Spark job; these power file-level scan pruning
+        # (Iceberg's manifest min/max pruning)
+        import pyarrow.parquet as pq
+        part_rows: list[int] = []
+        part_stats: list[dict] = []
+        for p in parts:
+            md = pq.ParquetFile(os.path.join(stage, p)).metadata
+            part_rows.append(md.num_rows)
+            part_stats.append(_footer_stats(md))
+        n_rows = sum(part_rows)
+        last: Exception | None = None
+        for _ in range(retries):
+            meta = _load_meta(root)
+            if meta["schema"] is not None and meta["schema"] != schema_json:
+                raise ValueError(
+                    "append schema does not match table schema: "
+                    f"{schema_json} vs {meta['schema']}"
+                )
+            version = _current_version(root)
+            # monotonic across expiry/rollback (Iceberg's
+            # last-sequence-number), so file names never collide with a
+            # surviving older snapshot's files
+            seq = meta.get("last-sequence-number",
+                           len(meta["snapshots"])) + 1
+            names = [f"snap{seq:05d}-{i:05d}.parquet"
+                     for i in range(len(parts))]
+            # publish data files BEFORE metadata (Iceberg commit order:
+            # a reader must never resolve a snapshot to missing files).
+            # os.link claims each seq-based name atomically — EEXIST
+            # means another writer holds this sequence; retry on top.
+            os.makedirs(_data_dir(root), exist_ok=True)
+            claimed: list[str] = []
+            conflict = False
+            for src, dst in zip(parts, names):
+                sp = os.path.join(stage, src)
+                dp = os.path.join(_data_dir(root), dst)
+                try:
+                    os.link(sp, dp)
+                    claimed.append(dst)
+                except FileExistsError as e:
+                    if os.path.samefile(sp, dp):
+                        # our own claim from a prior attempt (a
+                        # metadata-only commit such as rollback() bumped
+                        # the version under us) — keep it and proceed
+                        claimed.append(dst)
+                        continue
+                    last, conflict = e, True
+                    break
+            if conflict:
+                for dst in claimed:  # release our partial claim
+                    os.unlink(os.path.join(_data_dir(root), dst))
+                continue
+            parent = meta["current-snapshot-id"]
+            sid = _snapshot_id(parent, names, n_rows)
+            snap = {
+                "snapshot-id": sid,
+                "parent-snapshot-id": parent,
+                "sequence-number": seq,
+                "manifest": [
+                    {"file": nm, "rows": r, "stats": st}
+                    for nm, r, st in zip(names, part_rows, part_stats)
+                ],
+                "summary": {
+                    "added-data-files": len(names),
+                    "added-records": n_rows,
+                    "total-records": n_rows + sum(
+                        s["summary"]["added-records"]
+                        for s in meta["snapshots"]
+                    ),
+                },
+            }
+            meta = {
+                "format-version": 1,
+                "schema": schema_json,
+                "snapshots": meta["snapshots"] + [snap],
+                "current-snapshot-id": sid,
+                "last-sequence-number": seq,
+            }
+            try:
+                _commit(root, meta, version)
+            except FileExistsError as e:
+                # lost a metadata race (e.g. concurrent rollback); our
+                # data-file claim survives and is re-recognized by
+                # inode on the next attempt
+                last = e
+                continue
+            return sid
+        raise RuntimeError(f"commit conflict persisted {retries}×: {last}")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def _footer_stats(md) -> dict[str, list]:
+    """Per-file [min, max] per top-level column from the parquet footer
+    statistics (JSON-safe: timestamps → epoch micros, strings truncated
+    to 32 chars widened to stay a valid bound, bytes/nested skipped)."""
+    stats: dict[str, list] = {}
+    poisoned: set[str] = set()
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in poisoned:
+                continue
+            st = col.statistics
+            lo = hi = None
+            if st is not None and st.has_min_max:
+                lo = _json_safe(st.min, is_max=False)
+                hi = _json_safe(st.max, is_max=True)
+            if lo is None or hi is None:
+                # a row group without usable bounds poisons the whole
+                # file's bound for this column
+                poisoned.add(name)
+                stats.pop(name, None)
+                continue
+            cur = stats.get(name)
+            if cur is None:
+                stats[name] = [lo, hi]
+            else:
+                stats[name] = [min(cur[0], lo), max(cur[1], hi)]
+    return stats
+
+
+def _json_safe(v, is_max: bool):
+    import datetime
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, datetime.datetime):
+        epoch = datetime.datetime(
+            1970, 1, 1, tzinfo=v.tzinfo if v.tzinfo else None
+        )
+        return int((v - epoch).total_seconds() * 1_000_000)
+    if isinstance(v, str):
+        if len(v) <= 32:
+            return v
+        # truncation must WIDEN the bound: a truncated max is made an
+        # upper bound by bumping the last character (Iceberg truncate())
+        t = v[:32]
+        if is_max:
+            t = t[:-1] + chr(ord(t[-1]) + 1)
+        return t
+    return None
+
+
+def _norm_bound(v):
+    """Normalize a caller-supplied prune bound to the stored stat
+    representation (datetimes → epoch micros)."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        return _json_safe(v, is_max=False)
+    return v
+
+
+def _entries_of(meta: dict, snapshot_id: int | None) -> list[dict]:
+    """All manifest entries visible at `snapshot_id` (ancestor chain up
+    to and including it); current snapshot when None."""
+    sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    if sid is None:
+        return []
+    if sid not in by_id:
+        raise KeyError(f"unknown snapshot id {sid}")
+    entries: list[dict] = []
+    cur: int | None = sid
+    while cur is not None:
+        s = by_id[cur]
+        entries = s["manifest"] + entries
+        cur = s["parent-snapshot-id"]
+    return entries
+
+
+def _files_of(meta: dict, snapshot_id: int | None) -> list[str]:
+    return [e["file"] for e in _entries_of(meta, snapshot_id)]
+
+
+def _file_matches(stats: dict, prune: dict) -> bool:
+    """May this file contain rows satisfying every (lo, hi) bound?
+    Missing stats for a column ⇒ cannot prune on it ⇒ keep."""
+    for col, (lo, hi) in prune.items():
+        b = stats.get(col)
+        if b is None:
+            continue
+        if lo is not None and b[1] < _norm_bound(lo):
+            return False
+        if hi is not None and b[0] > _norm_bound(hi):
+            return False
+    return True
+
+
+def read(spark: SparkSession, root: str,
+         snapshot_id: int | None = None,
+         prune: dict[str, tuple] | None = None) -> DataFrame:
+    """Time-travel read: the table as of `snapshot_id` (current if
+    None).  Hands Spark the pinned file list — pruning/pushdown/split
+    planning identical to a plain parquet scan.
+
+    `prune` = {column: (lo, hi)} drops files whose footer min/max
+    bounds PROVE no row can satisfy lo ≤ col ≤ hi (either bound may be
+    None) — Iceberg's manifest-level pruning, which skips file listing/
+    footer I/O entirely for irrelevant files.  It is a superset
+    guarantee, not a filter: the caller still applies the real
+    predicate (Spark then prunes row groups from the same footer
+    stats).  planned_files() exposes the pruned list for tests."""
+    meta = _load_meta(root)
+    files = planned_files(root, snapshot_id, prune, _meta=meta)
+    if not files:
+        return spark.createDataFrame([], schema=_schema_of(meta))
+    return spark.read.parquet(
+        *[os.path.join(_data_dir(root), f) for f in files]
+    )
+
+
+def planned_files(root: str, snapshot_id: int | None = None,
+                  prune: dict[str, tuple] | None = None,
+                  _meta: dict | None = None) -> list[str]:
+    meta = _load_meta(root) if _meta is None else _meta
+    entries = _entries_of(meta, snapshot_id)
+    if prune:
+        entries = [e for e in entries
+                   if _file_matches(e.get("stats", {}), prune)]
+    return [e["file"] for e in entries]
+
+
+def incremental_read(spark: SparkSession, root: str,
+                     from_snapshot_id: int,
+                     to_snapshot_id: int | None = None) -> DataFrame:
+    """Rows appended AFTER `from_snapshot_id` up to and including
+    `to_snapshot_id` (current if None) — Iceberg's incremental append
+    scan.  This is the resume primitive: a checkpointed job that
+    finished snapshot A processes exactly the new data of snapshot B."""
+    meta = _load_meta(root)
+    base = set(_files_of(meta, from_snapshot_id))
+    new = [f for f in _files_of(meta, to_snapshot_id) if f not in base]
+    if not new:
+        return spark.createDataFrame([], schema=_schema_of(meta))
+    return spark.read.parquet(
+        *[os.path.join(_data_dir(root), f) for f in new]
+    )
+
+
+def expire_snapshots(root: str, keep: list[int] | None = None,
+                     retries: int = 5) -> list[str]:
+    """Iceberg's expireSnapshots: drop snapshot entries not in `keep`
+    (the current snapshot is always kept), then delete data files no
+    longer reachable from any remaining snapshot.  A kept snapshot
+    whose ancestors were dropped is flattened (its manifest becomes its
+    full reachable file set, parent → None) so time-travel to every
+    KEPT id keeps working.  Returns the deleted file names.
+
+    Readers pinned to an EXPIRED id lose it — exactly Iceberg's
+    contract; expire only what retention policy allows."""
+    keep_set = set(keep or [])
+    last: Exception | None = None
+    for _ in range(retries):
+        meta = _load_meta(root)
+        cur = meta["current-snapshot-id"]
+        if cur is not None:
+            keep_set.add(cur)
+        by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+        unknown = keep_set - set(by_id)
+        if unknown:
+            raise KeyError(f"unknown snapshot ids {sorted(unknown)}")
+        version = _current_version(root)
+        kept_snaps = []
+        for s in meta["snapshots"]:
+            sid = s["snapshot-id"]
+            if sid not in keep_set:
+                continue
+            parent = s["parent-snapshot-id"]
+            if parent is not None and parent not in keep_set:
+                # flatten: absorb dropped ancestors' files
+                s = dict(s, manifest=_entries_of(meta, sid),
+                         **{"parent-snapshot-id": None})
+            kept_snaps.append(s)
+        reachable = {e["file"] for s in kept_snaps for e in s["manifest"]}
+        # delete ONLY files referenced by the snapshots we dropped —
+        # never "anything unreferenced in data/", which would race a
+        # concurrent appender's data-before-metadata publication
+        # (Iceberg's removeOrphanFiles has the same hazard and guards
+        # with a retention age; referencing-dropped-only needs no age)
+        dropped_files = {
+            e["file"]
+            for s in meta["snapshots"]
+            if s["snapshot-id"] not in keep_set
+            for e in s["manifest"]
+        }
+        new_meta = dict(meta, snapshots=kept_snaps)
+        try:
+            _commit(root, new_meta, version)
+        except FileExistsError as e:
+            last = e
+            continue
+        removed = sorted(dropped_files - reachable)
+        for f in removed:
+            os.unlink(os.path.join(_data_dir(root), f))
+        return removed
+    raise RuntimeError(f"commit conflict persisted {retries}×: {last}")
+
+
+def rollback(root: str, snapshot_id: int, retries: int = 5) -> None:
+    """Metadata-only rollback of the current pointer to an earlier
+    snapshot.  Data files are immutable, so later snapshots remain
+    readable by id (and re-rollback-able forward)."""
+    last = None
+    for _ in range(retries):
+        meta = _load_meta(root)
+        if snapshot_id not in {s["snapshot-id"] for s in meta["snapshots"]}:
+            raise KeyError(f"unknown snapshot id {snapshot_id}")
+        version = _current_version(root)
+        meta = dict(meta, **{"current-snapshot-id": snapshot_id})
+        try:
+            _commit(root, meta, version)
+            return
+        except FileExistsError as e:
+            last = e
+    raise RuntimeError(f"commit conflict persisted {retries}×: {last}")

@@ -1,0 +1,231 @@
+"""Snapshot-table layer (sources/snaptable.py): append / time-travel /
+incremental / rollback / commit-conflict semantics."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlfeatureextraction_spark.sources import snaptable
+from sqlfeatureextraction_spark.sources.io import read_transcripts
+from sqlfeatureextraction_spark.synth import make_transcripts_pdf
+
+
+@pytest.fixture(scope="module")
+def turns(spark):
+    pdf = make_transcripts_pdf(n_convs=20, seed=7)
+    return spark.createDataFrame(pdf)
+
+
+def _rows(df):
+    return sorted(
+        tuple(r) for r in df.select("conv_id", "turn_idx").collect()
+    )
+
+
+def test_append_read_time_travel(spark, turns, tmp_path):
+    root = str(tmp_path / "tbl")
+    a = turns.where(F.col("turn_idx") % 2 == 0)
+    b = turns.where(F.col("turn_idx") % 2 == 1)
+    s1 = snaptable.append(a, root)
+    s2 = snaptable.append(b, root)
+    assert snaptable.current_snapshot_id(root) == s2
+    # current read = union of both appends
+    assert _rows(snaptable.read(spark, root)) == _rows(turns)
+    # time-travel to s1 = first append only
+    assert _rows(snaptable.read(spark, root, s1)) == _rows(a)
+    # snapshot log: parent chain + summaries
+    snaps = snaptable.snapshots(root)
+    assert [s["snapshot-id"] for s in snaps] == [s1, s2]
+    assert snaps[0]["parent-snapshot-id"] is None
+    assert snaps[1]["parent-snapshot-id"] == s1
+    assert snaps[0]["summary"]["added-records"] == a.count()
+    assert snaps[1]["summary"]["total-records"] == turns.count()
+
+
+def test_incremental_read(spark, turns, tmp_path):
+    root = str(tmp_path / "tbl")
+    a = turns.where(F.col("turn_idx") == 0)
+    b = turns.where(F.col("turn_idx") == 1)
+    c = turns.where(F.col("turn_idx") == 2)
+    s1 = snaptable.append(a, root)
+    s2 = snaptable.append(b, root)
+    s3 = snaptable.append(c, root)
+    # (s1, s3] = appends 2 and 3
+    got = snaptable.incremental_read(spark, root, s1)
+    assert _rows(got) == _rows(b.unionByName(c))
+    # bounded (s1, s2]
+    got = snaptable.incremental_read(spark, root, s1, s2)
+    assert _rows(got) == _rows(b)
+    # (s3, current] = empty, with the table schema
+    got = snaptable.incremental_read(spark, root, s3)
+    assert got.count() == 0
+    assert got.schema == turns.schema
+
+
+def test_rollback_then_reappend(spark, turns, tmp_path):
+    root = str(tmp_path / "tbl")
+    a = turns.where(F.col("turn_idx") == 0)
+    b = turns.where(F.col("turn_idx") == 1)
+    s1 = snaptable.append(a, root)
+    s2 = snaptable.append(b, root)
+    snaptable.rollback(root, s1)
+    assert snaptable.current_snapshot_id(root) == s1
+    assert _rows(snaptable.read(spark, root)) == _rows(a)
+    # later snapshot stays readable by id (files are immutable)
+    assert _rows(snaptable.read(spark, root, s2)) == _rows(
+        a.unionByName(b)
+    )
+    # appending after rollback branches off s1
+    c = turns.where(F.col("turn_idx") == 2)
+    s3 = snaptable.append(c, root)
+    snaps = {s["snapshot-id"]: s for s in snaptable.snapshots(root)}
+    assert snaps[s3]["parent-snapshot-id"] == s1
+    assert _rows(snaptable.read(spark, root)) == _rows(a.unionByName(c))
+
+
+def test_schema_mismatch_rejected(spark, turns, tmp_path):
+    root = str(tmp_path / "tbl")
+    snaptable.append(turns, root)
+    with pytest.raises(ValueError, match="schema"):
+        snaptable.append(turns.drop("tool"), root)
+
+
+def test_deterministic_snapshot_ids(spark, turns, tmp_path):
+    """Identical append sequences produce identical snapshot ids —
+    content-addressed, so oracles can pin time-travel by value."""
+    a = turns.where(F.col("turn_idx") == 0).coalesce(2)
+    ids = []
+    for d in ("t1", "t2"):
+        root = str(tmp_path / d)
+        ids.append(snaptable.append(a, root))
+    assert ids[0] == ids[1]
+
+
+def test_commit_conflict_retries_on_winner(spark, turns, tmp_path):
+    """A stale writer (its observed version was overtaken) must retry
+    on top of the winner, not clobber it — simulated by pre-committing
+    the next metadata version out from under an appender."""
+    root = str(tmp_path / "tbl")
+    a = turns.where(F.col("turn_idx") == 0)
+    s1 = snaptable.append(a, root)
+    # simulate a racing metadata-only commit: bump the version manually
+    meta = snaptable._load_meta(root)
+    snaptable._commit(root, meta, snaptable._current_version(root))
+    # the appender sees the bumped version and still lands cleanly
+    b = turns.where(F.col("turn_idx") == 1)
+    s2 = snaptable.append(b, root)
+    assert snaptable.current_snapshot_id(root) == s2
+    assert _rows(snaptable.read(spark, root)) == _rows(a.unionByName(b))
+    assert snaptable._current_version(root) == 3
+    # metadata referenced by every version resolves to existing files
+    for s in snaptable.snapshots(root):
+        for e in s["manifest"]:
+            assert os.path.exists(os.path.join(root, "data", e["file"]))
+
+
+def test_stale_hint_is_advisory(spark, turns, tmp_path):
+    root = str(tmp_path / "tbl")
+    snaptable.append(turns.where(F.col("turn_idx") == 0), root)
+    snaptable.append(turns.where(F.col("turn_idx") == 1), root)
+    hint = os.path.join(root, "metadata", "version-hint.text")
+    with open(hint, "w") as f:
+        f.write("1")  # stale
+    assert snaptable._current_version(root) == 2
+    assert _rows(snaptable.read(spark, root)) == _rows(
+        turns.where(F.col("turn_idx") <= 1)
+    )
+
+
+def test_read_transcripts_detects_snap_root(spark, turns, tmp_path):
+    root = str(tmp_path / "tbl")
+    a = turns.where(F.col("turn_idx") == 0)
+    s1 = snaptable.append(a, root)
+    snaptable.append(turns.where(F.col("turn_idx") == 1), root)
+    assert _rows(read_transcripts(spark, root, snapshot_id=s1)) == _rows(a)
+    # plain parquet dirs still read as before
+    pq = str(tmp_path / "plain")
+    a.write.mode("overwrite").parquet(pq)
+    assert _rows(read_transcripts(spark, pq)) == _rows(a)
+
+
+def test_stats_pruning(spark, turns, tmp_path):
+    """File-level min/max pruning: appends partitioned by turn_idx give
+    disjoint per-file bounds; a turn_idx range prune plans only the
+    overlapping files, and the pruned read + residual filter equals the
+    plain filtered read."""
+    root = str(tmp_path / "tbl")
+    for k in range(4):
+        snaptable.append(turns.where(F.col("turn_idx") % 4 == k)
+                         .coalesce(1), root)
+    all_files = snaptable.planned_files(root)
+    assert len(all_files) == 4
+    planned = snaptable.planned_files(root, prune={"turn_idx": (0, 0)})
+    assert len(planned) == 1  # only the %4==0 file can hold turn_idx 0
+    got = snaptable.read(spark, root, prune={"turn_idx": (0, 0)}).where(
+        F.col("turn_idx") == 0
+    )
+    want = snaptable.read(spark, root).where(F.col("turn_idx") == 0)
+    assert _rows(got) == _rows(want)
+    # timestamp bounds: prune on ts using a datetime bound
+    lo = turns.agg(F.min("ts")).first()[0]
+    planned = snaptable.planned_files(root, prune={"ts": (None, lo)})
+    rows = snaptable.read(spark, root, prune={"ts": (None, lo)}).where(
+        F.col("ts") <= F.lit(lo)
+    )
+    assert rows.count() == turns.where(F.col("ts") <= F.lit(lo)).count()
+    # a column with no stats never prunes (conservative keep-all)
+    assert snaptable.planned_files(
+        root, prune={"no_such_col": (0, 0)}
+    ) == all_files
+
+
+def test_expire_snapshots(spark, turns, tmp_path):
+    root = str(tmp_path / "tbl")
+    a = turns.where(F.col("turn_idx") == 0)
+    b = turns.where(F.col("turn_idx") == 1)
+    c = turns.where(F.col("turn_idx") == 2)
+    s1 = snaptable.append(a, root)
+    s2 = snaptable.append(b, root)
+    snaptable.rollback(root, s1)
+    s3 = snaptable.append(c, root)  # s2 now an orphaned branch
+    removed = snaptable.expire_snapshots(root, keep=[s3])
+    # s2's own file is unreachable from s3 and must be gone; s1's file
+    # is still reachable (s3's flattened chain) and must survive
+    assert removed, "expected the orphaned branch's files removed"
+    for f in removed:
+        assert not os.path.exists(os.path.join(root, "data", f))
+    assert _rows(snaptable.read(spark, root)) == _rows(a.unionByName(c))
+    assert _rows(snaptable.read(spark, root, s3)) == _rows(
+        a.unionByName(c)
+    )
+    with pytest.raises(KeyError):
+        snaptable.read(spark, root, s2)
+    # sequence numbers stay monotonic: a post-expiry append must not
+    # collide with surviving file names
+    s4 = snaptable.append(b, root)
+    assert _rows(snaptable.read(spark, root, s4)) == _rows(turns.where(
+        F.col("turn_idx") <= 2
+    ))
+
+
+def test_checkpoint_lineage_carries_snapshot_id(spark, turns, tmp_path):
+    """CheckpointedRun's manifest records the table's real snapshot id;
+    re-running against a NEW snapshot recomputes (ids differ)."""
+    from sqlfeatureextraction_spark.checkpoint import CheckpointedRun
+
+    root = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ckpt")
+    s1 = snaptable.append(turns.where(F.col("turn_idx") == 0), root)
+
+    def compute(df):
+        return df.groupBy("conv_id").agg(F.count("*").alias("n"))
+
+    cp = CheckpointedRun(ck, n_buckets=2, snapshot_id=str(s1))
+    cp.run_all(snaptable.read(spark, root), compute, key_col="conv_id")
+    recs = [json.loads(ln) for ln in open(cp.manifest_path)]
+    assert {r["snapshot_id"] for r in recs} == {str(s1)}
+    s2 = snaptable.append(turns.where(F.col("turn_idx") == 1), root)
+    cp2 = CheckpointedRun(ck, n_buckets=2, snapshot_id=str(s2))
+    assert cp2.read_manifest() == {}  # nothing done for the new snapshot
