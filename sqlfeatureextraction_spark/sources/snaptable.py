@@ -20,11 +20,12 @@ Capabilities (all metadata-only except the append's data write):
   rollback(root, snapshot_id)      -> current pointer moves back
   snapshots(root) / current_snapshot_id(root)
 
-Commit protocol: optimistic, like Iceberg's — the writer renames a
-complete v<N+1>.metadata.json into place with os.rename (atomic on
-POSIX; fails if a concurrent writer won the version) and retries on
-top of the new current version.  Data files are immutable and never
-rewritten, so readers pinned to any snapshot are unaffected by commits.
+Commit protocol: optimistic, like Iceberg's — the writer publishes a
+complete v<N+1>.metadata.json with an atomic create-if-absent
+(os.link; EEXIST means a concurrent writer won the version) and
+retries on top of the new current version.  Data files are immutable
+and never rewritten, so readers pinned to any snapshot are unaffected
+by commits.
 
 Scale posture: metadata is O(total files) JSON held driver-side —
 exactly Iceberg's manifest-list role; reads hand Spark the pinned file
@@ -286,8 +287,12 @@ def _json_safe(v, is_max: bool):
     if isinstance(v, (int, float)):
         return v
     if isinstance(v, datetime.datetime):
+        # the epoch must be the REAL epoch: for aware values use the
+        # UTC epoch (an epoch constructed in the value's own offset
+        # would shift every bound by that offset)
         epoch = datetime.datetime(
-            1970, 1, 1, tzinfo=v.tzinfo if v.tzinfo else None
+            1970, 1, 1,
+            tzinfo=datetime.timezone.utc if v.tzinfo else None,
         )
         return int((v - epoch).total_seconds() * 1_000_000)
     if isinstance(v, str):
@@ -390,6 +395,20 @@ def incremental_read(spark: SparkSession, root: str,
     scan.  This is the resume primitive: a checkpointed job that
     finished snapshot A processes exactly the new data of snapshot B."""
     meta = _load_meta(root)
+    # `from` must be an ancestor of `to` — a cross-branch "increment"
+    # (e.g. from a rolled-back sibling) is not an append diff
+    to_sid = (meta["current-snapshot-id"]
+              if to_snapshot_id is None else to_snapshot_id)
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    cur, ancestors = to_sid, set()
+    while cur is not None:
+        ancestors.add(cur)
+        cur = by_id[cur]["parent-snapshot-id"] if cur in by_id else None
+    if from_snapshot_id not in ancestors:
+        raise ValueError(
+            f"snapshot {from_snapshot_id} is not an ancestor of "
+            f"{to_sid}; incremental reads follow one append chain"
+        )
     base = set(_files_of(meta, from_snapshot_id))
     new = [f for f in _files_of(meta, to_snapshot_id) if f not in base]
     if not new:

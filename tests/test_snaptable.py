@@ -83,6 +83,13 @@ def test_rollback_then_reappend(spark, turns, tmp_path):
     snaps = {s["snapshot-id"]: s for s in snaptable.snapshots(root)}
     assert snaps[s3]["parent-snapshot-id"] == s1
     assert _rows(snaptable.read(spark, root)) == _rows(a.unionByName(c))
+    # s2 is a sibling branch, not an ancestor of s3 — an "incremental
+    # read from s2" is not an append diff and must be rejected
+    with pytest.raises(ValueError, match="ancestor"):
+        snaptable.incremental_read(spark, root, s2, s3)
+    # while s1 → s3 is a real append chain
+    got = snaptable.incremental_read(spark, root, s1, s3)
+    assert _rows(got) == _rows(c)
 
 
 def test_schema_mismatch_rejected(spark, turns, tmp_path):
