@@ -93,6 +93,12 @@ def main() -> None:
             "only exact when carried and recomputed features share the "
             "run that fitted the vocabulary"
         )
+    if args.incremental_from is not None and args.checkpoint:
+        raise SystemExit(
+            "--incremental-from and --checkpoint are mutually "
+            "exclusive: the refresh leg is not bucket-checkpointed "
+            "(it is already delta-sized; re-run it on failure)"
+        )
     if args.load_vocab:
         from sqlfeatureextraction_spark.vocab import Vocabulary
 
@@ -107,8 +113,18 @@ def main() -> None:
         pipe.vocab.to_df(spark).write.mode("overwrite").parquet(
             args.save_vocab
         )
+    if args.incremental_from is not None:
+        # OOV accounting over the DELTA only — tokenizing the whole
+        # table here would re-pay the full-table pass the incremental
+        # mode exists to avoid (rows_in then means delta rows)
+        obs_src = snap.incremental_read(
+            spark, args.input, args.incremental_from,
+            int(args.snapshot_id) if args.snapshot_id else None,
+        )
+    else:
+        obs_src = tx
     oov_obs = Observation("oov_metrics")
-    tx_o = with_oov_stats(tx, pipe.vocab).observe(
+    tx_o = with_oov_stats(obs_src, pipe.vocab).observe(
         oov_obs,
         F.sum("n_oov").alias("total_oov"),
         F.sum("n_tokens").alias("total_tokens"),

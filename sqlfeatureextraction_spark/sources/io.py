@@ -42,6 +42,13 @@ def read_transcripts(
 
     if snaptable.is_snap_table(path):
         return snaptable.read(spark, path, snapshot_id)
+    if snapshot_id is not None:
+        # a plain parquet path cannot honor a time-travel pin —
+        # returning current data here would be silently wrong
+        raise ValueError(
+            f"snapshot_id={snapshot_id} requested but {path!r} is "
+            "neither an Iceberg identifier nor a snapshot-table root"
+        )
     return spark.read.parquet(path)
 
 

@@ -146,7 +146,11 @@ def append(df: DataFrame, root: str, retries: int = 5) -> int:
 
     The data write happens ONCE (to a staging dir, a normal distributed
     Spark write); only the metadata commit retries on conflict."""
-    stage = tempfile.mkdtemp(prefix="snapstage_")
+    # stage INSIDE the table root: publication is an os.link, which
+    # requires the same filesystem (a /tmp staging dir EXDEV-fails
+    # whenever the table lives on another volume)
+    os.makedirs(root, exist_ok=True)
+    stage = tempfile.mkdtemp(prefix=".stage_", dir=root)
     try:
         df.write.mode("overwrite").parquet(stage)
         parts = sorted(
@@ -166,20 +170,25 @@ def append(df: DataFrame, root: str, retries: int = 5) -> int:
             part_stats.append(_footer_stats(md))
         n_rows = sum(part_rows)
         last: Exception | None = None
+        name_token = ""
+        prev_blocker: tuple | None = None
         for _ in range(retries):
-            meta = _load_meta(root)
+            # read the version FIRST and the metadata AT that version —
+            # reading them separately lets a commit land in between and
+            # be silently erased by ours (lost update)
+            version = _current_version(root)
+            meta = _load_meta(root, version)
             if meta["schema"] is not None and meta["schema"] != schema_json:
                 raise ValueError(
                     "append schema does not match table schema: "
                     f"{schema_json} vs {meta['schema']}"
                 )
-            version = _current_version(root)
             # monotonic across expiry/rollback (Iceberg's
             # last-sequence-number), so file names never collide with a
             # surviving older snapshot's files
             seq = meta.get("last-sequence-number",
                            len(meta["snapshots"])) + 1
-            names = [f"snap{seq:05d}-{i:05d}.parquet"
+            names = [f"snap{seq:05d}{name_token}-{i:05d}.parquet"
                      for i in range(len(parts))]
             # publish data files BEFORE metadata (Iceberg commit order:
             # a reader must never resolve a snapshot to missing files).
@@ -187,7 +196,7 @@ def append(df: DataFrame, root: str, retries: int = 5) -> int:
             # means another writer holds this sequence; retry on top.
             os.makedirs(_data_dir(root), exist_ok=True)
             claimed: list[str] = []
-            conflict = False
+            blocker: str | None = None
             for src, dst in zip(parts, names):
                 sp = os.path.join(stage, src)
                 dp = os.path.join(_data_dir(root), dst)
@@ -201,11 +210,22 @@ def append(df: DataFrame, root: str, retries: int = 5) -> int:
                         # the version under us) — keep it and proceed
                         claimed.append(dst)
                         continue
-                    last, conflict = e, True
+                    last, blocker = e, dst
                     break
-            if conflict:
+            if blocker is not None:
                 for dst in claimed:  # release our partial claim
                     os.unlink(os.path.join(_data_dir(root), dst))
+                referenced = {e["file"] for s in meta["snapshots"]
+                              for e in s["manifest"]}
+                if blocker not in referenced and \
+                        prev_blocker == (version, blocker):
+                    # the SAME unreferenced file blocked us twice at an
+                    # UNCHANGED version: a dead writer's orphan (a live
+                    # writer would have committed and bumped the
+                    # version) — switch to collision-free names; the
+                    # orphan itself is left for remove_orphans()
+                    name_token = "-" + os.urandom(4).hex()
+                prev_blocker = (version, blocker)
                 continue
             parent = meta["current-snapshot-id"]
             sid = _snapshot_id(parent, names, n_rows)
@@ -299,10 +319,16 @@ def _json_safe(v, is_max: bool):
         if len(v) <= 32:
             return v
         # truncation must WIDEN the bound: a truncated max is made an
-        # upper bound by bumping the last character (Iceberg truncate())
+        # upper bound by bumping the last bumpable character (Iceberg
+        # truncate()); if every char is U+10FFFF there is no valid
+        # upper bound — drop it (the column is then poisoned for this
+        # file, which only disables pruning, never correctness)
         t = v[:32]
         if is_max:
-            t = t[:-1] + chr(ord(t[-1]) + 1)
+            for i in range(len(t) - 1, -1, -1):
+                if ord(t[i]) < 0x10FFFF:
+                    return t[:i] + chr(ord(t[i]) + 1)
+            return None
         return t
     return None
 
@@ -432,7 +458,8 @@ def expire_snapshots(root: str, keep: list[int] | None = None,
     keep_set = set(keep or [])
     last: Exception | None = None
     for _ in range(retries):
-        meta = _load_meta(root)
+        version = _current_version(root)
+        meta = _load_meta(root, version)
         cur = meta["current-snapshot-id"]
         if cur is not None:
             keep_set.add(cur)
@@ -440,7 +467,6 @@ def expire_snapshots(root: str, keep: list[int] | None = None,
         unknown = keep_set - set(by_id)
         if unknown:
             raise KeyError(f"unknown snapshot ids {sorted(unknown)}")
-        version = _current_version(root)
         kept_snaps = []
         for s in meta["snapshots"]:
             sid = s["snapshot-id"]
@@ -448,9 +474,22 @@ def expire_snapshots(root: str, keep: list[int] | None = None,
                 continue
             parent = s["parent-snapshot-id"]
             if parent is not None and parent not in keep_set:
-                # flatten: absorb dropped ancestors' files
-                s = dict(s, manifest=_entries_of(meta, sid),
-                         **{"parent-snapshot-id": None})
+                # re-parent to the nearest KEPT ancestor, absorbing the
+                # dropped middle snapshots' files — lineage between two
+                # kept snapshots must survive (incremental_read /
+                # --incremental-from depend on the ancestor chain)
+                anc = parent
+                while anc is not None and anc not in keep_set:
+                    anc = by_id[anc]["parent-snapshot-id"]
+                if anc is None:
+                    s = dict(s, manifest=_entries_of(meta, sid),
+                             **{"parent-snapshot-id": None})
+                else:
+                    base = {e["file"] for e in _entries_of(meta, anc)}
+                    flat = [e for e in _entries_of(meta, sid)
+                            if e["file"] not in base]
+                    s = dict(s, manifest=flat,
+                             **{"parent-snapshot-id": anc})
             kept_snaps.append(s)
         reachable = {e["file"] for s in kept_snaps for e in s["manifest"]}
         # delete ONLY files referenced by the snapshots we dropped —
@@ -477,16 +516,40 @@ def expire_snapshots(root: str, keep: list[int] | None = None,
     raise RuntimeError(f"commit conflict persisted {retries}×: {last}")
 
 
+def remove_orphans(root: str, older_than_s: float = 86400.0) -> list[str]:
+    """Delete data files referenced by NO snapshot and older than
+    `older_than_s` seconds (Iceberg removeOrphanFiles).  The age guard
+    is load-bearing: an unreferenced young file may be a live append's
+    data-before-metadata publication; a dead writer's orphan only grows
+    older.  Returns the deleted names."""
+    import time
+
+    meta = _load_meta(root)
+    referenced = {e["file"] for s in meta["snapshots"]
+                  for e in s["manifest"]}
+    removed = []
+    dd = _data_dir(root)
+    if os.path.isdir(dd):
+        now = time.time()
+        for f in sorted(os.listdir(dd)):
+            p = os.path.join(dd, f)
+            if (f.endswith(".parquet") and f not in referenced
+                    and now - os.path.getmtime(p) > older_than_s):
+                os.unlink(p)
+                removed.append(f)
+    return removed
+
+
 def rollback(root: str, snapshot_id: int, retries: int = 5) -> None:
     """Metadata-only rollback of the current pointer to an earlier
     snapshot.  Data files are immutable, so later snapshots remain
     readable by id (and re-rollback-able forward)."""
     last = None
     for _ in range(retries):
-        meta = _load_meta(root)
+        version = _current_version(root)
+        meta = _load_meta(root, version)
         if snapshot_id not in {s["snapshot-id"] for s in meta["snapshots"]}:
             raise KeyError(f"unknown snapshot id {snapshot_id}")
-        version = _current_version(root)
         meta = dict(meta, **{"current-snapshot-id": snapshot_id})
         try:
             _commit(root, meta, version)

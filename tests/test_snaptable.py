@@ -217,6 +217,73 @@ def test_expire_snapshots(spark, turns, tmp_path):
     ))
 
 
+def test_expire_preserves_kept_lineage(spark, turns, tmp_path):
+    """Expiring a MIDDLE snapshot re-parents its kept descendant to the
+    nearest kept ancestor — incremental reads between two kept
+    snapshots must survive retention."""
+    root = str(tmp_path / "tbl")
+    a = turns.where(F.col("turn_idx") == 0)
+    b = turns.where(F.col("turn_idx") == 1)
+    c = turns.where(F.col("turn_idx") == 2)
+    s1 = snaptable.append(a, root)
+    s2 = snaptable.append(b, root)
+    s3 = snaptable.append(c, root)
+    removed = snaptable.expire_snapshots(root, keep=[s1, s3])
+    # s2's files are still reachable through s3's flattened manifest
+    assert removed == []
+    assert _rows(snaptable.read(spark, root, s3)) == _rows(
+        a.unionByName(b).unionByName(c)
+    )
+    got = snaptable.incremental_read(spark, root, s1, s3)
+    assert _rows(got) == _rows(b.unionByName(c))
+    snaps = {s["snapshot-id"]: s for s in snaptable.snapshots(root)}
+    assert snaps[s3]["parent-snapshot-id"] == s1
+
+
+def test_dead_writer_orphan_recovery(spark, turns, tmp_path):
+    """A writer that died between publishing data files and committing
+    metadata must not brick the table: the next append detects the
+    stable unreferenced blocker and switches to collision-free names;
+    remove_orphans (with age guard) reclaims the orphan."""
+    root = str(tmp_path / "tbl")
+    a = turns.where(F.col("turn_idx") == 0)
+    s1 = snaptable.append(a, root)
+    # simulate the dead writer: an unreferenced file squatting on the
+    # NEXT sequence's name
+    data_dir = os.path.join(root, "data")
+    existing = next(f for f in os.listdir(data_dir)
+                    if f.endswith(".parquet"))
+    orphan = "snap00002-00000.parquet"
+    os.link(os.path.join(data_dir, existing),
+            os.path.join(data_dir, orphan))
+    b = turns.where(F.col("turn_idx") == 1)
+    s2 = snaptable.append(b, root)  # must succeed despite the squatter
+    assert _rows(snaptable.read(spark, root, s2)) == _rows(
+        a.unionByName(b)
+    )
+    # age guard: a young orphan is NOT deleted (could be a live append)
+    assert snaptable.remove_orphans(root, older_than_s=3600) == []
+    assert snaptable.remove_orphans(root, older_than_s=-1.0) == [orphan]
+    assert not os.path.exists(os.path.join(data_dir, orphan))
+    assert _rows(snaptable.read(spark, root)) == _rows(a.unionByName(b))
+
+
+def test_string_bound_widening_edge():
+    long = "x" * 40
+    hi = snaptable._json_safe(long, is_max=True)
+    assert hi is not None and hi > long[:32] and len(hi) == 32
+    assert snaptable._json_safe(long, is_max=False) == long[:32]
+    # un-widenable max (every char is U+10FFFF): no bound, not a crash
+    assert snaptable._json_safe("\U0010ffff" * 40, is_max=True) is None
+
+
+def test_plain_parquet_rejects_snapshot_pin(spark, turns, tmp_path):
+    pq = str(tmp_path / "plain")
+    turns.limit(5).write.mode("overwrite").parquet(pq)
+    with pytest.raises(ValueError, match="snapshot"):
+        read_transcripts(spark, pq, snapshot_id=123)
+
+
 def test_checkpoint_lineage_carries_snapshot_id(spark, turns, tmp_path):
     """CheckpointedRun's manifest records the table's real snapshot id;
     re-running against a NEW snapshot recomputes (ids differ)."""
