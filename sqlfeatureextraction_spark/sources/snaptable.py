@@ -12,12 +12,18 @@ files + versioned metadata with a snapshot log — over plain parquet:
                                            layout, Iceberg spec §"File
                                            System Tables")
 
-Capabilities (all metadata-only except the append's data write):
+Capabilities (all metadata-only except append/compact's data write):
   append(df, root)                 -> new snapshot id (deterministic)
-  read(spark, root, snapshot_id=)  -> DataFrame, time-travel by id
+  read(spark, root, snapshot_id=, prune=) -> DataFrame, time-travel by
+                                      id, footer-stats file pruning
   incremental_read(spark, root, a, b) -> rows appended in (a, b]
-                                      (Iceberg "incremental append scan")
+                                      (Iceberg "incremental append scan";
+                                      refuses to cross a compaction)
+  compact(spark, root, sort_by=)   -> small-file rewrite as a "replace"
+                                      snapshot (optionally sort-ordered)
   rollback(root, snapshot_id)      -> current pointer moves back
+  expire_snapshots(root, keep=)    -> retention + safe file reclaim
+  remove_orphans(root, older_than_s=) -> dead writers' leftovers
   snapshots(root) / current_snapshot_id(root)
 
 Commit protocol: optimistic, like Iceberg's — the writer publishes a
@@ -121,6 +127,28 @@ def _commit(root: str, meta: dict, expected_version: int) -> int:
     return new_v
 
 
+def _schema_key(schema_json: str):
+    """Canonical comparable form of a schema: field names + types with
+    nullability and metadata scrubbed at every nesting level.  Parquet
+    read-back always infers nullable=true, so strict JSON equality
+    would reject e.g. compact()'s rewrite of a table created from
+    non-nullable columns (found by the model-based property test)."""
+
+    def scrub(node):
+        if isinstance(node, dict):
+            return {
+                k: scrub(v)
+                for k, v in sorted(node.items())
+                if k not in ("nullable", "metadata", "containsNull",
+                             "valueContainsNull")
+            }
+        if isinstance(node, list):
+            return [scrub(x) for x in node]
+        return node
+
+    return json.dumps(scrub(json.loads(schema_json)), sort_keys=True)
+
+
 def _schema_of(meta: dict):
     from pyspark.sql.types import StructType
 
@@ -141,11 +169,23 @@ def current_snapshot_id(root: str) -> int | None:
     return _load_meta(root)["current-snapshot-id"]
 
 
-def append(df: DataFrame, root: str, retries: int = 5) -> int:
+def append(df: DataFrame, root: str, retries: int = 5,
+           operation: str = "append",
+           expect_parent: int | None = ...) -> int:
     """Append df as a new snapshot; returns the new snapshot id.
 
     The data write happens ONCE (to a staging dir, a normal distributed
-    Spark write); only the metadata commit retries on conflict."""
+    Spark write); only the metadata commit retries on conflict.
+
+    `operation` is the Iceberg snapshot summary operation: "append"
+    (df's rows ADD to the parent's) or "replace" (df's files REPLACE
+    the whole visible table — same rows, new files; used by
+    compact()).  Incremental reads include only "append" snapshots.
+
+    `expect_parent` (validation, Iceberg's rewrite commit check): fail
+    instead of committing when the current snapshot is no longer this
+    id — a replace computed from a stale read must not erase a
+    concurrent append.  Default (ellipsis) = no check."""
     # stage INSIDE the table root: publication is an os.link, which
     # requires the same filesystem (a /tmp staging dir EXDEV-fails
     # whenever the table lives on another volume)
@@ -178,10 +218,18 @@ def append(df: DataFrame, root: str, retries: int = 5) -> int:
             # be silently erased by ours (lost update)
             version = _current_version(root)
             meta = _load_meta(root, version)
-            if meta["schema"] is not None and meta["schema"] != schema_json:
+            if meta["schema"] is not None and \
+                    _schema_key(meta["schema"]) != _schema_key(schema_json):
                 raise ValueError(
                     "append schema does not match table schema: "
                     f"{schema_json} vs {meta['schema']}"
+                )
+            if expect_parent is not ... and \
+                    meta["current-snapshot-id"] != expect_parent:
+                raise RuntimeError(
+                    "concurrent commit: current snapshot is "
+                    f"{meta['current-snapshot-id']}, expected "
+                    f"{expect_parent}"
                 )
             # monotonic across expiry/rollback (Iceberg's
             # last-sequence-number), so file names never collide with a
@@ -233,6 +281,7 @@ def append(df: DataFrame, root: str, retries: int = 5) -> int:
                 "snapshot-id": sid,
                 "parent-snapshot-id": parent,
                 "sequence-number": seq,
+                "operation": operation,
                 "manifest": [
                     {"file": nm, "rows": r, "stats": st}
                     for nm, r, st in zip(names, part_rows, part_stats)
@@ -240,9 +289,13 @@ def append(df: DataFrame, root: str, retries: int = 5) -> int:
                 "summary": {
                     "added-data-files": len(names),
                     "added-records": n_rows,
-                    "total-records": n_rows + sum(
-                        s["summary"]["added-records"]
-                        for s in meta["snapshots"]
+                    # visible total = own rows (+ the parent CHAIN's
+                    # rows for appends — not every snapshot ever made,
+                    # which would double-count rolled-back branches)
+                    "total-records": n_rows + (
+                        0 if operation == "replace" else sum(
+                            e["rows"] for e in _entries_of(meta, parent)
+                        )
                     ),
                 },
             }
@@ -357,6 +410,8 @@ def _entries_of(meta: dict, snapshot_id: int | None) -> list[dict]:
     while cur is not None:
         s = by_id[cur]
         entries = s["manifest"] + entries
+        if s.get("operation", "append") == "replace":
+            break  # a replace snapshot's manifest IS the full table
         cur = s["parent-snapshot-id"]
     return entries
 
@@ -426,17 +481,29 @@ def incremental_read(spark: SparkSession, root: str,
     to_sid = (meta["current-snapshot-id"]
               if to_snapshot_id is None else to_snapshot_id)
     by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
-    cur, ancestors = to_sid, set()
-    while cur is not None:
-        ancestors.add(cur)
-        cur = by_id[cur]["parent-snapshot-id"] if cur in by_id else None
-    if from_snapshot_id not in ancestors:
+    cur, segment = to_sid, []
+    while cur is not None and cur != from_snapshot_id:
+        if cur not in by_id:
+            raise KeyError(f"unknown snapshot id {cur}")
+        segment.append(by_id[cur])
+        cur = by_id[cur]["parent-snapshot-id"]
+    if cur != from_snapshot_id:
         raise ValueError(
             f"snapshot {from_snapshot_id} is not an ancestor of "
             f"{to_sid}; incremental reads follow one append chain"
         )
-    base = set(_files_of(meta, from_snapshot_id))
-    new = [f for f in _files_of(meta, to_snapshot_id) if f not in base]
+    # the increment is the APPEND snapshots' manifests in (from, to];
+    # a replace (compaction) snapshot in the segment rewrites rows the
+    # caller already has — crossing one silently would double-read, so
+    # refuse (Iceberg's incremental append scan does the same)
+    for s in segment:
+        if s.get("operation", "append") == "replace":
+            raise ValueError(
+                "incremental read crosses a replace/compaction "
+                f"snapshot {s['snapshot-id']}; re-baseline from a "
+                "post-compaction snapshot"
+            )
+    new = [e["file"] for s in reversed(segment) for e in s["manifest"]]
     if not new:
         return spark.createDataFrame([], schema=_schema_of(meta))
     return spark.read.parquet(
@@ -478,12 +545,24 @@ def expire_snapshots(root: str, keep: list[int] | None = None,
                 # dropped middle snapshots' files — lineage between two
                 # kept snapshots must survive (incremental_read /
                 # --incremental-from depend on the ancestor chain)
-                anc = parent
+                anc, crossed_replace = parent, False
                 while anc is not None and anc not in keep_set:
+                    if by_id[anc].get("operation", "append") == "replace":
+                        crossed_replace = True
                     anc = by_id[anc]["parent-snapshot-id"]
                 if anc is None:
                     s = dict(s, manifest=_entries_of(meta, sid),
                              **{"parent-snapshot-id": None})
+                elif crossed_replace or \
+                        s.get("operation", "append") == "replace":
+                    # the dropped middle rewrote the table — a diff
+                    # manifest against the kept ancestor would make
+                    # reads prepend files the rewrite removed, so keep
+                    # this snapshot self-contained (its own read stops
+                    # here) while the parent pointer preserves ancestry
+                    s = dict(s, manifest=_entries_of(meta, sid),
+                             operation="replace",
+                             **{"parent-snapshot-id": anc})
                 else:
                     base = {e["file"] for e in _entries_of(meta, anc)}
                     flat = [e for e in _entries_of(meta, sid)
@@ -514,6 +593,39 @@ def expire_snapshots(root: str, keep: list[int] | None = None,
             os.unlink(os.path.join(_data_dir(root), f))
         return removed
     raise RuntimeError(f"commit conflict persisted {retries}×: {last}")
+
+
+def compact(spark: SparkSession, root: str, n_files: int | None = None,
+            sort_by: list[str] | None = None) -> int:
+    """Rewrite the CURRENT snapshot's data into `n_files` files (default
+    = the session's shuffle parallelism) as a "replace" snapshot — the
+    small-file compaction every high-ingest table needs: scan planning
+    cost and footer pruning quality both degrade with file count.
+
+    `sort_by` additionally range-partitions + sorts the rewrite (e.g.
+    ["conv_id", "ts"]) so per-entity scans cluster and per-file min/max
+    bounds tighten — Iceberg's sort-order rewrite.
+
+    Validated against concurrent commits: the replace only lands if the
+    current snapshot is still the one the rewrite read (expect_parent);
+    otherwise RuntimeError — rerun on the new current.  Time travel to
+    pre-compaction snapshots keeps working (their files are only
+    reclaimed when expire_snapshots drops them); incremental reads must
+    not cross the compaction boundary and raise if asked to."""
+    base = current_snapshot_id(root)
+    if base is None:
+        raise ValueError("cannot compact an empty table")
+    df = read(spark, root, base)
+    if n_files is None:
+        n_files = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    if sort_by:
+        df = df.repartitionByRange(n_files, *sort_by) \
+               .sortWithinPartitions(*sort_by)
+    else:
+        df = df.coalesce(n_files)
+    return append(df, root, operation="replace", expect_parent=base)
 
 
 def remove_orphans(root: str, older_than_s: float = 86400.0) -> list[str]:

@@ -284,6 +284,77 @@ def test_plain_parquet_rejects_snapshot_pin(spark, turns, tmp_path):
         read_transcripts(spark, pq, snapshot_id=123)
 
 
+def test_compact(spark, turns, tmp_path):
+    """Small-file compaction: a sort-ordered replace snapshot with the
+    same rows; time travel to pre-compaction survives; incremental
+    reads refuse to cross the boundary; expire reclaims the small
+    files."""
+    root = str(tmp_path / "tbl")
+    sids = [
+        snaptable.append(
+            turns.where(F.col("turn_idx") == k).coalesce(2), root
+        )
+        for k in range(3)
+    ]
+    pre = turns.where(F.col("turn_idx") <= 2)
+    assert len(snaptable.planned_files(root)) == 6
+    sc = snaptable.compact(spark, root, n_files=1,
+                           sort_by=["conv_id", "turn_idx"])
+    assert len(snaptable.planned_files(root)) == 1
+    assert _rows(snaptable.read(spark, root)) == _rows(pre)
+    # pre-compaction snapshots still time-travel
+    assert _rows(snaptable.read(spark, root, sids[1])) == _rows(
+        turns.where(F.col("turn_idx") <= 1)
+    )
+    # incremental across the boundary refuses; from the compaction on
+    # it works
+    s4 = snaptable.append(turns.where(F.col("turn_idx") == 3), root)
+    with pytest.raises(ValueError, match="replace/compaction"):
+        snaptable.incremental_read(spark, root, sids[0], s4)
+    got = snaptable.incremental_read(spark, root, sc, s4)
+    assert _rows(got) == _rows(turns.where(F.col("turn_idx") == 3))
+    # a replace validated against a stale parent must not land
+    with pytest.raises(RuntimeError, match="concurrent"):
+        snaptable.append(pre, root, operation="replace",
+                         expect_parent=sids[2])
+    # retention: dropping the pre-compaction snapshots reclaims their
+    # six small files; the compacted file and the new append survive
+    removed = snaptable.expire_snapshots(root, keep=[sc, s4])
+    assert len(removed) == 6
+    assert _rows(snaptable.read(spark, root, sc)) == _rows(pre)
+    assert _rows(snaptable.read(spark, root, s4)) == _rows(
+        turns.where(F.col("turn_idx") <= 3)
+    )
+    # total-records summary reflects the visible chain, not the sum of
+    # every snapshot ever committed
+    by_id = {s["snapshot-id"]: s for s in snaptable.snapshots(root)}
+    assert by_id[s4]["summary"]["total-records"] == \
+        turns.where(F.col("turn_idx") <= 3).count()
+
+
+def test_expire_across_compaction_keeps_reads_correct(spark, turns,
+                                                      tmp_path):
+    """Dropping a middle COMPACTION between two kept snapshots must not
+    resurrect pre-compaction files into the descendant's read."""
+    root = str(tmp_path / "tbl")
+    a = turns.where(F.col("turn_idx") == 0)
+    b = turns.where(F.col("turn_idx") == 1)
+    s1 = snaptable.append(a, root)
+    sc = snaptable.compact(spark, root, n_files=1)
+    s3 = snaptable.append(b, root)
+    snaptable.expire_snapshots(root, keep=[s1, s3])
+    assert _rows(snaptable.read(spark, root, s3)) == _rows(
+        a.unionByName(b)
+    )
+    assert _rows(snaptable.read(spark, root, s1)) == _rows(a)
+    with pytest.raises(KeyError):
+        snaptable.read(spark, root, sc)
+    # the flattened descendant is self-contained (replace semantics),
+    # so an incremental read across it still refuses
+    with pytest.raises(ValueError, match="replace/compaction"):
+        snaptable.incremental_read(spark, root, s1, s3)
+
+
 def test_checkpoint_lineage_carries_snapshot_id(spark, turns, tmp_path):
     """CheckpointedRun's manifest records the table's real snapshot id;
     re-running against a NEW snapshot recomputes (ids differ)."""

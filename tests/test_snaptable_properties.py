@@ -74,7 +74,7 @@ def test_random_programs_match_model(data, chunks, tmp_path_factory):
     for step in range(n_ops):
         choices = ["append"]
         if m.live():
-            choices += ["rollback", "expire"]
+            choices += ["rollback", "expire", "compact"]
         op = data.draw(st.sampled_from(choices), label=f"op{step}")
         if op == "append":
             k = data.draw(st.integers(0, len(chunks) - 1), label="chunk")
@@ -82,6 +82,16 @@ def test_random_programs_match_model(data, chunks, tmp_path_factory):
             parent_events = m.chain.get(m.current, []) if m.current else []
             assert sid not in m.chain, "snapshot id collision"
             m.chain[sid] = parent_events + [(ev, k + 1)]
+            ev += 1
+            m.current = sid
+        elif op == "compact":
+            spark = chunks[0].sparkSession
+            sid = snaptable.compact(spark, root, n_files=1)
+            assert sid not in m.chain, "snapshot id collision"
+            # the model's compaction: one merged event holding the
+            # whole visible row count (replace semantics: the chain
+            # restarts here)
+            m.chain[sid] = [(ev, m.rows(m.current))]
             ev += 1
             m.current = sid
         elif op == "rollback":
