@@ -355,6 +355,34 @@ def test_expire_across_compaction_keeps_reads_correct(spark, turns,
         snaptable.incremental_read(spark, root, s1, s3)
 
 
+def test_concurrent_appenders_no_lost_update(spark, turns, tmp_path):
+    """Four threads race appends into one table: every append must land
+    (optimistic retries), the final chain must contain all four
+    snapshots, and the current table must hold every appended row — the
+    lost-update scenario the captured-version commit protocol exists to
+    prevent."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    root = str(tmp_path / "tbl")
+    parts = [turns.where(F.col("turn_idx") == k).cache() for k in range(4)]
+    for p in parts:
+        p.count()
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        sids = list(
+            ex.map(lambda df: snaptable.append(df, root, retries=25), parts)
+        )
+    assert len(set(sids)) == 4
+    assert {s["snapshot-id"] for s in snaptable.snapshots(root)} == set(sids)
+    want = turns.where(F.col("turn_idx") <= 3)
+    assert _rows(snaptable.read(spark, root)) == _rows(want)
+    # the chain is linear: exactly one root, each parent is a snapshot
+    snaps = snaptable.snapshots(root)
+    parents = [s["parent-snapshot-id"] for s in snaps]
+    assert parents.count(None) == 1
+    assert set(p for p in parents if p is not None) <= set(sids)
+
+
 def test_checkpoint_lineage_carries_snapshot_id(spark, turns, tmp_path):
     """CheckpointedRun's manifest records the table's real snapshot id;
     re-running against a NEW snapshot recomputes (ids differ)."""
