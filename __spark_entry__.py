@@ -525,6 +525,99 @@ def _q_corpus_curation(spark, sf_dir):
     )
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Eval-set 5-gram decontamination: the deterministic eval set is
+    doc_id % 17 == 0 (small by construction, as benchmark sets are);
+    every remaining training document is flagged with its count of
+    distinct shared 5-grams.  Eval shingles broadcast; one shuffle."""
+    from sqlfeatureextraction_spark.operators.curation import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.where(F.col("doc_id") % 17 == 0)
+    tr = docs.where(F.col("doc_id") % 17 != 0)
+    return decontaminate(tr, ev, n=5)
+
+
+def _q_substr_dup_frac(spark, sf_dir):
+    """Per-document duplicated-substring fraction (Lee et al. ACL'22 at
+    word-8-gram granularity): share of a doc's distinct 8-grams that
+    occur in >= 2 documents corpus-wide.  The xxhash64 shingle-key
+    transport variant is pinned equal in pytest; this row runs the
+    string-key path the oracle can recompute."""
+    from sqlfeatureextraction_spark.operators.curation import (
+        dup_substring_fraction,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dup_substring_fraction(docs, n=8)
+
+
+def _q_domain_mix_sample(spark, sf_dir):
+    """Deterministic domain-mix downsampling: keep a doc iff the 32-bit
+    md5 prefix of 'mix:doc_id' falls under its source's target rate
+    (DEFAULT_MIX_RATES, default 0.6) — reproducible sampling with no
+    RNG state, compared as fixed-width hex strings so the oracle
+    recomputes the exact same keep/drop decisions."""
+    from sqlfeatureextraction_spark.operators.curation import (
+        domain_mix_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return domain_mix_sample(docs).select("doc_id", "source")
+
+
+def _q_shard_assign(spark, sf_dir):
+    """Deterministic global corpus shuffle into 8 equal training shards:
+    order by md5('shard:doc_id'), cut with the range-repartition exact
+    ntile (no single-task global Window) — the oracle cross-checks with
+    SQL ntile over the same order."""
+    from sqlfeatureextraction_spark.operators.curation import shard_assign
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return shard_assign(docs, 8).select("doc_id", "shard")
+
+
+def _q_pii_scrub(spark, sf_dir):
+    """PII scrubbing over text with deterministically synthesized PII
+    (every third doc gets an email + IP + phone derived from doc_id —
+    the corpus itself contains none, so the row would otherwise be
+    all-zeros): redact emails -> IPv4 -> phones in order, count each on
+    the text that rule actually saw.  Pure regexp column expressions."""
+    from sqlfeatureextraction_spark.operators.curation import scrub_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    synth = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            did.cast("string"),
+            F.lit("@example.com at 10."),
+            (did % 200).cast("string"),
+            F.lit(".0.1 or +1 555-010-"),
+            (F.lit(1000) + did % 9000).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    docs = docs.select("doc_id", synth.alias("text"))
+    return scrub_pii(docs).select(
+        "doc_id", "n_email", "n_ip", "n_phone", "text_redacted"
+    )
+
+
+def _q_intradoc_repetition(spark, sf_dir):
+    """Intra-document repetition ratio (1 - distinct/total word
+    3-grams): per-row array ops only, no shuffle."""
+    from sqlfeatureextraction_spark.operators.curation import (
+        with_repetition_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_repetition_stats(docs, n=3).select(
+        "doc_id", "n_shingles", "n_distinct", "rep_ratio"
+    )
+
+
 def _q_simhash_dedup(spark, sf_dir):
     """SimHash duplicate groups (Hamming-0).  The 60-bit fingerprint is
     md5-derived and fully JVM-side, so DuckDB recomputes it exactly."""
@@ -1942,6 +2035,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": _q_simhash_dedup,
         "dedup_clusters": _q_dedup_clusters,
         "corpus_curation": _q_corpus_curation,
+        "decontaminate": _q_decontaminate,
+        "substr_dup_frac": _q_substr_dup_frac,
+        "domain_mix_sample": _q_domain_mix_sample,
+        "shard_assign": _q_shard_assign,
+        "pii_scrub": _q_pii_scrub,
+        "intradoc_repetition": _q_intradoc_repetition,
         "embedding_neardup": _q_embedding_neardup,
         "asof_join_orders": _q_asof_join_orders,
         "oov_stats": _q_oov_stats,
@@ -2685,6 +2784,74 @@ def _lang_case_sql() -> str:
     return f"CASE {whens} ELSE 'und' END"
 
 
+# Space-split tokenizer shared by the curation oracles — mirrors
+# curation.tokens_col exactly (lowercase, split on single spaces, drop
+# empties); deliberately simpler than _TOK, see curation.py docstring.
+_SPTOK = (
+    "list_filter(string_split(lower(coalesce(text, '')), ' '), x -> x <> '')"
+)
+
+
+def _shingle_cte(n: int) -> str:
+    """CTE fragment: documents → exploded (doc_id, word n-gram) rows,
+    mirroring curation.shingles_col."""
+    return f"""
+            tok AS (SELECT doc_id, {_SPTOK} AS toks FROM documents),
+            sh AS (
+              SELECT doc_id, array_to_string(toks[i:i+{n - 1}], ' ') AS sh
+              FROM tok CROSS JOIN unnest(
+                generate_series(1, greatest(len(toks) - {n - 1}, 0))) AS g(i)
+            )"""
+
+
+def _mix_case_sql() -> str:
+    """Per-source md5-threshold CASE generated from the SAME dict the
+    Spark path uses (curation.DEFAULT_MIX_RATES) — one source of
+    truth for the mix config."""
+    from sqlfeatureextraction_spark.operators.curation import (
+        DEFAULT_MIX_RATE,
+        DEFAULT_MIX_RATES,
+        mix_threshold_hex,
+    )
+
+    whens = "".join(
+        f" WHEN '{s}' THEN '{mix_threshold_hex(r)}'"
+        for s, r in sorted(DEFAULT_MIX_RATES.items())
+    )
+    return f"CASE source{whens} ELSE '{mix_threshold_hex(DEFAULT_MIX_RATE)}' END"
+
+
+def _pii_oracle_sql() -> str:
+    """Synthesized-PII scrub: the regexes and their order come from
+    curation.PII_RULES verbatim (RE2-compatible subset), each count
+    taken on the text that rule actually saw."""
+    from sqlfeatureextraction_spark.operators.curation import PII_RULES
+
+    (_, em, em_r), (_, ip, ip_r), (_, ph, ph_r) = PII_RULES
+    return f"""
+        WITH synth AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0 THEN
+              text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com at 10.' || CAST(doc_id % 200 AS VARCHAR)
+                   || '.0.1 or +1 555-010-'
+                   || CAST(1000 + doc_id % 9000 AS VARCHAR)
+            ELSE text END AS text
+          FROM documents),
+        s0 AS (SELECT doc_id, coalesce(text, '') AS t0 FROM synth),
+        s1 AS (SELECT doc_id, t0,
+                      regexp_replace(t0, '{em}', '{em_r}', 'g') AS t1 FROM s0),
+        s2 AS (SELECT doc_id, t0, t1,
+                      regexp_replace(t1, '{ip}', '{ip_r}', 'g') AS t2 FROM s1)
+        SELECT doc_id,
+          len(regexp_extract_all(t0, '{em}')) AS n_email,
+          len(regexp_extract_all(t1, '{ip}')) AS n_ip,
+          len(regexp_extract_all(t2, '{ph}')) AS n_phone,
+          regexp_replace(t2, '{ph}', '{ph_r}', 'g') AS text_redacted
+        FROM s2
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pit_window_sum": f"""
@@ -3342,6 +3509,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    LEAST(d.doc_id, COALESCE(m.mv, d.doc_id)) AS cluster_id
             FROM documents d LEFT JOIN m ON d.doc_id = m.u
+        """,
+        # eval-set decontamination: distinct shared 5-grams per train doc
+        "decontaminate": f"""
+            WITH {_shingle_cte(5)},
+            evs AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 17 = 0),
+            trs AS (SELECT DISTINCT doc_id, sh FROM sh
+                    WHERE doc_id % 17 <> 0),
+            shared AS (
+              SELECT t.doc_id, count(*) AS n_shared
+              FROM trs t JOIN evs e USING (sh) GROUP BY 1)
+            SELECT d.doc_id,
+                   CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+                   coalesce(s.n_shared, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
+            LEFT JOIN shared s USING (doc_id)
+        """,
+        # Lee et al. duplicated-substring fraction at word-8-grams
+        "substr_dup_frac": f"""
+            WITH {_shingle_cte(8)},
+            dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+            cnt AS (SELECT sh, count(*) AS nd FROM dsh GROUP BY 1),
+            per AS (
+              SELECT d.doc_id, count(*) AS n_shingles,
+                     sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS n_dup
+              FROM dsh d JOIN cnt c USING (sh) GROUP BY 1)
+            SELECT x.doc_id,
+              CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+              CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup,
+              ROUND(coalesce(p.n_dup, 0) * 1.0
+                    / greatest(coalesce(p.n_shingles, 0), 1), 6) AS dup_frac
+            FROM documents x LEFT JOIN per p USING (doc_id)
+        """,
+        # deterministic domain-mix sampling: same md5-prefix threshold
+        # decision as the Spark path, thresholds from one shared dict
+        "domain_mix_sample": f"""
+            SELECT doc_id, source FROM documents
+            WHERE '0' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < {_mix_case_sql()}
+        """,
+        # hash-ordered global shuffle into 8 exact-ntile shards
+        "shard_assign": """
+            SELECT doc_id,
+                   ntile(8) OVER (
+                     ORDER BY md5('shard:' || CAST(doc_id AS VARCHAR)),
+                              doc_id) AS shard
+            FROM documents
+        """,
+        "pii_scrub": _pii_oracle_sql(),
+        # intra-document repetition over word 3-grams
+        "intradoc_repetition": f"""
+            WITH tok AS (SELECT doc_id, {_SPTOK} AS toks FROM documents),
+            shl AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) >= 3 THEN
+                  list_transform(generate_series(1, len(toks) - 2),
+                                 i -> array_to_string(toks[i:i+2], ' '))
+                ELSE [] END AS sh
+              FROM tok)
+            SELECT doc_id,
+              CAST(len(sh) AS BIGINT) AS n_shingles,
+              CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+              ROUND((len(sh) - len(list_distinct(sh))) * 1.0
+                    / greatest(len(sh), 1), 6) AS rep_ratio
+            FROM shl
         """,
         # composed curation pipeline: quality gate (rounded score, same
         # formula as the quality_score oracle) -> exact text dedup (min

@@ -1,0 +1,404 @@
+"""Training-corpus curation operators: eval-set decontamination,
+corpus-wide duplicated-substring fraction, deterministic domain-mix
+sampling, hash-ordered shard assignment, PII scrubbing, and
+intra-document repetition stats.
+
+These extend the reference's data-hygiene surface (its pipeline gates
+queries with StringCleaner + recurring-pattern prunes,
+rdr/StringCleaner.java:11-23, enc/IntentCreatorMultiThread.java:54-66)
+to the operations a large-scale LLM training-data pipeline needs over
+a document corpus.  Design rules shared with the rest of the engine:
+
+* everything hot is built-in column functions (JVM, whole-stage
+  codegen) — no Python in any per-row path;
+* candidate generation is always an equi-join or a hash/groupBy, never
+  all-pairs;
+* determinism comes from cryptographic hashes of stable keys (md5 of
+  the document id), never from RNG state, so every operator is
+  reproducible across runs, engines, and cluster sizes — the DuckDB
+  oracles recompute the exact same md5 thresholds;
+* global-order operations (shard assignment) use the range-repartition
+  exact-ntile pattern (functions/sqlencode.fit_range_bins) instead of
+  a single-task global Window.
+
+Shingling convention (shared verbatim by the DuckDB oracle SQL in
+__spark_entry__): lowercase, split on single spaces, drop empty
+tokens, word n-grams joined by a single space.  A deliberately
+simpler tokenizer than functions/text.tokenize_col — decontamination
+and substring-dup detection operate on surface text, and the oracle
+must be able to mirror the split exactly with ``string_split``.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens_col",
+    "shingles_col",
+    "decontaminate",
+    "dup_substring_fraction",
+    "domain_mix_sample",
+    "mix_threshold_hex",
+    "exact_ntile",
+    "shard_assign",
+    "scrub_pii",
+    "with_repetition_stats",
+    "DEFAULT_MIX_RATES",
+    "DEFAULT_MIX_RATE",
+    "PII_RULES",
+]
+
+
+def tokens_col(text: Column) -> Column:
+    """text → array<string>: lowercase, split on single spaces, empty
+    tokens dropped.  Mirrors DuckDB
+    ``list_filter(string_split(lower(text), ' '), x -> x <> '')``."""
+    arr = F.split(F.lower(F.coalesce(text, F.lit(""))), " ")
+    return F.filter(arr, lambda t: t != F.lit(""))
+
+
+def shingles_col(toks: Column, n: int) -> Column:
+    """array<string> tokens → array<string> word n-grams (space-joined,
+    in order, possibly repeated).  Built with transform-over-index so
+    no ``sequence(1, size-n+1)`` ever evaluates with a negative span
+    on short documents."""
+    return F.filter(
+        F.transform(
+            toks,
+            lambda _, i: F.when(
+                i + F.lit(n) <= F.size(toks),
+                F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Eval-set n-gram decontamination: for every training document,
+    count the distinct word n-grams it shares with ANY document of the
+    evaluation set, and flag it contaminated if that count is > 0.
+
+    The standard pre-training hygiene step (drop training documents
+    that textually overlap the benchmark/eval set so downstream evals
+    are not memorization tests).  Plan shape for 100 TB: the eval
+    side is small by construction (benchmarks are thousands of
+    documents) — its distinct shingle set is broadcast, so the only
+    shuffle is the per-document aggregate over the training side's
+    exploded shingles; training text is scanned once.  If the eval
+    set ever outgrew broadcast, the same query runs as a shuffled
+    semi-join on the shingle key.
+
+    Returns one row per training document: (id_col, n_shared,
+    contaminated), including documents too short to have any n-gram
+    (n_shared = 0).
+    """
+    ev_sh = (
+        eval_docs.select(
+            F.explode(shingles_col(tokens_col(F.col(text_col)), n)).alias("sh")
+        )
+        .distinct()
+    )
+    tr_sh = docs.select(
+        F.col(id_col),
+        F.explode(shingles_col(tokens_col(F.col(text_col)), n)).alias("sh"),
+    ).distinct()
+    shared = (
+        tr_sh.join(F.broadcast(ev_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        docs.select(id_col)
+        .join(shared, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def dup_substring_fraction(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = False,
+) -> DataFrame:
+    """Per-document fraction of distinct word n-grams that also occur
+    in at least one OTHER document — the corpus-level substring
+    duplication signal of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better" (ACL 2022), at word-shingle
+    granularity.
+
+    Plan: explode distinct (doc, shingle) pairs → count distinct
+    documents per shingle (one hash aggregate with map-side combine)
+    → join the count back on the shingle key → per-document aggregate.
+    Two shuffles total, both on keys with corpus-wide cardinality
+    (no skew hot spot: a shingle shared by many documents contributes
+    one count row, not a join explosion, because the join-back is
+    per (doc, shingle) pair).
+
+    ``hashed=True`` replaces the shingle string by ``xxhash64`` of it
+    before the shuffle — the 100-TB transport format (8 bytes/key
+    instead of the n-gram text).  Results are identical absent 64-bit
+    collisions; equality of the two paths is pinned in pytest, and the
+    DuckDB-oracled driver row uses the string path.
+    """
+    dsh = docs.select(
+        F.col(id_col),
+        F.explode(shingles_col(tokens_col(F.col(text_col)), n)).alias("sh"),
+    ).distinct()
+    if hashed:
+        dsh = dsh.select(id_col, F.xxhash64("sh").alias("sh"))
+    cnt = dsh.groupBy("sh").agg(F.count("*").alias("_nd"))
+    per_doc = (
+        dsh.join(cnt, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("_nd") > 1).cast("long")).alias("n_dup"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup"),
+            F.round(
+                F.coalesce("n_dup", F.lit(0))
+                / F.greatest(F.coalesce("n_shingles", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+# Deterministic domain-mix config used by the driver row: the oracle
+# SQL is generated from this same dict, so both engines share one
+# source of truth.
+DEFAULT_MIX_RATES: Mapping[str, float] = {
+    "src0": 0.9,
+    "src1": 0.25,
+    "src2": 0.5,
+    "src3": 0.75,
+    "src4": 0.1,
+}
+DEFAULT_MIX_RATE: float = 0.6
+
+
+def mix_threshold_hex(rate: float) -> str:
+    """Sampling rate in [0, 1] → 9-hex-digit threshold such that
+    ``'0' || substr(md5(key), 1, 8) < threshold`` keeps exactly the
+    keys whose 32-bit md5 prefix falls below rate·2^32.  The leading
+    '0' pad makes rate = 1.0 (threshold 0x100000000) compare true for
+    every hash, so the boundary rates are exact."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return format(min(int(rate * 2**32), 2**32), "09x")
+
+
+def domain_mix_sample(
+    docs: DataFrame,
+    rates: Mapping[str, float] | None = None,
+    default_rate: float | None = None,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic per-domain downsampling to a target mix: keep a
+    document iff the 32-bit md5 prefix of ``salt:doc_id`` falls below
+    its source's rate.  No RNG state — the same document survives on
+    every run, every engine, and every cluster size, which is what
+    makes the sampled corpus reproducible and the join of two sampled
+    tables consistent.  Pure per-row projection + filter: no shuffle,
+    fully codegen'd, composes with any scan.
+
+    The hash is compared as a fixed-width hex STRING (lowercase md5 is
+    identical in Spark and DuckDB), so the oracle recomputes the exact
+    same decisions with no integer-conversion dialect issues.
+    """
+    rates = DEFAULT_MIX_RATES if rates is None else rates
+    default_rate = DEFAULT_MIX_RATE if default_rate is None else default_rate
+    thr = F.lit(mix_threshold_hex(default_rate))
+    if rates:
+        pairs = [
+            x
+            for s, r in sorted(rates.items())
+            for x in (F.lit(s), F.lit(mix_threshold_hex(r)))
+        ]
+        thr = F.coalesce(
+            F.element_at(F.create_map(*pairs), F.col(source_col)), thr
+        )
+    u = F.concat(
+        F.lit("0"),
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+    )
+    return docs.where(u < thr)
+
+
+def exact_ntile(
+    df: DataFrame, order_cols: list[str], n: int, out_col: str = "bucket"
+) -> DataFrame:
+    """Scale-safe EXACT ``ntile(n)`` over a global order, returned as a
+    column — the same range-repartition → local rank → partition-count
+    offsets pattern as functions/sqlencode.fit_range_bins (where the
+    derivation and determinism argument live), generalized to keep the
+    rows instead of collapsing to bin boundaries.
+
+    The single-task global Window this replaces is the canonical
+    100-TB failure mode; here every task ranks one contiguous range
+    and the only driver traffic is one row-count per partition.  The
+    ranked frame is localCheckpoint-ed so the collected offsets and
+    the returned plan see the SAME materialized partitioning (range
+    boundaries are sampled nondeterministically otherwise).
+
+    ``order_cols`` must be a total order (add a unique tie-break key);
+    output matches SQL ``ntile(n) OVER (ORDER BY order_cols)`` exactly,
+    which the shard_assign DuckDB oracle cross-checks.
+    """
+    n_part = max(
+        2, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    )
+    cols = [F.col(c) for c in order_cols]
+    ranked = (
+        df.repartitionByRange(n_part, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_p", F.spark_partition_id())
+        .withColumn(
+            "_r",
+            F.row_number().over(Window.partitionBy("_p").orderBy(*cols)) - 1,
+        )
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_p"]: r["n"]
+        for r in ranked.groupBy("_p").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    if acc == 0:
+        return ranked.withColumn(out_col, F.lit(1).cast("long")).drop("_p", "_r")
+    base, rem = divmod(acc, n)
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(x) for p, o in offsets.items() for x in (p, o)]),
+        F.col("_p"),
+    )
+    rank = (off_expr + F.col("_r")).cast("long")
+    if base == 0:
+        bucket = rank + 1
+    else:
+        bucket = (
+            F.when(rank < rem * (base + 1), rank / (base + 1))
+            .otherwise(rem + (rank - rem * (base + 1)) / base)
+            .cast("long")
+            + 1
+        )
+    return ranked.withColumn(out_col, bucket).drop("_p", "_r")
+
+
+def shard_assign(
+    docs: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Deterministic global corpus shuffle into equal-size training
+    shards: order every document by the md5 of its id (a pseudo-random
+    but reproducible permutation — the standard "shuffle the corpus
+    once, globally" step before sequential training consumption) and
+    cut the order into ``n_shards`` exact ntile buckets.
+
+    Equal shard sizes (±1 row) matter because shards become training
+    files consumed round-robin; hash-ordering breaks source/time
+    locality so every shard is an unbiased corpus sample.  Uses
+    exact_ntile — no single-task global sort.
+    """
+    keyed = docs.withColumn(
+        "_shuf",
+        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+    )
+    return exact_ntile(
+        keyed, ["_shuf", id_col], n_shards, out_col=out_col
+    ).drop("_shuf")
+
+
+# (name, pattern, replacement) applied IN ORDER — order is part of the
+# contract (an IP inside an email must be caught by the email rule
+# first).  Patterns restricted to syntax with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB): character classes, bounded
+# repetition, alternation — no backrefs, no lookaround.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    (
+        "email",
+        r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+        "<EMAIL>",
+    ),
+    ("ip", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+    ("phone", r"\+\d{1,2} \d{3}-\d{3}-\d{4}", "<PHONE>"),
+)
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails, IPv4 addresses, and international-format phone
+    numbers, keeping per-rule match counts (counted on the text each
+    rule actually sees, i.e. after the previous rules ran — same
+    left-to-right semantics in the oracle).  Pure regexp_replace /
+    regexp_count column expressions: per-row, codegen'd, no shuffle.
+
+    Adds columns: n_email, n_ip, n_phone, ``{text_col}_redacted``.
+    """
+    cur = F.coalesce(F.col(text_col), F.lit(""))
+    counts = []
+    for name, pat, repl in PII_RULES:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.select(
+        "*", *counts, cur.alias(f"{text_col}_redacted")
+    )
+
+
+def with_repetition_stats(
+    df: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Intra-document repetition: 1 − distinct/total word n-grams —
+    the cheap "document is the same paragraph looped" signal used as a
+    pre-filter before model-based quality scoring.  Per-row only
+    (array_distinct on the shingle array): no shuffle, no UDF.
+
+    Adds: n_shingles, n_distinct, rep_ratio (0 for documents shorter
+    than n tokens).
+    """
+    sh = shingles_col(tokens_col(F.col(text_col)), n)
+    n_sh = F.size(sh)
+    n_di = F.size(F.array_distinct(sh))
+    return (
+        df.withColumn("n_shingles", n_sh.cast("long"))
+        .withColumn("n_distinct", n_di.cast("long"))
+        .withColumn(
+            "rep_ratio",
+            F.round(
+                (n_sh - n_di) / F.greatest(n_sh, F.lit(1)).cast("double"), 6
+            ),
+        )
+    )

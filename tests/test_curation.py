@@ -1,0 +1,210 @@
+"""Corpus-curation operators vs brute-force Python oracles:
+decontamination, duplicated-substring fraction, deterministic
+domain-mix sampling, exact-ntile shard assignment, PII scrubbing,
+intra-doc repetition."""
+
+import hashlib
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlfeatureextraction_spark.operators import curation
+
+
+def _shingles(text, n):
+    toks = [t for t in (text or "").lower().split(" ") if t]
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+DOCS = [
+    # (doc_id, text, source)
+    (0, "the quick brown fox jumps over the lazy dog", "src0"),
+    (1, "a completely different sentence with no overlap at all", "src1"),
+    (2, "the quick brown fox jumps over the sleeping cat", "src2"),
+    (3, "short", "src0"),
+    (4, "", "src1"),
+    (5, "loop loop loop loop loop loop loop loop", "src9"),
+    (6, "the quick brown fox jumps over the lazy dog again today", "src9"),
+    (7, "tail words the quick brown fox jumps over it", "src4"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(
+        [(i, t, s) for i, t, s in DOCS], "doc_id long, text string, source string"
+    ).cache()
+
+
+def test_decontaminate_vs_bruteforce(spark, docs_df):
+    # eval set = doc 0; train = the rest
+    n = 5
+    ev = docs_df.where(F.col("doc_id") == 0)
+    tr = docs_df.where(F.col("doc_id") != 0)
+    got = {
+        r["doc_id"]: (r["n_shared"], r["contaminated"])
+        for r in curation.decontaminate(tr, ev, n=n).collect()
+    }
+    ev_sh = set(_shingles(DOCS[0][1], n))
+    for i, text, _ in DOCS[1:]:
+        shared = set(_shingles(text, n)) & ev_sh
+        assert got[i] == (len(shared), len(shared) > 0), (i, shared)
+    # doc 6 repeats the full eval prefix -> contaminated; doc 1 clean;
+    # doc 3/4 too short for any 5-gram -> present with 0
+    assert got[6][1] and not got[1][1]
+    assert got[3] == (0, False) and got[4] == (0, False)
+
+
+def test_dup_substring_fraction_vs_bruteforce(spark, docs_df):
+    n = 4
+    per_doc_sh = {i: set(_shingles(t, n)) for i, t, _ in DOCS}
+    count = {}
+    for i, shs in per_doc_sh.items():
+        for sh in shs:
+            count[sh] = count.get(sh, 0) + 1
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_dup"], r["dup_frac"])
+        for r in curation.dup_substring_fraction(docs_df, n=n).collect()
+    }
+    for i, shs in per_doc_sh.items():
+        ndup = sum(1 for sh in shs if count[sh] > 1)
+        want_frac = round(ndup / max(len(shs), 1), 6)
+        assert got[i][0] == len(shs) and got[i][1] == ndup
+        assert math.isclose(got[i][2], want_frac, abs_tol=1e-9), i
+    # hashed transport path: identical result
+    got_h = {
+        r["doc_id"]: (r["n_shingles"], r["n_dup"], r["dup_frac"])
+        for r in curation.dup_substring_fraction(
+            docs_df, n=n, hashed=True
+        ).collect()
+    }
+    assert got_h == got
+
+
+def _mix_keep(doc_id, rate, salt="mix"):
+    h = hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()[:8]
+    return "0" + h < curation.mix_threshold_hex(rate)
+
+
+def test_domain_mix_sample_deterministic(spark, docs_df):
+    rates = {"src0": 1.0, "src1": 0.0, "src2": 0.5}
+    got = {
+        r["doc_id"]
+        for r in curation.domain_mix_sample(
+            docs_df, rates=rates, default_rate=0.3
+        ).collect()
+    }
+    want = set()
+    for i, _, s in DOCS:
+        if _mix_keep(i, rates.get(s, 0.3)):
+            want.add(i)
+    assert got == want
+    # boundary rates are EXACT: src0 all kept, src1 none kept
+    assert {i for i, _, s in DOCS if s == "src0"} <= got
+    assert not ({i for i, _, s in DOCS if s == "src1"} & got)
+    # rerun -> identical (no RNG state)
+    got2 = {
+        r["doc_id"]
+        for r in curation.domain_mix_sample(
+            docs_df, rates=rates, default_rate=0.3
+        ).collect()
+    }
+    assert got2 == got
+
+
+def test_mix_threshold_validation():
+    with pytest.raises(ValueError):
+        curation.mix_threshold_hex(1.5)
+    assert curation.mix_threshold_hex(1.0) == "100000000"
+    assert curation.mix_threshold_hex(0.0) == "000000000"
+
+
+def test_shard_assign_matches_sql_ntile(spark):
+    n_docs, n_shards = 103, 7
+    df = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    got = {
+        r["doc_id"]: r["shard"]
+        for r in curation.shard_assign(df, n_shards).collect()
+    }
+    # oracle: python ntile over the md5 order
+    order = sorted(
+        range(n_docs),
+        key=lambda i: (hashlib.md5(f"shard:{i}".encode()).hexdigest(), i),
+    )
+    base, rem = divmod(n_docs, n_shards)
+    want, pos = {}, 0
+    for b in range(1, n_shards + 1):
+        size = base + (1 if b <= rem else 0)
+        for i in order[pos : pos + size]:
+            want[i] = b
+        pos += size
+    assert got == want
+    # shard sizes are equal +-1
+    sizes = {}
+    for b in got.values():
+        sizes[b] = sizes.get(b, 0) + 1
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert set(sizes) == set(range(1, n_shards + 1))
+
+
+def test_exact_ntile_fewer_rows_than_buckets(spark):
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in curation.exact_ntile(df, ["doc_id"], 10).collect()
+    }
+    assert got == {0: 1, 1: 2, 2: 3}
+
+
+def test_scrub_pii_pinned(spark):
+    rows = [
+        (0, "write to bob.smith+x@corp.example.org or ann@a.io now"),
+        (1, "server 10.0.255.3 talked to 192.168.1.1"),
+        (2, "call +1 555-010-1234 about 1.2.3.4"),
+        (3, "nothing to see here"),
+        (4, None),
+        (5, "mail root@10.0.0.1.example.com from host 8.8.8.8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_email"],
+            r["n_ip"],
+            r["n_phone"],
+            r["text_redacted"],
+        )
+        for r in curation.scrub_pii(df).collect()
+    }
+    assert got[0] == (2, 0, 0, "write to <EMAIL> or <EMAIL> now")
+    assert got[1] == (0, 2, 0, "server <IP> talked to <IP>")
+    assert got[2] == (0, 1, 1, "call <PHONE> about <IP>")
+    assert got[3] == (0, 0, 0, "nothing to see here")
+    assert got[4] == (0, 0, 0, "")
+    # rule ORDER: the email rule consumes the embedded dotted-quad
+    # before the IP rule can see it
+    assert got[5] == (1, 1, 0, "mail <EMAIL> from host <IP>")
+    # python re agrees on every redaction (same rules, same order)
+    for i, text in rows:
+        cur = text or ""
+        for name, pat, repl in curation.PII_RULES:
+            cur = re.sub(pat, repl, cur)
+        assert got[i][3] == cur, i
+
+
+def test_repetition_stats_vs_bruteforce(spark, docs_df):
+    n = 3
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_distinct"], r["rep_ratio"])
+        for r in curation.with_repetition_stats(docs_df, n=n).collect()
+    }
+    for i, text, _ in DOCS:
+        shs = _shingles(text, n)
+        want = round(
+            (len(shs) - len(set(shs))) / max(len(shs), 1), 6
+        )
+        assert got[i][0] == len(shs) and got[i][1] == len(set(shs))
+        assert math.isclose(got[i][2], want, abs_tol=1e-9), i
+    # the looped doc is flagged hard, normal prose is not
+    assert got[5][2] > 0.8 and got[0][2] == 0.0
