@@ -605,6 +605,17 @@ def _q_pii_scrub(spark, sf_dir):
     )
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Sequence-packing manifest: 8 hash-ordered shards, 512-token
+    sequences — per doc, its shard, exclusive token offset, and the
+    sequence ids its tokens span.  Oracled by SQL ntile + window
+    cumsum over the same md5 order."""
+    from sqlfeatureextraction_spark.operators.curation import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, max_tokens=512, n_shards=8)
+
+
 def _q_intradoc_repetition(spark, sf_dir):
     """Intra-document repetition ratio (1 - distinct/total word
     3-grams): per-row array ops only, no shuffle."""
@@ -2040,6 +2051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix_sample": _q_domain_mix_sample,
         "shard_assign": _q_shard_assign,
         "pii_scrub": _q_pii_scrub,
+        "pack_sequences": _q_pack_sequences,
         "intradoc_repetition": _q_intradoc_repetition,
         "embedding_neardup": _q_embedding_neardup,
         "asof_join_orders": _q_asof_join_orders,
@@ -3557,6 +3569,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "pii_scrub": _pii_oracle_sql(),
+        # sequence-packing manifest: ntile shards over the md5 order,
+        # per-shard exclusive token cumsum, 512-token sequence spans
+        "pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     md5('shard:' || CAST(doc_id AS VARCHAR)) AS k,
+                     CAST(len({_SPTOK}) AS BIGINT) AS n_tok
+              FROM documents),
+            s AS (
+              SELECT *, ntile(8) OVER (ORDER BY k, doc_id) AS shard FROM t),
+            c AS (
+              SELECT *,
+                CAST(coalesce(sum(n_tok) OVER (
+                  PARTITION BY shard ORDER BY k, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS tok_offset
+              FROM s)
+            SELECT doc_id, shard, n_tok, tok_offset,
+                   CAST(floor(tok_offset / 512) AS BIGINT) AS first_seq,
+                   CAST(floor((tok_offset + greatest(n_tok, 1) - 1) / 512)
+                        AS BIGINT) AS last_seq
+            FROM c
+        """,
         # intra-document repetition over word 3-grams
         "intradoc_repetition": f"""
             WITH tok AS (SELECT doc_id, {_SPTOK} AS toks FROM documents),

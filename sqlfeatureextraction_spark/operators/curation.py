@@ -45,6 +45,7 @@ __all__ = [
     "mix_threshold_hex",
     "exact_ntile",
     "shard_assign",
+    "pack_sequences",
     "scrub_pii",
     "with_repetition_stats",
     "DEFAULT_MIX_RATES",
@@ -375,6 +376,70 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         cur = F.regexp_replace(cur, pat, repl)
     return df.select(
         "*", *counts, cur.alias(f"{text_col}_redacted")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "shard",
+) -> DataFrame:
+    """Sequence-packing manifest: GPT-style pretraining consumes the
+    corpus as one token stream per shard, cut into fixed-length
+    sequences of ``max_tokens``; this computes, per document, where its
+    tokens land — the plan the token-level packing job executes.
+
+    Per shard (hash-ordered, from shard_assign's permutation): exclusive
+    running token offset, then
+    ``first_seq = floor(offset / L)`` and
+    ``last_seq = floor((offset + max(n_tok,1) - 1) / L)`` (an empty
+    document occupies no tokens and spans its boundary sequence only).
+
+    Scale posture: the per-shard running sum is a Window partitioned by
+    shard — pick ``n_shards`` so a shard is task-sized (shards become
+    training files, so they are output-file-sized by construction; the
+    reference's 1000-line split files, APMWindowFragmentIntent.java:500,
+    are the same knob).  For pathological single-shard use the
+    exact_ntile range-repartition pattern applies verbatim.
+
+    Returns (id_col, shard, n_tok, tok_offset, first_seq, last_seq).
+    """
+    keyed = docs.withColumn(
+        "_shuf",
+        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+    ).withColumn(
+        "n_tok", F.size(tokens_col(F.col(text_col))).cast("long")
+    )
+    sharded = exact_ntile(keyed, ["_shuf", id_col], n_shards, out_col="shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_shuf", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return (
+        sharded.withColumn("tok_offset", off.cast("long"))
+        .withColumn(
+            "first_seq",
+            F.floor(F.col("tok_offset") / max_tokens).cast("long"),
+        )
+        .withColumn(
+            "last_seq",
+            F.floor(
+                (
+                    F.col("tok_offset")
+                    + F.greatest(F.col("n_tok"), F.lit(1))
+                    - 1
+                )
+                / max_tokens
+            ).cast("long"),
+        )
+        .select(
+            id_col, "shard", "n_tok", "tok_offset", "first_seq", "last_seq"
+        )
     )
 
 

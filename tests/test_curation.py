@@ -193,6 +193,47 @@ def test_scrub_pii_pinned(spark):
         assert got[i][3] == cur, i
 
 
+def test_pack_sequences_vs_bruteforce(spark):
+    n_docs, n_shards, L = 57, 4, 10
+    rows = [(i, " ".join(["w"] * (i % 13))) for i in range(n_docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["shard"],
+            r["n_tok"],
+            r["tok_offset"],
+            r["first_seq"],
+            r["last_seq"],
+        )
+        for r in curation.pack_sequences(df, L, n_shards).collect()
+    }
+    # oracle: ntile over md5 order, then per-shard cumsum
+    order = sorted(
+        range(n_docs),
+        key=lambda i: (hashlib.md5(f"shard:{i}".encode()).hexdigest(), i),
+    )
+    base, rem = divmod(n_docs, n_shards)
+    pos, want = 0, {}
+    for b in range(1, n_shards + 1):
+        size = base + (1 if b <= rem else 0)
+        off = 0
+        for i in order[pos : pos + size]:
+            n_tok = i % 13
+            first = off // L
+            last = (off + max(n_tok, 1) - 1) // L
+            want[i] = (b, n_tok, off, first, last)
+            off += n_tok
+        pos += size
+    assert got == want
+    # offsets are contiguous within a shard: sum of n_tok = max offset+n_tok
+    for b in range(1, n_shards + 1):
+        tot = sum(v[1] for v in got.values() if v[0] == b)
+        assert max(v[2] + v[1] for v in got.values() if v[0] == b) == tot
+    # empty docs span exactly their boundary sequence
+    empty = [v for v in got.values() if v[1] == 0]
+    assert empty and all(v[3] == v[4] for v in empty)
+
+
 def test_repetition_stats_vs_bruteforce(spark, docs_df):
     n = 3
     got = {
