@@ -1,0 +1,169 @@
+"""Curation-family scale bench: the shuffle-heavy corpus ops on a
+deterministic synthetic 1M-document corpus at two parallelism levels
+(the calibrated local[2] -> local[8] N-vs-4N pair; see BENCH_SCALING.md
+for why 8->32 is memory-bus-capped on this box).
+
+Corpus: JVM-generated (xxhash64-indexed vocabulary words, 40-80 words
+per doc, every 7th doc duplicating its predecessor's text so the
+dup-substring path has real signal; 20 sources; eval set = doc_id %
+1009 == 0), written once to /tmp parquet so every level times the same
+files.  No external data, no RNG state — the corpus is a pure function
+of doc_id.
+
+Timed ops (each forced by a scalar aggregate so nothing wide is
+collected):
+  * substr_dup_frac(hashed=True)  — explode+distinct, count-per-shingle,
+    join-back, per-doc agg: the heaviest shuffle pattern in the family
+  * decontaminate(n=5)            — broadcast eval shingles + one shuffle
+  * mix->shard->pack chain        — filter, exact-ntile, window cumsum
+
+Usage: python scripts/curation_bench.py [n_docs] [reps]
+Each level runs in its own subprocess (fresh JVM).  Prints one JSON
+line per level plus an efficiency line; record in BENCH_SCALING.md.
+Reps are bracketed by the shared fixed-work calibration (bench.py) so
+host-steal-contaminated reps are identifiable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, os.environ["REPO_ROOT"])
+from bench import _calibrate
+from sqlfeatureextraction_spark.session import get_spark
+from pyspark.sql import functions as F
+
+par, path, reps = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+spark = get_spark("curation_bench", parallelism=par, shuffle_partitions=max(par * 4, 8))
+docs = spark.read.parquet(path)
+n_docs = docs.count()  # warm: JIT + file listing + footer reads
+
+from sqlfeatureextraction_spark.operators.curation import (
+    decontaminate, domain_mix_sample, dup_substring_fraction, pack_sequences,
+)
+
+def op_dupfrac():
+    r = dup_substring_fraction(docs, n=8, hashed=True).agg(
+        F.sum("n_dup"), F.sum("n_shingles")).collect()[0]
+    return [r[0], r[1]]
+
+def op_decon():
+    ev = docs.where(F.col("doc_id") % 1009 == 0)
+    tr = docs.where(F.col("doc_id") % 1009 != 0)
+    r = decontaminate(tr, ev, n=5).agg(
+        F.sum("n_shared"), F.sum(F.col("contaminated").cast("long"))).collect()[0]
+    return [r[0], r[1]]
+
+def op_chain():
+    kept = domain_mix_sample(docs)
+    r = pack_sequences(kept, max_tokens=2048, n_shards=64).agg(
+        F.sum("tok_offset"), F.max("last_seq"), F.count("*")).collect()[0]
+    return [r[0], r[1], r[2]]
+
+out = {"parallelism": par, "n_docs": n_docs, "ops": {}}
+for name, fn in [("substr_dup_frac", op_dupfrac), ("decontaminate", op_decon),
+                 ("mix_shard_pack", op_chain)]:
+    walls, checks, cals = [], [], [_calibrate()]
+    fn()  # per-op warm-up rep (JIT of this op's codegen stages)
+    for _ in range(reps):
+        t0 = time.perf_counter(); checks.append(fn())
+        walls.append(round(time.perf_counter() - t0, 3))
+        cals.append(round(_calibrate(), 4))
+    assert all(c == checks[0] for c in checks), f"nondeterministic {name}"
+    out["ops"][name] = {
+        "walls_s": walls, "min_s": min(walls),
+        "docs_per_sec": round(n_docs / min(walls), 1),
+        "cals": [round(c, 4) for c in cals], "check": [str(x) for x in checks[0]],
+    }
+print("RESULT " + json.dumps(out), flush=True)
+spark.stop(); os._exit(0)
+"""
+
+PREP = r"""
+import os, sys
+sys.path.insert(0, os.environ["REPO_ROOT"])
+from sqlfeatureextraction_spark.session import get_spark
+from pyspark.sql import functions as F
+
+n_docs, out = int(sys.argv[1]), sys.argv[2]
+spark = get_spark("curation_prep", parallelism=8, shuffle_partitions=32)
+V = 500
+vocab = F.array(*[F.lit(f"tok{i:03d}") for i in range(V)])
+base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+# every 7th doc (except 0) repeats its predecessor's text
+src_id = F.when(
+    (F.col("doc_id") % 7 == 0) & (F.col("doc_id") > 0), F.col("doc_id") - 1
+).otherwise(F.col("doc_id"))
+n_words = (F.pmod(F.xxhash64(F.lit("len"), src_id), F.lit(41)) + 40).cast("int")
+words = F.transform(
+    F.sequence(F.lit(1), n_words),
+    lambda i: F.element_at(
+        vocab,
+        (F.pmod(F.xxhash64(src_id, i), F.lit(V)) + 1).cast("int"),
+    ),
+)
+docs = base.select(
+    "doc_id",
+    F.array_join(words, " ").alias("text"),
+    F.concat(
+        F.lit("src"), F.pmod(F.xxhash64(F.lit("s"), F.col("doc_id")), F.lit(20))
+    ).alias("source"),
+)
+docs.repartition(64).write.mode("overwrite").parquet(out)
+spark.stop(); os._exit(0)
+"""
+
+
+def _env():
+    return dict(
+        os.environ,
+        REPO_ROOT=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    path = f"/tmp/curation_corpus_{n_docs}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        subprocess.run(
+            [sys.executable, "-c", PREP, str(n_docs), path],
+            env=_env(),
+            check=True,
+        )
+    results = {}
+    for par in (2, 8):
+        out = subprocess.run(
+            [sys.executable, "-c", CHILD, str(par), path, str(reps)],
+            env=_env(),
+            check=True,
+            capture_output=True,
+            text=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")][-1]
+        results[par] = json.loads(line[len("RESULT "):])
+        print(line[len("RESULT "):], flush=True)
+    lo, hi = results[2], results[8]
+    eff = {
+        name: round(
+            hi["ops"][name]["docs_per_sec"]
+            / (4 * lo["ops"][name]["docs_per_sec"]),
+            3,
+        )
+        for name in hi["ops"]
+    }
+    # determinism across levels too
+    for name in hi["ops"]:
+        assert hi["ops"][name]["check"] == lo["ops"][name]["check"], name
+    print(json.dumps({"efficiency_2_to_8": eff}))
+
+
+if __name__ == "__main__":
+    main()

@@ -234,6 +234,97 @@ def test_pack_sequences_vs_bruteforce(spark):
     assert empty and all(v[3] == v[4] for v in empty)
 
 
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_curation_random_corpus_differential(spark, seed):
+    """Differential sweep on a seeded random corpus: every curation
+    operator vs its brute-force Python oracle in one pass — breadth
+    beyond the hand-written corpora above (random duplication
+    structure, empty docs, token counts straddling the shingle sizes)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(80):
+        k = int(rng.randint(0, 12))
+        words = [vocab[j] for j in rng.randint(0, len(vocab), size=k)]
+        if i > 0 and rng.rand() < 0.25:  # duplicate an earlier doc
+            words = rows[int(rng.randint(0, i))][1].split(" ")
+            words = [w for w in words if w]
+        rows.append((i, " ".join(words), f"src{int(rng.randint(0, 4))}"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).cache()
+
+    n_dec, n_dup, n_rep = 5, 4, 3
+    per_sh = {i: _shingles(t, n_dup) for i, t, _ in rows}
+    # decontaminate (eval = doc_id % 9 == 0)
+    ev_sh = set().union(
+        *[set(_shingles(t, n_dec)) for i, t, _ in rows if i % 9 == 0]
+    )
+    ev = df.where(F.col("doc_id") % 9 == 0)
+    tr = df.where(F.col("doc_id") % 9 != 0)
+    got = {
+        r["doc_id"]: r["n_shared"]
+        for r in curation.decontaminate(tr, ev, n=n_dec).collect()
+    }
+    assert got == {
+        i: len(set(_shingles(t, n_dec)) & ev_sh)
+        for i, t, _ in rows
+        if i % 9 != 0
+    }
+    # dup_substring_fraction
+    cnt = {}
+    for i, shs in per_sh.items():
+        for sh in set(shs):
+            cnt[sh] = cnt.get(sh, 0) + 1
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_dup"])
+        for r in curation.dup_substring_fraction(df, n=n_dup).collect()
+    }
+    assert got == {
+        i: (
+            len(set(shs)),
+            sum(1 for sh in set(shs) if cnt[sh] > 1),
+        )
+        for i, shs in per_sh.items()
+    }
+    # repetition stats
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_distinct"])
+        for r in curation.with_repetition_stats(df, n=n_rep).collect()
+    }
+    assert got == {
+        i: (len(_shingles(t, n_rep)), len(set(_shingles(t, n_rep))))
+        for i, t, _ in rows
+    }
+    # mix -> shard -> pack composition
+    kept = curation.domain_mix_sample(df, rates={"src0": 0.8}, default_rate=0.4)
+    kept_ids = sorted(
+        i for i, _, s in rows if _mix_keep(i, 0.8 if s == "src0" else 0.4)
+    )
+    packed = {
+        r["doc_id"]: (r["shard"], r["n_tok"], r["tok_offset"])
+        for r in curation.pack_sequences(kept, 16, 3).collect()
+    }
+    assert sorted(packed) == kept_ids
+    order = sorted(
+        kept_ids,
+        key=lambda i: (hashlib.md5(f"shard:{i}".encode()).hexdigest(), i),
+    )
+    base, rem = divmod(len(kept_ids), 3)
+    pos = 0
+    for b in range(1, 4):
+        size = base + (1 if b <= rem else 0)
+        off = 0
+        for i in order[pos : pos + size]:
+            n_tok = len([w for w in rows[i][1].split(" ") if w])
+            assert packed[i] == (b, n_tok, off), i
+            off += n_tok
+        pos += size
+    df.unpersist()
+
+
 def test_repetition_stats_vs_bruteforce(spark, docs_df):
     n = 3
     got = {
