@@ -1247,6 +1247,60 @@ def _q_snapshot_time_travel(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_snapshot_partition_evolution(spark, sf_dir):
+    """Snapshot-table hidden partitioning + add-column schema
+    evolution: a day(ts)-partitioned table gets an even-id append, then
+    an odd-id append carrying a NEW column.  Leg 'cur': a
+    partition-pruned current read of the earliest day (metadata-only
+    pruning; the new column is null exactly on pre-evolution files).
+    Leg 'tt': time-travel to the first snapshot (its own narrower
+    schema — asserted here, values oracled).  Oracle re-derives both
+    from parity + day filters."""
+    import shutil
+    import tempfile
+
+    from sqlfeatureextraction_spark.sources import snaptable
+
+    root = tempfile.mkdtemp(prefix="snapevo_")
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        spec = [("day", "ts")]
+        s1 = snaptable.append(
+            ev.where(F.col("event_id") % 2 == 0), root, partition_by=spec
+        )
+        snaptable.append(
+            ev.where(F.col("event_id") % 2 == 1).withColumn(
+                "flag", (F.col("event_id") % 3).cast("long")
+            ),
+            root,
+            partition_by=spec,
+        )
+        d0 = ev.agg(
+            F.min(F.date_format("ts", "yyyy-MM-dd"))
+        ).collect()[0][0]
+        cur = snaptable.read(
+            spark, root, partition_where={"day(ts)": d0}
+        )
+        assert "flag" in cur.columns  # evolution visible on current read
+        cur_leg = cur.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.count("flag").alias("n_flag"),
+        ).withColumn("leg", F.lit("cur"))
+        tt = snaptable.read(spark, root, s1)
+        assert "flag" not in tt.columns  # snapshot schema is narrow
+        tt_leg = tt.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.lit(-1).cast("long").alias("n_flag"),
+        ).withColumn("leg", F.lit("tt"))
+        out = cur_leg.unionByName(tt_leg)
+        pdf = out.toPandas()  # materialize before the temp table vanishes
+        return spark.createDataFrame(pdf, schema=out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_media_frame_sample(spark, sf_dir):
     """Multimodal UDTF plumbing: every-4th frame sampling over video
     payloads (mapInPandas generator).  frame_hash is pinned by pytest;
@@ -2074,6 +2128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stateful_counter": _q_stream_stateful_counter,
         "checkpoint_resume": _q_checkpoint_resume,
         "snapshot_time_travel": _q_snapshot_time_travel,
+        "snapshot_partition_evolution": _q_snapshot_partition_evolution,
         "incremental_update": _q_incremental_update,
         "media_frame_sample": _q_media_frame_sample,
         "media_features": _q_media_features,
@@ -3850,6 +3905,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n,
                    ROUND(SUM(value), 4) AS total_value, 'inc' AS leg
             FROM events WHERE event_id % 2 = 1 GROUP BY event_type
+        """,
+        # partitioned+evolved snapshot table: leg 'cur' = the earliest
+        # day partition of the current table (flag is non-null exactly
+        # on post-evolution rows, i.e. odd event_ids); leg 'tt' = the
+        # pre-evolution snapshot (even ids), n_flag = -1 (no column)
+        "snapshot_partition_evolution": """
+            WITH ev AS (
+              SELECT *, strftime(ts, '%Y-%m-%d') AS d FROM events),
+            dmin AS (SELECT min(d) AS d0 FROM ev)
+            SELECT event_type, COUNT(*) AS n,
+                   ROUND(SUM(value), 4) AS total_value,
+                   SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                     AS n_flag,
+                   'cur' AS leg
+            FROM ev, dmin WHERE d = d0 GROUP BY event_type
+            UNION ALL
+            SELECT event_type, COUNT(*) AS n,
+                   ROUND(SUM(value), 4) AS total_value,
+                   CAST(-1 AS BIGINT) AS n_flag, 'tt' AS leg
+            FROM ev WHERE event_id % 2 = 0 GROUP BY event_type
         """,
         # synth_media is a closed-form table: videos are i%3==2 with
         # n_frames = 16 + i%4; every-4th sampling → k*4 < n_frames

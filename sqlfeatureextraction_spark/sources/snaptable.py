@@ -13,9 +13,17 @@ files + versioned metadata with a snapshot log — over plain parquet:
                                            System Tables")
 
 Capabilities (all metadata-only except append/compact's data write):
-  append(df, root)                 -> new snapshot id (deterministic)
-  read(spark, root, snapshot_id=, prune=) -> DataFrame, time-travel by
-                                      id, footer-stats file pruning
+  append(df, root, partition_by=)  -> new snapshot id (deterministic);
+                                      hidden partitioning (identity /
+                                      day / month / bucket transforms,
+                                      partition tuples in the manifest,
+                                      data keeps source columns only);
+                                      add-column schema evolution
+  read(spark, root, snapshot_id=, prune=, partition_where=) ->
+                                      DataFrame, time-travel by id
+                                      (snapshot-schema resolution),
+                                      footer-stats file pruning +
+                                      exact partition pruning
   incremental_read(spark, root, a, b) -> rows appended in (a, b]
                                       (Iceberg "incremental append scan";
                                       refuses to cross a compaction)
@@ -150,11 +158,151 @@ def _schema_key(schema_json: str):
 
 
 def _schema_of(meta: dict):
+    return _struct_of(meta["schema"])
+
+
+def _struct_of(schema_json: str | None):
     from pyspark.sql.types import StructType
 
-    if meta["schema"] is None:
+    if schema_json is None:
         return StructType([])
-    return StructType.fromJson(json.loads(meta["schema"]))
+    return StructType.fromJson(json.loads(schema_json))
+
+
+def _evolve_schema(table_json: str, new_json: str) -> str:
+    """Schema-evolution check for an append: the incoming schema must
+    contain every existing top-level field with an identical (scrubbed)
+    type, and may ADD fields — Iceberg's add-column evolution; drops,
+    renames, and type changes are rejected.  Added fields are coerced
+    nullable (Iceberg: added columns are optional — old files have no
+    values for them, reads fill null).  Returns the table schema to
+    store: unchanged when nothing was added."""
+    if _schema_key(table_json) == _schema_key(new_json):
+        return table_json
+
+    def one(f):
+        return _schema_key(json.dumps({"type": "struct", "fields": [f]}))
+
+    tf = {f["name"]: f for f in json.loads(table_json)["fields"]}
+    new = json.loads(new_json)
+    nf = {f["name"]: f for f in new["fields"]}
+    missing = sorted(set(tf) - set(nf))
+    if missing:
+        raise ValueError(
+            f"append drops table columns {missing}; schema evolution "
+            "supports adding columns only"
+        )
+    for name, f in tf.items():
+        if one(f) != one(nf[name]):
+            raise ValueError(
+                f"append changes the type of column {name!r}: "
+                f"{f['type']} vs {nf[name]['type']}"
+            )
+    for f in new["fields"]:
+        if f["name"] not in tf:
+            f["nullable"] = True
+    return json.dumps(new)
+
+
+def _schema_at(meta: dict, snapshot_id: int | None) -> str | None:
+    """The table schema AS OF a snapshot (nearest ancestor that
+    recorded one; snapshots predating schema tracking fall back to the
+    current table schema).  Time-travel reads resolve columns against
+    this, so a pre-evolution snapshot reads with its own narrower
+    schema."""
+    sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    cur = sid
+    while cur is not None:
+        s = by_id[cur]
+        if "schema-json" in s:
+            return s["schema-json"]
+        cur = s["parent-snapshot-id"]
+    return meta["schema"]
+
+
+# ---------------------------------------------------------- partitioning
+
+_TRANSFORM_NAMES = ("identity", "day", "month", "bucket")
+
+
+def _norm_spec(partition_by) -> list[dict] | None:
+    """Normalize `partition_by` to the stored spec: a list of
+    {"transform", "column"[, "n"]} dicts (or None).  Accepted inputs:
+    "col" (identity), ("day", "ts"), ("month", "ts"),
+    ("bucket", "col", 16), an already-normalized dict, or a list of
+    any of those — Iceberg partition transforms (spec §Partitioning),
+    i.e. HIDDEN partitioning: the data keeps its source columns, the
+    transform value lives only in the manifest."""
+    if partition_by is None:
+        return None
+    if isinstance(partition_by, (str, tuple, dict)):
+        partition_by = [partition_by]
+    spec = []
+    for p in partition_by:
+        if isinstance(p, dict):
+            d = dict(p)
+        elif isinstance(p, str):
+            d = {"transform": "identity", "column": p}
+        else:
+            d = {"transform": p[0], "column": p[1]}
+            if p[0] == "bucket":
+                d["n"] = int(p[2])
+        if d["transform"] not in _TRANSFORM_NAMES:
+            raise ValueError(
+                f"unknown partition transform {d['transform']!r}; "
+                f"supported: {_TRANSFORM_NAMES}"
+            )
+        if d["transform"] == "bucket" and "n" not in d:
+            raise ValueError("bucket transform requires n")
+        spec.append(d)
+    return spec
+
+
+def _spec_field(d: dict) -> str:
+    t, c = d["transform"], d["column"]
+    if t == "identity":
+        return c
+    if t == "bucket":
+        return f"bucket{d['n']}({c})"
+    return f"{t}({c})"
+
+
+def _transform_col(d: dict):
+    from pyspark.sql import functions as F
+
+    t, c = d["transform"], d["column"]
+    if t == "identity":
+        return F.col(c).cast("string")
+    if t == "day":
+        return F.date_format(F.col(c), "yyyy-MM-dd")
+    if t == "month":
+        return F.date_format(F.col(c), "yyyy-MM")
+    return F.pmod(F.xxhash64(F.col(c)), F.lit(d["n"])).cast("string")
+
+
+def _entry_matches_partition(entry: dict, where: dict | None) -> bool:
+    """May this file contain rows of the wanted partitions?  Entries
+    without partition tuples (pre-spec or unpartitioned) can never be
+    pruned.  `where` maps spec field names (e.g. "day(ts)") to a value
+    or list of values; values compare as the strings the transform
+    produced."""
+    if not where:
+        return True
+    pv = entry.get("partition")
+    if pv is None:
+        return True
+    for k, want in where.items():
+        if k not in pv:
+            continue
+        vals = (
+            want
+            if isinstance(want, (list, tuple, set, frozenset))
+            else [want]
+        )
+        if pv[k] not in {str(v) for v in vals}:
+            return False
+    return True
 
 
 def is_snap_table(root: str) -> bool:
@@ -171,7 +319,8 @@ def current_snapshot_id(root: str) -> int | None:
 
 def append(df: DataFrame, root: str, retries: int = 5,
            operation: str = "append",
-           expect_parent: int | None = ...) -> int:
+           expect_parent: int | None = ...,
+           partition_by=None) -> int:
     """Append df as a new snapshot; returns the new snapshot id.
 
     The data write happens ONCE (to a staging dir, a normal distributed
@@ -185,18 +334,54 @@ def append(df: DataFrame, root: str, retries: int = 5,
     `expect_parent` (validation, Iceberg's rewrite commit check): fail
     instead of committing when the current snapshot is no longer this
     id — a replace computed from a stale read must not erase a
-    concurrent append.  Default (ellipsis) = no check."""
+    concurrent append.  Default (ellipsis) = no check.
+
+    `partition_by` (first append fixes the table's spec; later appends
+    must match it): Iceberg-style HIDDEN partitioning — e.g.
+    ("day", "ts"), "source", ("bucket", "conv_id", 16), or a list.
+    The transform value is computed at write time, routes the
+    distributed write (one file subtree per value), and is recorded in
+    each manifest entry; data files keep only the source columns.
+    Readers prune by partition via `partition_where` with no footer
+    I/O.  Schema evolution: an append may ADD columns (they become
+    nullable; old files read as null) — see _evolve_schema."""
     # stage INSIDE the table root: publication is an os.link, which
     # requires the same filesystem (a /tmp staging dir EXDEV-fails
     # whenever the table lives on another volume)
     os.makedirs(root, exist_ok=True)
+    spec = _norm_spec(partition_by)
     stage = tempfile.mkdtemp(prefix=".stage_", dir=root)
     try:
-        df.write.mode("overwrite").parquet(stage)
-        parts = sorted(
-            f for f in os.listdir(stage)
-            if f.endswith(".parquet") and not f.startswith(".")
-        )
+        if spec:
+            from urllib.parse import unquote
+
+            pcols = [f"_p{i}" for i in range(len(spec))]
+            wdf = df
+            for pc, d in zip(pcols, spec):
+                wdf = wdf.withColumn(pc, _transform_col(d))
+            wdf.write.mode("overwrite").partitionBy(*pcols).parquet(stage)
+            parts: list[tuple[str, dict | None]] = []
+            for dirpath, _dirs, fnames in os.walk(stage):
+                for f in fnames:
+                    if f.endswith(".parquet") and not f.startswith("."):
+                        rel = os.path.relpath(
+                            os.path.join(dirpath, f), stage
+                        )
+                        pv: dict = {}
+                        for comp in rel.split(os.sep)[:-1]:
+                            k, _, v = comp.partition("=")
+                            pv[_spec_field(spec[int(k[2:])])] = unquote(v)
+                        parts.append((rel, pv))
+            parts.sort()
+        else:
+            df.write.mode("overwrite").parquet(stage)
+            parts = [
+                (f, None)
+                for f in sorted(
+                    f for f in os.listdir(stage)
+                    if f.endswith(".parquet") and not f.startswith(".")
+                )
+            ]
         schema_json = df.schema.json()
         # row counts + per-file column min/max from parquet footers —
         # no extra Spark job; these power file-level scan pruning
@@ -204,7 +389,7 @@ def append(df: DataFrame, root: str, retries: int = 5,
         import pyarrow.parquet as pq
         part_rows: list[int] = []
         part_stats: list[dict] = []
-        for p in parts:
+        for p, _pv in parts:
             md = pq.ParquetFile(os.path.join(stage, p)).metadata
             part_rows.append(md.num_rows)
             part_stats.append(_footer_stats(md))
@@ -218,12 +403,16 @@ def append(df: DataFrame, root: str, retries: int = 5,
             # be silently erased by ours (lost update)
             version = _current_version(root)
             meta = _load_meta(root, version)
-            if meta["schema"] is not None and \
-                    _schema_key(meta["schema"]) != _schema_key(schema_json):
-                raise ValueError(
-                    "append schema does not match table schema: "
-                    f"{schema_json} vs {meta['schema']}"
-                )
+            if meta["schema"] is not None:
+                evolved_schema = _evolve_schema(meta["schema"], schema_json)
+                table_spec = meta.get("partition-spec")
+                if table_spec != spec:
+                    raise ValueError(
+                        f"append partition spec {spec} does not match "
+                        f"table spec {table_spec}"
+                    )
+            else:
+                evolved_schema = schema_json
             if expect_parent is not ... and \
                     meta["current-snapshot-id"] != expect_parent:
                 raise RuntimeError(
@@ -238,6 +427,7 @@ def append(df: DataFrame, root: str, retries: int = 5,
                            len(meta["snapshots"])) + 1
             names = [f"snap{seq:05d}{name_token}-{i:05d}.parquet"
                      for i in range(len(parts))]
+            part_values = [pv for _, pv in parts]
             # publish data files BEFORE metadata (Iceberg commit order:
             # a reader must never resolve a snapshot to missing files).
             # os.link claims each seq-based name atomically — EEXIST
@@ -245,7 +435,7 @@ def append(df: DataFrame, root: str, retries: int = 5,
             os.makedirs(_data_dir(root), exist_ok=True)
             claimed: list[str] = []
             blocker: str | None = None
-            for src, dst in zip(parts, names):
+            for (src, _pv), dst in zip(parts, names):
                 sp = os.path.join(stage, src)
                 dp = os.path.join(_data_dir(root), dst)
                 try:
@@ -282,9 +472,15 @@ def append(df: DataFrame, root: str, retries: int = 5,
                 "parent-snapshot-id": parent,
                 "sequence-number": seq,
                 "operation": operation,
+                "schema-json": evolved_schema,
                 "manifest": [
-                    {"file": nm, "rows": r, "stats": st}
-                    for nm, r, st in zip(names, part_rows, part_stats)
+                    dict(
+                        {"file": nm, "rows": r, "stats": st},
+                        **({"partition": pv} if pv is not None else {}),
+                    )
+                    for nm, r, st, pv in zip(
+                        names, part_rows, part_stats, part_values
+                    )
                 ],
                 "summary": {
                     "added-data-files": len(names),
@@ -299,13 +495,14 @@ def append(df: DataFrame, root: str, retries: int = 5,
                     ),
                 },
             }
-            meta = {
+            meta = dict(meta, **{
                 "format-version": 1,
-                "schema": schema_json,
+                "schema": evolved_schema,
                 "snapshots": meta["snapshots"] + [snap],
                 "current-snapshot-id": sid,
                 "last-sequence-number": seq,
-            }
+                "partition-spec": spec,
+            })
             try:
                 _commit(root, meta, version)
             except FileExistsError as e:
@@ -436,7 +633,8 @@ def _file_matches(stats: dict, prune: dict) -> bool:
 
 def read(spark: SparkSession, root: str,
          snapshot_id: int | None = None,
-         prune: dict[str, tuple] | None = None) -> DataFrame:
+         prune: dict[str, tuple] | None = None,
+         partition_where: dict | None = None) -> DataFrame:
     """Time-travel read: the table as of `snapshot_id` (current if
     None).  Hands Spark the pinned file list — pruning/pushdown/split
     planning identical to a plain parquet scan.
@@ -447,21 +645,44 @@ def read(spark: SparkSession, root: str,
     footer I/O entirely for irrelevant files.  It is a superset
     guarantee, not a filter: the caller still applies the real
     predicate (Spark then prunes row groups from the same footer
-    stats).  planned_files() exposes the pruned list for tests."""
+    stats).  planned_files() exposes the pruned list for tests.
+
+    `partition_where` = {spec field: value or [values]} keeps only
+    files of the named partitions (exact, metadata-only — hidden
+    partitioning means the caller never sees the transform column; a
+    `{"day(ts)": "2026-08-01"}` predicate never touches data).
+
+    Reads resolve columns against the schema AS OF the snapshot
+    (schema evolution: files predating an added column read as null;
+    a time-travel read of a pre-evolution snapshot keeps its own
+    narrower schema)."""
     meta = _load_meta(root)
-    files = planned_files(root, snapshot_id, prune, _meta=meta)
+    # Iceberg schema resolution: a current-table read uses the CURRENT
+    # table schema (evolution is table-level; rollback does not revert
+    # it); an explicit time-travel read uses the snapshot's own schema
+    sch = _struct_of(
+        meta["schema"] if snapshot_id is None
+        else _schema_at(meta, snapshot_id)
+    )
+    files = planned_files(
+        root, snapshot_id, prune, partition_where, _meta=meta
+    )
     if not files:
-        return spark.createDataFrame([], schema=_schema_of(meta))
-    return spark.read.parquet(
+        return spark.createDataFrame([], schema=sch)
+    return spark.read.schema(sch).parquet(
         *[os.path.join(_data_dir(root), f) for f in files]
     )
 
 
 def planned_files(root: str, snapshot_id: int | None = None,
                   prune: dict[str, tuple] | None = None,
+                  partition_where: dict | None = None,
                   _meta: dict | None = None) -> list[str]:
     meta = _load_meta(root) if _meta is None else _meta
     entries = _entries_of(meta, snapshot_id)
+    if partition_where:
+        entries = [e for e in entries
+                   if _entry_matches_partition(e, partition_where)]
     if prune:
         entries = [e for e in entries
                    if _file_matches(e.get("stats", {}), prune)]
@@ -504,9 +725,13 @@ def incremental_read(spark: SparkSession, root: str,
                 "post-compaction snapshot"
             )
     new = [e["file"] for s in reversed(segment) for e in s["manifest"]]
+    sch = _struct_of(
+        meta["schema"] if to_snapshot_id is None
+        else _schema_at(meta, to_sid)
+    )
     if not new:
-        return spark.createDataFrame([], schema=_schema_of(meta))
-    return spark.read.parquet(
+        return spark.createDataFrame([], schema=sch)
+    return spark.read.schema(sch).parquet(
         *[os.path.join(_data_dir(root), f) for f in new]
     )
 
@@ -612,7 +837,8 @@ def compact(spark: SparkSession, root: str, n_files: int | None = None,
     pre-compaction snapshots keeps working (their files are only
     reclaimed when expire_snapshots drops them); incremental reads must
     not cross the compaction boundary and raise if asked to."""
-    base = current_snapshot_id(root)
+    meta = _load_meta(root)
+    base = meta["current-snapshot-id"]
     if base is None:
         raise ValueError("cannot compact an empty table")
     df = read(spark, root, base)
@@ -625,7 +851,10 @@ def compact(spark: SparkSession, root: str, n_files: int | None = None,
                .sortWithinPartitions(*sort_by)
     else:
         df = df.coalesce(n_files)
-    return append(df, root, operation="replace", expect_parent=base)
+    # hidden partitioning: the transform values are re-derived from the
+    # source columns, so the rewrite keeps the table's spec verbatim
+    return append(df, root, operation="replace", expect_parent=base,
+                  partition_by=meta.get("partition-spec"))
 
 
 def remove_orphans(root: str, older_than_s: float = 86400.0) -> list[str]:

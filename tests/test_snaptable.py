@@ -402,3 +402,159 @@ def test_checkpoint_lineage_carries_snapshot_id(spark, turns, tmp_path):
     s2 = snaptable.append(turns.where(F.col("turn_idx") == 1), root)
     cp2 = CheckpointedRun(ck, n_buckets=2, snapshot_id=str(s2))
     assert cp2.read_manifest() == {}  # nothing done for the new snapshot
+
+
+def test_partitioned_append_and_partition_pruning(spark, turns, tmp_path):
+    """Hidden partitioning: day(ts) + identity(role) transforms record
+    partition tuples in the manifest; partition_where prunes files
+    exactly and metadata-only; data files keep source columns only."""
+    root = str(tmp_path / "tbl")
+    spec = [("day", "ts"), "role"]
+    s1 = snaptable.append(turns, root, partition_by=spec)
+    # every manifest entry carries a full partition tuple
+    snaps = snaptable.snapshots(root)
+    assert all(
+        set(e["partition"]) == {"day(ts)", "role"}
+        for e in snaps[0]["manifest"]
+    )
+    # reads reproduce the table; schema has NO transform columns
+    got = snaptable.read(spark, root)
+    assert _rows(got) == _rows(turns)
+    assert set(got.columns) == set(turns.columns)
+    # exact partition pruning: pick a provably NONEMPTY (day, 'user')
+    # cell so the strict-subset assert below has teeth
+    days = sorted(
+        r[0]
+        for r in turns.where(F.col("role") == "user")
+        .select(F.date_format("ts", "yyyy-MM-dd"))
+        .distinct()
+        .collect()
+    )
+    day = days[0]
+    want = turns.where(
+        (F.date_format("ts", "yyyy-MM-dd") == day) & (F.col("role") == "user")
+    )
+    got = snaptable.read(
+        spark, root, partition_where={"day(ts)": day, "role": "user"}
+    )
+    assert _rows(got) == _rows(want)
+    # the plan shrank: pruned file list is a strict subset
+    all_files = snaptable.planned_files(root)
+    pruned = snaptable.planned_files(
+        root, partition_where={"day(ts)": day, "role": "user"}
+    )
+    assert 0 < len(pruned) < len(all_files)
+    # list-valued predicate
+    got2 = snaptable.read(
+        spark, root, partition_where={"day(ts)": days[:2]}
+    )
+    want2 = turns.where(F.date_format("ts", "yyyy-MM-dd").isin(days[:2]))
+    assert _rows(got2) == _rows(want2)
+    # spec mismatch on a later append is rejected
+    with pytest.raises(ValueError, match="partition spec"):
+        snaptable.append(turns, root)
+    with pytest.raises(ValueError, match="partition spec"):
+        snaptable.append(turns, root, partition_by=[("day", "ts")])
+    # matching spec appends fine and tuples keep pruning
+    extra = turns.where(F.col("turn_idx") == 0)
+    snaptable.append(extra, root, partition_by=spec, retries=25)
+    got3 = snaptable.read(
+        spark, root, partition_where={"day(ts)": day, "role": "user"}
+    )
+    want3 = want.unionByName(
+        extra.where(
+            (F.date_format("ts", "yyyy-MM-dd") == day)
+            & (F.col("role") == "user")
+        )
+    )
+    assert _rows(got3) == _rows(want3)
+    assert s1 in {s["snapshot-id"] for s in snaptable.snapshots(root)}
+
+
+def test_partitioned_compaction_keeps_spec_and_pruning(spark, turns, tmp_path):
+    """compact() on a partitioned table re-derives the transform values
+    (hidden partitioning) — the replace snapshot keeps the spec, and
+    partition pruning still works across the compaction."""
+    root = str(tmp_path / "tbl")
+    spec = [("bucket", "conv_id", 4)]
+    for k in range(3):
+        snaptable.append(
+            turns.where(F.col("turn_idx") == k), root, partition_by=spec
+        )
+    before = _rows(snaptable.read(spark, root))
+    snaptable.compact(spark, root, n_files=2)
+    assert _rows(snaptable.read(spark, root)) == before
+    snaps = snaptable.snapshots(root)
+    assert snaps[-1]["operation"] == "replace"
+    assert all("partition" in e for e in snaps[-1]["manifest"])
+    # pruning to one bucket returns exactly that bucket's rows
+    got = snaptable.read(
+        spark, root, partition_where={"bucket4(conv_id)": "2"}
+    )
+    want = turns.where(
+        (F.pmod(F.xxhash64("conv_id"), F.lit(4)) == 2)
+        & (F.col("turn_idx") <= 2)
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_schema_evolution_add_column(spark, turns, tmp_path):
+    """Add-column evolution: an append with an extra column widens the
+    table schema; old files read as null in the new column; explicit
+    time-travel to the pre-evolution snapshot keeps the narrow schema;
+    drops and type changes are rejected."""
+    root = str(tmp_path / "tbl")
+    a = turns.where(F.col("turn_idx") == 0)
+    b = turns.where(F.col("turn_idx") == 1).withColumn(
+        "quality", F.length("text").cast("double")
+    )
+    s1 = snaptable.append(a, root)
+    s2 = snaptable.append(b, root)
+    cur = snaptable.read(spark, root)
+    assert "quality" in cur.columns
+    # old rows surface null; new rows carry their values
+    nulls = cur.where(F.col("quality").isNull())
+    assert _rows(nulls) == _rows(a)
+    vals = {
+        (r["conv_id"], r["turn_idx"]): r["quality"]
+        for r in cur.where(F.col("quality").isNotNull()).collect()
+    }
+    want = {
+        (r["conv_id"], r["turn_idx"]): float(len(r["text"] or ""))
+        for r in b.collect()
+    }
+    assert vals == want
+    # time-travel to s1: narrow schema
+    old = snaptable.read(spark, root, s1)
+    assert "quality" not in old.columns and _rows(old) == _rows(a)
+    # incremental read to the evolved snapshot: wide schema
+    inc = snaptable.incremental_read(spark, root, s1, s2)
+    assert "quality" in inc.columns and _rows(inc) == _rows(b)
+    # the added column is recorded nullable in table metadata
+    import json as _json
+
+    meta_schema = _json.loads(
+        snaptable._load_meta(root)["schema"]
+    )
+    fq = [f for f in meta_schema["fields"] if f["name"] == "quality"]
+    assert fq and fq[0]["nullable"] is True
+    # dropping a column is rejected
+    with pytest.raises(ValueError, match="drops table columns"):
+        snaptable.append(a.drop("text"), root)
+    # changing a type is rejected
+    with pytest.raises(ValueError, match="changes the type"):
+        snaptable.append(
+            b.withColumn("quality", F.col("quality").cast("string")), root
+        )
+    # appends now carry the wide schema; compaction across the
+    # evolution rewrites cleanly and keeps values
+    snaptable.append(
+        turns.where(F.col("turn_idx") == 2).withColumn(
+            "quality", F.lit(None).cast("double")
+        ),
+        root,
+    )
+    snaptable.compact(spark, root, n_files=1)
+    after = snaptable.read(spark, root)
+    assert after.where(F.col("quality").isNotNull()).count() == b.count()
+    assert _rows(after) == _rows(turns.where(F.col("turn_idx") <= 2))
