@@ -143,13 +143,15 @@ def dup_substring_fraction(
     Makes Language Models Better" (ACL 2022), at word-shingle
     granularity.
 
-    Plan: explode distinct (doc, shingle) pairs → count distinct
-    documents per shingle (one hash aggregate with map-side combine)
-    → join the count back on the shingle key → per-document aggregate.
-    Two shuffles total, both on keys with corpus-wide cardinality
-    (no skew hot spot: a shingle shared by many documents contributes
-    one count row, not a join explosion, because the join-back is
-    per (doc, shingle) pair).
+    Plan: explode distinct (doc, shingle) pairs → per-shingle count as
+    a whole-partition window over the SAME rows → per-document
+    aggregate.  The corpus is scanned and exploded exactly ONCE (a
+    count-then-join-back formulation reads it twice unless exchange
+    reuse happens to fire — pinned by a plan test); the window adds one
+    shuffle on the shingle key, which any per-shingle count needs
+    anyway.  No skew hot spot: a shingle shared by many documents
+    contributes its count to each (doc, shingle) row in place, never a
+    join explosion.
 
     ``hashed=True`` replaces the shingle string by ``xxhash64`` of it
     before the shuffle — the 100-TB transport format (8 bytes/key
@@ -163,9 +165,9 @@ def dup_substring_fraction(
     ).distinct()
     if hashed:
         dsh = dsh.select(id_col, F.xxhash64("sh").alias("sh"))
-    cnt = dsh.groupBy("sh").agg(F.count("*").alias("_nd"))
+    nd = F.count("*").over(Window.partitionBy("sh"))
     per_doc = (
-        dsh.join(cnt, "sh")
+        dsh.withColumn("_nd", nd)
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_shingles"),

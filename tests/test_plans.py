@@ -128,3 +128,33 @@ def test_scan_prunes_unused_columns(spark):
     assert "event_type" in joined and "value" in joined
     assert "props" not in joined and "user_id" not in joined
     assert "PushedFilters: [" in p and "GreaterThan(value" in p
+
+
+def test_decontaminate_broadcasts_eval_shingles(plans):
+    """The eval side is small by construction — its distinct shingle
+    set must reach the training side as a broadcast, not a shuffle."""
+    assert "BroadcastHashJoin" in plans["decontaminate"]
+
+
+def test_rowlocal_curation_ops_never_shuffle(plans):
+    """Sampling, PII scrubbing, and repetition stats are per-row
+    projections/filters: any Exchange in their plans is a regression."""
+    for name in ("domain_mix_sample", "pii_scrub", "intradoc_repetition"):
+        assert "Exchange" not in plans[name], name
+
+
+def test_shard_and_pack_avoid_global_single_task(plans):
+    """exact_ntile exists to avoid the ntile-over-one-task plan: no
+    SinglePartition exchange may appear in the shard/pack rows."""
+    for name in ("shard_assign", "pack_sequences"):
+        assert "Exchange SinglePartition" not in plans[name], name
+
+
+def test_substr_dup_frac_single_corpus_scan(plans):
+    """The window-count formulation explodes the corpus exactly once;
+    a second Generate means a count-then-join-back crept back in and
+    the corpus is being shingled twice."""
+    import re
+
+    n_gen = len(re.findall(r"\(\d+\) Generate", plans["substr_dup_frac"]))
+    assert n_gen == 1, plans["substr_dup_frac"]
