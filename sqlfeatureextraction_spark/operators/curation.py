@@ -149,9 +149,14 @@ def dup_substring_fraction(
     count-then-join-back formulation reads it twice unless exchange
     reuse happens to fire — pinned by a plan test); the window adds one
     shuffle on the shingle key, which any per-shingle count needs
-    anyway.  No skew hot spot: a shingle shared by many documents
-    contributes its count to each (doc, shingle) row in place, never a
-    join explosion.
+    anyway.  No join explosion: a shingle shared by many documents
+    contributes its count to each (doc, shingle) row in place.  Skew
+    ceiling (shared with the join-back formulation, which hashes the
+    same key): a single shingle duplicated across ~10^9 documents pins
+    one task's sort buffer; the remedy at that scale is a heavy-hitter
+    split (map-side-combined counts for the top keys broadcast back,
+    window for the rest) — not wired because the pre-distinct per-doc
+    dedup already caps a shingle's rows at the corpus's doc count.
 
     ``hashed=True`` replaces the shingle string by ``xxhash64`` of it
     before the shuffle — the 100-TB transport format (8 bytes/key
