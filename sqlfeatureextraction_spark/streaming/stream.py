@@ -285,6 +285,45 @@ def stateful_pit_window(
     )
 
 
+def exact_dedup_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    watermark: tuple[str, str] | None = ("ts", "10 minutes"),
+    within_watermark: bool = False,
+) -> DataFrame:
+    """Streaming exact deduplication on `key_cols`: the first arrival
+    of a key emits, repeats are suppressed — the streaming counterpart
+    of the batch exact-dedup (D7 analog; dedup.py exact path).
+
+    Two state regimes, both built-in (no custom state code):
+
+    * default (`within_watermark=False`): ``dropDuplicates`` — exact
+      global dedup; key state is kept forever, so this is correct for
+      key spaces that fit state (e.g. daily-bounded ingest with
+      restarts between days).
+    * `within_watermark=True`: ``dropDuplicatesWithinWatermark`` —
+      state for a key is dropped once the watermark passes it, so
+      state is bounded by the watermark horizon (the unbounded-stream
+      posture); a duplicate arriving later than the watermark delay
+      re-emits.  That trade is Spark's documented semantics, and the
+      right one at 10^12 rows/day: exactness within the lateness bound
+      the pipeline already assumes.
+
+    `watermark` = (event-time column, delay) and is required for the
+    bounded regime.
+    """
+    s = stream
+    if watermark is not None:
+        s = s.withWatermark(*watermark)
+    if within_watermark:
+        if watermark is None:
+            raise ValueError(
+                "within_watermark=True requires a watermark"
+            )
+        return s.dropDuplicatesWithinWatermark(key_cols)
+    return s.dropDuplicates(key_cols)
+
+
 def run_stream_to_memory(
     agg: DataFrame, name: str, output_mode: str = "complete"
 ):

@@ -498,3 +498,73 @@ def test_session_log_scan(tmp_path, spark):
     assert len(got) == 3
     assert got["line"].str.contains("Query").all()
     assert not got["line"].str.contains("  ").any()  # normalized
+
+
+def test_exact_dedup_stream_cross_batch(tmp_path, spark):
+    """Cross-batch exact dedup: keys repeated in a later micro-batch
+    must NOT re-emit; genuinely new keys must.  Also pins the
+    within-watermark regime: a duplicate arriving after the watermark
+    passed its first occurrence re-emits (the documented bounded-state
+    trade)."""
+    import pandas as pd
+
+    from sqlfeatureextraction_spark.streaming.stream import (
+        exact_dedup_stream,
+        run_stream_to_memory,
+    )
+
+    def mk(rows):
+        return pd.DataFrame(
+            rows, columns=["k", "ts"]
+        ).astype({"k": "string"}).assign(
+            ts=lambda d: pd.to_datetime(d.ts, unit="s")
+        )
+
+    # batch 1: a, b   batch 2: a (dup), c (new)
+    b1 = mk([("a", 1000), ("b", 1010)])
+    b2 = mk([("a", 1020), ("c", 1030)])
+    schema = stage_slice_file(spark, tmp_path, b1, "s1.parquet", 1_000_000)
+    stage_slice_file(spark, tmp_path, b2, "s2.parquet", 1_000_001)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path))
+    )
+    out = exact_dedup_stream(stream, ["k"], watermark=("ts", "10 seconds"))
+    run_stream_to_memory(out, "dedup_global", output_mode="append")
+    got = sorted(
+        r["k"] for r in spark.sql("SELECT k FROM dedup_global").collect()
+    )
+    assert got == ["a", "b", "c"]
+
+    # within-watermark: 'b' repeated inside the 10s delay is suppressed.
+    # State eviction happens at batch END using that batch's watermark
+    # (wm itself lags one batch: it advances to max_event_time - delay
+    # at batch end), so expiring 'a''s state takes one intervening batch
+    # after the wm passes expiry: batch s2 advances wm to 1190, batch s3
+    # ('y') runs its end-of-batch eviction with wm 1190 > 1010, and only
+    # THEN does the late duplicate of 'a' find state gone and re-emit —
+    # the documented bounded-state trade
+    b3 = mk([("a", 1000), ("b", 1010)])
+    b4 = mk([("b", 1015), ("x", 1200)])
+    b4b = mk([("y", 1250)])
+    b5 = mk([("a", 1300)])
+    tmp2 = tmp_path / "ww"
+    tmp2.mkdir()
+    schema = stage_slice_file(spark, tmp2, b3, "s1.parquet", 1_000_000)
+    stage_slice_file(spark, tmp2, b4, "s2.parquet", 1_000_001)
+    stage_slice_file(spark, tmp2, b4b, "s3.parquet", 1_000_002)
+    stage_slice_file(spark, tmp2, b5, "s4.parquet", 1_000_003)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp2))
+    )
+    out = exact_dedup_stream(
+        stream, ["k"], watermark=("ts", "10 seconds"), within_watermark=True
+    )
+    run_stream_to_memory(out, "dedup_ww", output_mode="append")
+    got = sorted(
+        r["k"] for r in spark.sql("SELECT k FROM dedup_ww").collect()
+    )
+    assert got == ["a", "a", "b", "x", "y"]
