@@ -652,6 +652,18 @@ def _q_embedding_neardup(spark, sf_dir):
     return embedding_neardup_exact(emb, threshold=0.4)
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup: deterministic quantized k-means (seeds = 8 lowest
+    ids, 1 Lloyd round, means rounded to 6dp) then within-cell
+    lowest-id-wins cosine pruning at 0.4.  The quantized-centroid
+    contract is what lets DuckDB replay the identical clustering
+    (unrolled CTE per Lloyd round)."""
+    from sqlfeatureextraction_spark.operators.semdedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(emb, k=8, iters=1, threshold=0.4)
+
+
 def _q_transcript_wf_merge(spark, sf_dir):
     """Flagship via the salted sort-merge throughput path, projected to
     the same oracle-checkable scalars (equality of the full vectors
@@ -2108,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "intradoc_repetition": _q_intradoc_repetition,
         "embedding_neardup": _q_embedding_neardup,
+        "semantic_dedup": _q_semantic_dedup,
         "asof_join_orders": _q_asof_join_orders,
         "oov_stats": _q_oov_stats,
         "merge_intervals": _q_merge_intervals,
@@ -3852,6 +3865,68 @@ def oracle_sql() -> dict[str, str]:
                      list_cosine_similarity(a.v, b.v) AS c
               FROM e a JOIN e b ON a.vec_id < b.vec_id
             ) WHERE c >= 0.4
+        """,
+        # SemDeDup replayed exactly: the quantized-centroid contract
+        # (seeds = 8 lowest ids; one Lloyd round; means over RAW
+        # vectors rounded to 6dp; argmax cosine with ties to the
+        # lowest cell) makes the clustering reproducible in SQL, then
+        # kept = no same-cell lower id with cos >= 0.4
+        "semantic_dedup": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ),
+            c0 AS (
+              SELECT CAST(rn - 1 AS INT) AS cell, v FROM (
+                SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rn, v FROM e
+              ) WHERE rn <= 8
+            ),
+            a1 AS (
+              SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, c.cell,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.v, c.v) DESC,
+                                  c.cell
+                       ) AS rn
+                FROM e CROSS JOIN c0 c
+              ) WHERE rn = 1
+            ),
+            m1 AS (
+              SELECT cell, list(ROUND(s, 6) ORDER BY i) AS v FROM (
+                SELECT cell, i, AVG(x) AS s FROM (
+                  SELECT cell, UNNEST(v) AS x,
+                         UNNEST(range(1, len(v) + 1)) AS i
+                  FROM a1
+                ) GROUP BY cell, i
+              ) GROUP BY cell
+            ),
+            c1 AS (
+              SELECT c0.cell, COALESCE(m1.v, c0.v) AS v
+              FROM c0 LEFT JOIN m1 USING (cell)
+            ),
+            a2 AS (
+              SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, c.cell,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.v, c.v) DESC,
+                                  c.cell
+                       ) AS rn
+                FROM e CROSS JOIN c1 c
+              ) WHERE rn = 1
+            ),
+            dom AS (
+              SELECT b.vec_id
+              FROM a2 a JOIN a2 b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+              GROUP BY b.vec_id
+            )
+            SELECT a2.vec_id, a2.cell,
+                   (dom.vec_id IS NULL) AS kept
+            FROM a2 LEFT JOIN dom ON a2.vec_id = dom.vec_id
         """,
         # streaming tumbling agg == batch tumbling agg over the bounded
         # source (Spark window() is left-closed [start, end))

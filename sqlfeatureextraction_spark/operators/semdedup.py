@@ -1,0 +1,185 @@
+"""Semantic deduplication: k-means clustering over an embedding
+column, then near-duplicate pruning INSIDE each cluster (the SemDeDup
+recipe, Abbas et al. 2023, arXiv:2303.09540).
+
+Extends the engine's dedup family (dedup.py: exact / MinHash / SimHash
+/ embedding-LSH) with the clustered-semantic variant a training-data
+pipeline uses to prune *meaning-level* duplicates: cluster the corpus
+with a coarse k-means, and within each cluster drop every item whose
+cosine to an earlier-kept candidate exceeds a threshold.  Clustering
+bounds the quadratic pairwise term to cluster size — the whole point
+of the recipe at 10^12-row scale.
+
+Determinism contract (what makes the DuckDB driver-row oracle possible
+— same device as curation.py's quantized thresholds):
+
+* seeds = the ``k`` embeddings with the SMALLEST ids, cell = rank in
+  ascending id order (no RNG);
+* each Lloyd round assigns by argmax cosine (ties -> lowest cell id)
+  and recomputes centroids as the elementwise mean of the RAW member
+  embeddings, ROUNDED to 6 decimals — quantized centroids make the
+  Spark (numpy) and oracle (SQL AVG) rounds bit-agree instead of
+  drifting on float association order;
+* dominance is non-recursive: b is dropped iff SOME same-cell a with
+  ``id_a < id_b`` has ``cos(a, b) >= threshold`` — dropped items still
+  dominate later ones, so the rule is a pure pairwise predicate (plain
+  SQL), not a sequential greedy scan.  (The paper keeps one arbitrary
+  member per duplicate group; lowest-id is this engine's deterministic
+  choice throughout, cf. dedup.py.)
+
+Scale posture: the fit shuffles only ``k * dim * n_partitions`` tiny
+partial-sum rows per round (never corpus vectors — same shape as
+similarity.fit_ivf_centroids); assignment is one Arrow matmul per
+batch with the ``k x dim`` centroid matrix broadcast by closure; the
+prune is ONE shuffle on the cell id and a per-cell Gram matrix.  Cell
+sizes are controlled by ``k`` (choose ``k ~ n / target_cell_size``);
+a cell that is still too hot can be pre-bucketed with the LSH
+signature from dedup.embedding_neardup_pairs before the Gram step.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def fit_kmeans_quantized(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Deterministic quantized k-means; returns a (k, dim) float64
+    centroid matrix (UNnormalized — cosine assignment is invariant to
+    centroid scale, so normalization would only add a float surface).
+
+    Seeds are the ``k`` lowest-id embeddings; every mean is rounded to
+    6 decimals (see module docstring).  Each round is one job emitting
+    per-partition partial sums, reduced JVM-side via posexplode +
+    groupBy — only ``k * dim`` doubles reach the driver."""
+    seeds = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    cent = np.vstack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in seeds]
+    )
+    k_eff, dim = cent.shape
+
+    for _ in range(iters):
+        cent_round = cent
+
+        def partials(batches, _c=cent_round):
+            cn = _c / np.maximum(
+                np.linalg.norm(_c, axis=1, keepdims=True), 1e-12
+            )
+            sums = np.zeros((k_eff, dim))
+            cnts = np.zeros(k_eff, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                raw = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                vn = raw / np.maximum(
+                    np.linalg.norm(raw, axis=1, keepdims=True), 1e-12
+                )
+                cells = np.argmax(vn @ cn.T, axis=1)
+                np.add.at(sums, cells, raw)  # mean over RAW vectors
+                cnts += np.bincount(cells, minlength=k_eff)
+            nz = np.nonzero(cnts)[0]
+            yield pd.DataFrame(
+                {
+                    "cell": nz.astype("int32"),
+                    "cnt": cnts[nz],
+                    "vsum": [sums[i].tolist() for i in nz],
+                }
+            )
+
+        red = (
+            corpus.select(vec_col)
+            .mapInPandas(partials, "cell int, cnt long, vsum array<double>")
+            .select("cell", "cnt", F.posexplode("vsum").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("v").alias("s"), F.sum("cnt").alias("c"))
+            .collect()
+        )
+        new = cent.copy()  # empty cells keep their previous centroid
+        sums = np.zeros((k_eff, dim))
+        cnts = np.zeros(k_eff, dtype=np.int64)
+        for r in red:
+            sums[r["cell"], r["pos"]] = r["s"]
+            if r["pos"] == 0:
+                cnts[r["cell"]] = r["c"]
+        live = cnts > 0
+        new[live] = np.round(sums[live] / cnts[live, None], 6)
+        cent = new
+    return cent
+
+
+def _cos_cell_udf(cent: np.ndarray):
+    """Nearest-centroid cell by COSINE (both sides normalized inside;
+    ties break to the lowest cell id via argmax-first-max)."""
+    cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_of(vs: pd.Series) -> pd.Series:
+        mat = np.vstack(vs.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(mat @ cn.T, axis=1).astype(np.int32))
+
+    return cell_of
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 1,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """SemDeDup over ``corpus``: returns ``(id, cell, kept)`` for every
+    row — ``kept = false`` iff some same-cell row with a lower id has
+    cosine >= ``threshold`` (survivors = ``WHERE kept``).
+
+    Pass precomputed ``centroids`` to skip the fit (write-time at
+    scale, exactly like similarity.ivf_topk)."""
+    cent = (
+        fit_kmeans_quantized(corpus, k, iters, vec_col, id_col)
+        if centroids is None
+        else centroids
+    )
+    assigned = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _cos_cell_udf(cent)(F.col(vec_col)).alias("cell"),
+    )
+
+    tau = float(threshold)
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", kind="stable")
+        mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        gram = mat @ mat.T
+        # strictly-earlier ids only — boolean mask, NOT np.tril value
+        # padding (its zeros would count as pairs for tau <= 0)
+        earlier = np.tril(np.ones(gram.shape, dtype=bool), -1)
+        dominated = ((gram >= tau) & earlier).any(axis=1)
+        return pd.DataFrame(
+            {
+                "id": pdf["id"].to_numpy(),
+                "cell": pdf["cell"].to_numpy(),
+                "kept": ~dominated,
+            }
+        )
+
+    out_schema = "id long, cell int, kept boolean"
+    return (
+        assigned.groupBy("cell")
+        .applyInPandas(dedup_cell, out_schema)
+        .withColumnRenamed("id", id_col)
+    )
