@@ -566,6 +566,65 @@ def _q_domain_mix_sample(spark, sf_dir):
     return domain_mix_sample(docs).select("doc_id", "source")
 
 
+def _q_token_budget_sample(spark, sf_dir):
+    """Token-denominated mixture sampling: fill each source's token
+    budget greedily in md5('budget:doc_id') order (keep while the
+    inclusive running token total fits).  The bucketed two-level
+    cumsum (256 md5-prefix buckets, offsets broadcast) avoids a
+    per-source hot window; the oracle replays it as ONE SQL window
+    cumsum — identical because the bucket id is a prefix of the sort
+    key."""
+    from sqlfeatureextraction_spark.operators.curation import (
+        token_budget_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_budget_sample(
+        docs,
+        budgets={"src0": 400, "src1": 10000},
+        default_budget=800,
+    )
+
+
+def _q_doc_len_quantiles(spark, sf_dir):
+    """Per-language token-length profile via mergeable sketches: GK
+    quantiles (percentile_approx) at accuracy 10^6 >= group size, where
+    the sketch is EXACT and equals DuckDB quantile_disc element-for-
+    element; plus exact count/mean/stddev/min/max.  The bounded-error
+    small-accuracy regime and the HLL distinct sketch are pinned in
+    pytest (no exact SQL analog)."""
+    from pyspark.sql import functions as F
+
+    from sqlfeatureextraction_spark.operators.curation import tokens_col
+    from sqlfeatureextraction_spark.operators.stats import (
+        group_distribution_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prof = group_distribution_stats(
+        docs.select(
+            "lang",
+            F.size(tokens_col(F.col("text"))).alias("n_tok"),
+        ),
+        ["lang"],
+        "n_tok",
+        probs=(0.25, 0.5, 0.75, 0.95),
+        accuracy=1_000_000,
+    )
+    return prof.select(
+        "lang",
+        "n",
+        F.element_at("q", 1).alias("q25"),
+        F.element_at("q", 2).alias("q50"),
+        F.element_at("q", 3).alias("q75"),
+        F.element_at("q", 4).alias("q95"),
+        "mean",
+        "stddev",
+        "vmin",
+        "vmax",
+    )
+
+
 def _q_shard_assign(spark, sf_dir):
     """Deterministic global corpus shuffle into 8 equal training shards:
     order by md5('shard:doc_id'), cut with the range-repartition exact
@@ -2115,6 +2174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "substr_dup_frac": _q_substr_dup_frac,
         "domain_mix_sample": _q_domain_mix_sample,
+        "token_budget_sample": _q_token_budget_sample,
+        "doc_len_quantiles": _q_doc_len_quantiles,
         "shard_assign": _q_shard_assign,
         "pii_scrub": _q_pii_scrub,
         "pack_sequences": _q_pack_sequences,
@@ -3627,6 +3688,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM documents
             WHERE '0' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)
                   < {_mix_case_sql()}
+        """,
+        # token-budget mixture fill: ONE window cumsum in md5 order —
+        # identical to the engine's bucketed two-level cumsum because
+        # the bucket id is a prefix of the sort key
+        "token_budget_sample": f"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     CAST(len({_SPTOK}) AS BIGINT) AS n_tok,
+                     md5('budget:' || CAST(doc_id AS VARCHAR)) AS u
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, source, n_tok,
+                     SUM(n_tok) OVER (
+                       PARTITION BY source ORDER BY u, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_tok
+              FROM t
+            )
+            SELECT doc_id, source, n_tok, cum_tok FROM c
+            WHERE cum_tok <= CASE source WHEN 'src0' THEN 400
+                                         WHEN 'src1' THEN 10000
+                                         ELSE 800 END
+        """,
+        # per-language token-length profile: GK sketch at accuracy >=
+        # group size == discrete quantiles over the sorted group
+        "doc_len_quantiles": f"""
+            WITH t AS (
+              SELECT lang, CAST(len({_SPTOK}) AS INT) AS n_tok
+              FROM documents
+            )
+            SELECT lang, COUNT(*) AS n,
+                   quantile_disc(n_tok, 0.25) AS q25,
+                   quantile_disc(n_tok, 0.5) AS q50,
+                   quantile_disc(n_tok, 0.75) AS q75,
+                   quantile_disc(n_tok, 0.95) AS q95,
+                   ROUND(AVG(n_tok), 4) AS mean,
+                   ROUND(COALESCE(stddev(n_tok), 0.0), 4) AS stddev,
+                   MIN(n_tok) AS vmin,
+                   MAX(n_tok) AS vmax
+            FROM t GROUP BY lang
         """,
         # hash-ordered global shuffle into 8 exact-ntile shards
         "shard_assign": """

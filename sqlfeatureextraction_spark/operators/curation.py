@@ -42,6 +42,7 @@ __all__ = [
     "decontaminate",
     "dup_substring_fraction",
     "domain_mix_sample",
+    "token_budget_sample",
     "mix_threshold_hex",
     "exact_ntile",
     "shard_assign",
@@ -260,6 +261,89 @@ def domain_mix_sample(
         ),
     )
     return docs.where(u < thr)
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budgets: Mapping[str, int] | None = None,
+    default_budget: int = 3000,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "budget",
+    bucket_hex: int = 2,
+) -> DataFrame:
+    """Fill each source's TOKEN budget greedily in md5 order: keep a
+    document iff the running token total (inclusive, over docs of the
+    same source ordered by ``md5(salt:id)``, ties by id) stays within
+    the source's budget.  Token counts are nonnegative, so the running
+    total is monotone and "keep while cumsum <= budget" is a pure
+    per-row predicate — deterministic across runs/engines/cluster
+    sizes, like every sampler here (no RNG), and directly replayable
+    by the DuckDB oracle as one window cumsum.
+
+    domain_mix_sample rebalances by DOCUMENT rate; this is the
+    token-denominated variant a pretraining mixture actually budgets
+    (target tokens per domain, not target docs).
+
+    Scale shape: a naive per-source window puts a whole domain in one
+    task.  Instead the hash order is split at its ``bucket_hex``-digit
+    md5 prefix (256 buckets at 2): per-(source, bucket) token sums are
+    a tiny aggregate; their exclusive running sum per source is a
+    window over <=256 rows per source (bounded, never hot); rows then
+    need only an intra-bucket cumsum — ONE row-level shuffle on
+    (source, bucket), parallelism 256x the source count — plus the
+    broadcast-joined bucket offsets.  Output: kept rows with
+    ``n_tok`` and the inclusive running total ``cum_tok``.
+    """
+    u = F.md5(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    )
+    d = docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tok"),
+        u.alias("_u"),
+    ).withColumn("_bkt", F.substring("_u", 1, bucket_hex))
+
+    per_bucket = d.groupBy(source_col, "_bkt").agg(
+        F.sum("n_tok").alias("_bsum")
+    )
+    w_bkt = (
+        Window.partitionBy(source_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        source_col,
+        "_bkt",
+        F.coalesce(F.sum("_bsum").over(w_bkt), F.lit(0)).alias("_off"),
+    )
+
+    budget = F.lit(int(default_budget))
+    if budgets:
+        pairs = [
+            x
+            for s, b in sorted(budgets.items())
+            for x in (F.lit(s), F.lit(int(b)))
+        ]
+        budget = F.coalesce(
+            F.element_at(F.create_map(*pairs), F.col(source_col)), budget
+        )
+
+    w_row = (
+        Window.partitionBy(source_col, "_bkt")
+        .orderBy("_u", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.join(F.broadcast(offsets), [source_col, "_bkt"])
+        .withColumn(
+            "cum_tok", (F.col("_off") + F.sum("n_tok").over(w_row))
+        )
+        .where(F.col("cum_tok") <= budget)
+        .select(id_col, source_col, "n_tok", "cum_tok")
+    )
 
 
 def exact_ntile(

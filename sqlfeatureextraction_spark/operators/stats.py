@@ -1,0 +1,65 @@
+"""Per-group distribution sketches: quantiles, distinct counts,
+moments — the corpus-profiling pass a training-data pipeline runs
+before choosing curation thresholds (length cutoffs, mixture rates,
+dedup budgets).
+
+Everything is a built-in JVM aggregate, so each sketch is a MERGEABLE
+partial state with map-side combine — the profile of a 100-TB corpus
+shuffles only ``n_groups x sketch_size``, never rows:
+
+* quantiles: ``percentile_approx`` (Greenwald-Khanna) with rank error
+  <= n/accuracy at O(accuracy * log n) memory.  With
+  ``accuracy >= group size`` the sketch is EXACT and agrees
+  element-for-element with a discrete quantile over the sorted group
+  (DuckDB ``quantile_disc``) — the identity the driver row pins; the
+  bounded-error regime at small accuracy is pinned in pytest.
+* distinct values: ``approx_count_distinct`` (HyperLogLog++),
+  relative error ~``rsd``; deterministic for a given value set (no
+  RNG), error vs the exact count pinned in pytest.
+* moments: count / mean / stddev / min / max (exact, constant state).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_PROBS: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)
+
+
+def group_distribution_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    probs: Sequence[float] = DEFAULT_PROBS,
+    accuracy: int = 10_000,
+    distinct_col: str | None = None,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """One pass over ``df`` → one row per group with
+    ``n`` (exact count), ``q`` (array of ``probs`` quantiles of
+    ``value_col``), ``mean``/``stddev``/``vmin``/``vmax``, and — when
+    ``distinct_col`` is given — ``approx_distinct`` of that column.
+
+    Exactly one shuffle, carrying only partial sketch states."""
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx(
+            value_col, list(probs), int(accuracy)
+        ).alias("q"),
+        F.round(F.avg(value_col), 4).alias("mean"),
+        F.round(F.coalesce(F.stddev(value_col), F.lit(0.0)), 4).alias(
+            "stddev"
+        ),
+        F.min(value_col).alias("vmin"),
+        F.max(value_col).alias("vmax"),
+    ]
+    if distinct_col is not None:
+        aggs.append(
+            F.approx_count_distinct(distinct_col, rsd).alias(
+                "approx_distinct"
+            )
+        )
+    return df.groupBy(*group_cols).agg(*aggs)

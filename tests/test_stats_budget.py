@@ -1,0 +1,185 @@
+"""Distribution-sketch stats and token-budget mixture sampling."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _ntok(text):
+    return len([t for t in (text or "").lower().split(" ") if t])
+
+
+def _budget_ref(pdf, budgets, default):
+    """Sequential pandas/hashlib replay of the greedy budget fill."""
+    rows = []
+    for src, grp in pdf.groupby("source"):
+        b = budgets.get(src, default)
+        grp = grp.assign(
+            u=[
+                hashlib.md5(f"budget:{i}".encode()).hexdigest()
+                for i in grp["doc_id"]
+            ],
+            n_tok=[_ntok(t) for t in grp["text"]],
+        ).sort_values(["u", "doc_id"], kind="stable")
+        cum = 0
+        for r in grp.itertuples():
+            cum += r.n_tok
+            if cum <= b:
+                rows.append((r.doc_id, src, r.n_tok, cum))
+    return sorted(rows)
+
+
+def test_token_budget_sample_matches_sequential_ref(spark):
+    from sqlfeatureextraction_spark.operators.curation import (
+        token_budget_sample,
+    )
+
+    budgets = {"src0": 400, "src1": 10000}
+    got = sorted(
+        tuple(r)
+        for r in token_budget_sample(
+            _docs(spark), budgets=budgets, default_budget=800
+        ).collect()
+    )
+    want = _budget_ref(_docs(spark).toPandas(), budgets, 800)
+    assert got == want
+    assert len(got) > 0
+
+
+def test_token_budget_sample_boundaries(spark):
+    from sqlfeatureextraction_spark.operators.curation import (
+        token_budget_sample,
+    )
+
+    docs = _docs(spark)
+    assert token_budget_sample(docs, default_budget=0).count() == 0
+
+    all_rows = token_budget_sample(docs, default_budget=10**9)
+    assert all_rows.count() == docs.count()
+    # inclusive running total tops out at the per-source token sum
+    import pyspark.sql.functions as F
+
+    from sqlfeatureextraction_spark.operators.curation import tokens_col
+
+    tot = {
+        r["source"]: r["t"]
+        for r in docs.groupBy("source")
+        .agg(F.sum(F.size(tokens_col(F.col("text")))).alias("t"))
+        .collect()
+    }
+    top = {
+        r["source"]: r["m"]
+        for r in all_rows.groupBy("source")
+        .agg(F.max("cum_tok").alias("m"))
+        .collect()
+    }
+    assert top == tot
+
+    # monotone: a smaller budget keeps a subset of a larger one
+    small = {
+        r["doc_id"] for r in token_budget_sample(docs, default_budget=300).collect()
+    }
+    large = {
+        r["doc_id"] for r in token_budget_sample(docs, default_budget=800).collect()
+    }
+    assert small <= large
+
+
+def test_token_budget_sample_plan(spark):
+    """Row-level work is one hash exchange on (source, bucket); the
+    offsets side joins back as a broadcast — no sort-merge join, no
+    per-source global sort of corpus rows."""
+    from sqlfeatureextraction_spark.operators.curation import (
+        token_budget_sample,
+    )
+
+    plan = (
+        token_budget_sample(_docs(spark), default_budget=800)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+@pytest.mark.parametrize("accuracy", [50, 1_000_000])
+def test_group_quantiles_error_bound(spark, accuracy):
+    """GK rank-error contract: |rank(returned) - p*n| <= n/accuracy
+    (+1 discretization slack); at accuracy >= n the sketch is exact ==
+    the discrete quantile of the sorted group."""
+    import pyspark.sql.functions as F
+
+    from sqlfeatureextraction_spark.operators.curation import tokens_col
+    from sqlfeatureextraction_spark.operators.stats import (
+        group_distribution_stats,
+    )
+
+    probs = (0.25, 0.5, 0.75, 0.95)
+    d = _docs(spark).select(
+        "lang", F.size(tokens_col(F.col("text"))).alias("n_tok")
+    )
+    prof = {
+        r["lang"]: r
+        for r in group_distribution_stats(
+            d, ["lang"], "n_tok", probs=probs, accuracy=accuracy
+        ).collect()
+    }
+    pdf = d.toPandas()
+    for lang, grp in pdf.groupby("lang"):
+        vals = np.sort(grp["n_tok"].to_numpy())
+        n = len(vals)
+        row = prof[lang]
+        assert row["n"] == n
+        assert row["vmin"] == vals[0] and row["vmax"] == vals[-1]
+        for p, q in zip(probs, row["q"]):
+            if accuracy >= n:
+                assert q == vals[int(np.ceil(p * n)) - 1], (lang, p)
+            else:
+                lo = np.searchsorted(vals, q, side="left")
+                hi = np.searchsorted(vals, q, side="right")
+                target = p * n
+                err = min(abs(r - target) for r in (lo, hi))
+                assert err <= n / accuracy + 1, (lang, p, q)
+
+
+def test_group_stats_hll_bound_and_plan(spark):
+    import pyspark.sql.functions as F
+
+    from sqlfeatureextraction_spark.operators.stats import (
+        group_distribution_stats,
+    )
+
+    docs = _docs(spark)
+    prof = group_distribution_stats(
+        docs.select("lang", F.length("text").alias("len"), "source"),
+        ["lang"],
+        "len",
+        distinct_col="source",
+        rsd=0.05,
+    )
+    exact = {
+        r["lang"]: r["d"]
+        for r in docs.groupBy("lang")
+        .agg(F.countDistinct("source").alias("d"))
+        .collect()
+    }
+    for r in prof.collect():
+        assert abs(r["approx_distinct"] - exact[r["lang"]]) <= max(
+            3, 0.15 * exact[r["lang"]]
+        )
+    plan = (
+        prof._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Exchange") == 1  # one shuffle of sketch states
