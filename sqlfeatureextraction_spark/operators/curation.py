@@ -242,16 +242,11 @@ def domain_mix_sample(
     """
     rates = DEFAULT_MIX_RATES if rates is None else rates
     default_rate = DEFAULT_MIX_RATE if default_rate is None else default_rate
-    thr = F.lit(mix_threshold_hex(default_rate))
-    if rates:
-        pairs = [
-            x
-            for s, r in sorted(rates.items())
-            for x in (F.lit(s), F.lit(mix_threshold_hex(r)))
-        ]
-        thr = F.coalesce(
-            F.element_at(F.create_map(*pairs), F.col(source_col)), thr
-        )
+    thr = _per_source_lit(
+        {s: F.lit(mix_threshold_hex(r)) for s, r in rates.items()},
+        F.lit(mix_threshold_hex(default_rate)),
+        source_col,
+    )
     u = F.concat(
         F.lit("0"),
         F.substring(
@@ -261,6 +256,28 @@ def domain_mix_sample(
         ),
     )
     return docs.where(u < thr)
+
+
+def _per_source_lit(
+    mapping: Mapping[str, "Column"] | dict,
+    default_lit: Column,
+    source_col: str,
+) -> Column:
+    """Per-source literal lookup with a default: sorted (source →
+    literal) pairs through ``create_map``/``element_at``, coalesced to
+    the default — so an unknown OR NULL source falls to the default
+    (``element_at`` on a NULL key is NULL).  Shared by the samplers so
+    their lookup semantics can't drift apart."""
+    out = default_lit
+    if mapping:
+        pairs = [
+            x for s, v in sorted(mapping.items()) for x in (F.lit(s), v)
+        ]
+        out = F.coalesce(
+            F.element_at(F.create_map(*pairs), F.col(source_col)),
+            default_lit,
+        )
+    return out
 
 
 def token_budget_sample(
@@ -299,12 +316,20 @@ def token_budget_sample(
     u = F.md5(
         F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
     )
-    d = docs.select(
-        F.col(id_col),
-        F.col(source_col),
-        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tok"),
-        u.alias("_u"),
-    ).withColumn("_bkt", F.substring("_u", 1, bucket_hex))
+    # the narrow projection feeds BOTH the offsets aggregate and the
+    # row-level cumsum; localCheckpoint it so the corpus is scanned
+    # and tokenized ONCE (tokenization dominates at scale), mirroring
+    # exact_ntile's boundary pinning below
+    d = (
+        docs.select(
+            F.col(id_col),
+            F.col(source_col),
+            F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tok"),
+            u.alias("_u"),
+        )
+        .withColumn("_bkt", F.substring("_u", 1, bucket_hex))
+        .localCheckpoint(eager=True)
+    )
 
     per_bucket = d.groupBy(source_col, "_bkt").agg(
         F.sum("n_tok").alias("_bsum")
@@ -320,24 +345,33 @@ def token_budget_sample(
         F.coalesce(F.sum("_bsum").over(w_bkt), F.lit(0)).alias("_off"),
     )
 
-    budget = F.lit(int(default_budget))
-    if budgets:
-        pairs = [
-            x
-            for s, b in sorted(budgets.items())
-            for x in (F.lit(s), F.lit(int(b)))
-        ]
-        budget = F.coalesce(
-            F.element_at(F.create_map(*pairs), F.col(source_col)), budget
-        )
+    budget = _per_source_lit(
+        {s: F.lit(int(b)) for s, b in (budgets or {}).items()},
+        F.lit(int(default_budget)),
+        source_col,
+    )
 
     w_row = (
         Window.partitionBy(source_col, "_bkt")
         .orderBy("_u", id_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # null-SAFE join keys: a NULL source (or NULL id → NULL bucket)
+    # forms its own group in both the aggregate and the window, and
+    # must survive the join-back too — a null-unsafe equi-join would
+    # silently drop those rows while the greedy-fill semantics (and
+    # the SQL-window oracle) keep them under the default budget
+    off = offsets.select(
+        F.col(source_col).alias("_src_o"),
+        F.col("_bkt").alias("_bkt_o"),
+        "_off",
+    )
     return (
-        d.join(F.broadcast(offsets), [source_col, "_bkt"])
+        d.join(
+            F.broadcast(off),
+            F.col(source_col).eqNullSafe(F.col("_src_o"))
+            & F.col("_bkt").eqNullSafe(F.col("_bkt_o")),
+        )
         .withColumn(
             "cum_tok", (F.col("_off") + F.sum("n_tok").over(w_row))
         )

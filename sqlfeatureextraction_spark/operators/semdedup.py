@@ -43,7 +43,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 def fit_kmeans_quantized(
@@ -61,75 +60,30 @@ def fit_kmeans_quantized(
     6 decimals (see module docstring).  Each round is one job emitting
     per-partition partial sums, reduced JVM-side via posexplode +
     groupBy — only ``k * dim`` doubles reach the driver."""
+    from .similarity import lloyd_partial_round
+
     seeds = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )
     cent = np.vstack(
         [np.asarray(r[vec_col], dtype=np.float64) for r in seeds]
     )
-    k_eff, dim = cent.shape
 
     for _ in range(iters):
-        cent_round = cent
-
-        def partials(batches, _c=cent_round):
-            cn = _c / np.maximum(
-                np.linalg.norm(_c, axis=1, keepdims=True), 1e-12
-            )
-            sums = np.zeros((k_eff, dim))
-            cnts = np.zeros(k_eff, dtype=np.int64)
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                raw = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-                vn = raw / np.maximum(
-                    np.linalg.norm(raw, axis=1, keepdims=True), 1e-12
-                )
-                cells = np.argmax(vn @ cn.T, axis=1)
-                np.add.at(sums, cells, raw)  # mean over RAW vectors
-                cnts += np.bincount(cells, minlength=k_eff)
-            nz = np.nonzero(cnts)[0]
-            yield pd.DataFrame(
-                {
-                    "cell": nz.astype("int32"),
-                    "cnt": cnts[nz],
-                    "vsum": [sums[i].tolist() for i in nz],
-                }
-            )
-
-        red = (
-            corpus.select(vec_col)
-            .mapInPandas(partials, "cell int, cnt long, vsum array<double>")
-            .select("cell", "cnt", F.posexplode("vsum").alias("pos", "v"))
-            .groupBy("cell", "pos")
-            .agg(F.sum("v").alias("s"), F.sum("cnt").alias("c"))
-            .collect()
+        sums, cnts = lloyd_partial_round(
+            corpus, vec_col, _normed(cent), accumulate_raw=True
         )
         new = cent.copy()  # empty cells keep their previous centroid
-        sums = np.zeros((k_eff, dim))
-        cnts = np.zeros(k_eff, dtype=np.int64)
-        for r in red:
-            sums[r["cell"], r["pos"]] = r["s"]
-            if r["pos"] == 0:
-                cnts[r["cell"]] = r["c"]
         live = cnts > 0
         new[live] = np.round(sums[live] / cnts[live, None], 6)
         cent = new
     return cent
 
 
-def _cos_cell_udf(cent: np.ndarray):
-    """Nearest-centroid cell by COSINE (both sides normalized inside;
-    ties break to the lowest cell id via argmax-first-max)."""
-    cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
-
-    @F.pandas_udf(T.IntegerType())
-    def cell_of(vs: pd.Series) -> pd.Series:
-        mat = np.vstack(vs.to_numpy()).astype(np.float64)
-        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(mat @ cn.T, axis=1).astype(np.int32))
-
-    return cell_of
+def _normed(cent: np.ndarray) -> np.ndarray:
+    return cent / np.maximum(
+        np.linalg.norm(cent, axis=1, keepdims=True), 1e-12
+    )
 
 
 def semantic_dedup(
@@ -147,15 +101,19 @@ def semantic_dedup(
 
     Pass precomputed ``centroids`` to skip the fit (write-time at
     scale, exactly like similarity.ivf_topk)."""
+    from .similarity import _cell_udf
+
     cent = (
         fit_kmeans_quantized(corpus, k, iters, vec_col, id_col)
         if centroids is None
         else centroids
     )
+    # _cell_udf assigns by argmax dot(v̂, c); pre-normalizing the
+    # centroids makes that argmax COSINE, ties to the lowest cell
     assigned = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        _cos_cell_udf(cent)(F.col(vec_col)).alias("cell"),
+        _cell_udf(_normed(cent))(F.col(vec_col)).alias("cell"),
     )
 
     tau = float(threshold)

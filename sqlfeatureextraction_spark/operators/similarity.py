@@ -105,6 +105,63 @@ def brute_force_topk(
     )
 
 
+def lloyd_partial_round(
+    corpus: DataFrame,
+    vec_col: str,
+    cent_norm: np.ndarray,
+    accumulate_raw: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """One distributed Lloyd round, shared by the IVF quantizer and
+    semdedup's quantized k-means: assign each vector to its
+    argmax-cosine cell of ``cent_norm`` (pre-normalized (k, dim)), and
+    return per-cell member sums + counts.  ONE job: an Arrow
+    ``mapInPandas`` emits per-partition partial sums (≤ k rows per
+    partition, k·dim doubles), reduced JVM-side via posexplode +
+    groupBy(cell, pos) — only k·dim tiny rows ever reach the driver,
+    never corpus vectors.  ``accumulate_raw`` sums raw member vectors
+    (semdedup's mean-of-raw contract); the default sums L2-normalized
+    members (the spherical-k-means update)."""
+    k_eff, dim = cent_norm.shape
+
+    def partials(batches, _c=cent_norm):
+        sums = np.zeros((k_eff, dim))
+        cnts = np.zeros(k_eff, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            raw = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vn = raw / np.maximum(
+                np.linalg.norm(raw, axis=1, keepdims=True), 1e-12
+            )
+            cells = np.argmax(vn @ _c.T, axis=1)
+            np.add.at(sums, cells, raw if accumulate_raw else vn)
+            cnts += np.bincount(cells, minlength=k_eff)
+        nz = np.nonzero(cnts)[0]
+        yield pd.DataFrame(
+            {
+                "cell": nz.astype("int32"),
+                "cnt": cnts[nz],
+                "vsum": [sums[i].tolist() for i in nz],
+            }
+        )
+
+    red = (
+        corpus.select(vec_col)
+        .mapInPandas(partials, "cell int, cnt long, vsum array<double>")
+        .select("cell", "cnt", F.posexplode("vsum").alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(F.sum("v").alias("s"), F.sum("cnt").alias("c"))
+        .collect()
+    )
+    sums = np.zeros((k_eff, dim))
+    cnts = np.zeros(k_eff, dtype=np.int64)
+    for r in red:
+        sums[r["cell"], r["pos"]] = r["s"]
+        if r["pos"] == 0:
+            cnts[r["cell"]] = r["c"]
+    return sums, cnts
+
+
 def fit_ivf_centroids(
     corpus: DataFrame,
     nlist: int = 16,
@@ -115,12 +172,9 @@ def fit_ivf_centroids(
     """Spherical k-means coarse quantizer, fit distributed.
 
     Deterministic seeding (the ``nlist`` rows with the smallest
-    ``xxhash64(id)``), then ``iters`` Lloyd rounds.  Each round is ONE
-    job: an Arrow ``mapInPandas`` emits per-partition partial sums
-    (≤ nlist rows per partition, nlist·dim doubles), which are reduced
-    JVM-side via posexplode + groupBy(cell, pos) — only nlist·dim tiny
-    rows ever reach the driver, never corpus vectors.  Empty cells keep
-    their previous centroid.  Returns L2-normalized (nlist, dim)."""
+    ``xxhash64(id)``), then ``iters`` Lloyd rounds via
+    ``lloyd_partial_round``.  Empty cells keep their previous
+    centroid.  Returns L2-normalized (nlist, dim)."""
     seeds = (
         corpus.select(id_col, vec_col)
         .withColumn("_h", F.xxhash64(F.col(id_col)))
@@ -130,50 +184,10 @@ def fit_ivf_centroids(
     )
     cent = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in seeds])
     cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
-    nlist_eff, dim = cent.shape
 
     for _ in range(iters):
-        cent_n = cent  # capture current centroids for this round
-
-        def partials(batches, _c=cent_n):
-            sums = np.zeros((nlist_eff, dim))
-            cnts = np.zeros(nlist_eff, dtype=np.int64)
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-                mat /= np.maximum(
-                    np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
-                )
-                cells = np.argmax(mat @ _c.T, axis=1)
-                np.add.at(sums, cells, mat)
-                cnts += np.bincount(cells, minlength=nlist_eff)
-            nz = np.nonzero(cnts)[0]
-            yield pd.DataFrame(
-                {
-                    "cell": nz.astype("int32"),
-                    "cnt": cnts[nz],
-                    "vsum": [sums[i].tolist() for i in nz],
-                }
-            )
-
-        red = (
-            corpus.select(vec_col)
-            .mapInPandas(partials, "cell int, cnt long, vsum array<double>")
-            .select(
-                "cell", "cnt", F.posexplode("vsum").alias("pos", "v")
-            )
-            .groupBy("cell", "pos")
-            .agg(F.sum("v").alias("s"), F.sum("cnt").alias("c"))
-            .collect()
-        )
+        sums, cnts = lloyd_partial_round(corpus, vec_col, cent)
         new = cent.copy()
-        sums = np.zeros((nlist_eff, dim))
-        cnts = np.zeros(nlist_eff, dtype=np.int64)
-        for r in red:
-            sums[r["cell"], r["pos"]] = r["s"]
-            if r["pos"] == 0:
-                cnts[r["cell"]] = r["c"]
         live = cnts > 0
         new[live] = sums[live] / cnts[live, None]
         new /= np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)

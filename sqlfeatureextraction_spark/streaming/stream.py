@@ -288,7 +288,7 @@ def stateful_pit_window(
 def exact_dedup_stream(
     stream: DataFrame,
     key_cols: list[str],
-    watermark: tuple[str, str] | None = ("ts", "10 minutes"),
+    watermark: tuple[str, str] | None = None,
     within_watermark: bool = False,
 ) -> DataFrame:
     """Streaming exact deduplication on `key_cols`: the first arrival
@@ -300,7 +300,12 @@ def exact_dedup_stream(
     * default (`within_watermark=False`): ``dropDuplicates`` — exact
       global dedup; key state is kept forever, so this is correct for
       key spaces that fit state (e.g. daily-bounded ingest with
-      restarts between days).
+      restarts between days).  No watermark is applied in this regime
+      even if one is passed: a watermarked event-time column would
+      make the dedup operator FILTER late rows before the key lookup,
+      so a first-seen key arriving later than the delay would be
+      silently lost — data loss, not dedup — while buying nothing
+      (state on non-event-time keys is never evicted anyway).
     * `within_watermark=True`: ``dropDuplicatesWithinWatermark`` —
       state for a key is dropped once the watermark passes it, so
       state is bounded by the watermark horizon (the unbounded-stream
@@ -309,19 +314,18 @@ def exact_dedup_stream(
       right one at 10^12 rows/day: exactness within the lateness bound
       the pipeline already assumes.
 
-    `watermark` = (event-time column, delay) and is required for the
-    bounded regime.
+    `watermark` = (event-time column, delay); required for (and only
+    used by) the bounded regime.
     """
-    s = stream
-    if watermark is not None:
-        s = s.withWatermark(*watermark)
     if within_watermark:
         if watermark is None:
             raise ValueError(
                 "within_watermark=True requires a watermark"
             )
-        return s.dropDuplicatesWithinWatermark(key_cols)
-    return s.dropDuplicates(key_cols)
+        return stream.withWatermark(
+            *watermark
+        ).dropDuplicatesWithinWatermark(key_cols)
+    return stream.dropDuplicates(key_cols)
 
 
 def run_stream_to_memory(

@@ -520,9 +520,11 @@ def test_exact_dedup_stream_cross_batch(tmp_path, spark):
             ts=lambda d: pd.to_datetime(d.ts, unit="s")
         )
 
-    # batch 1: a, b   batch 2: a (dup), c (new)
+    # batch 1: a, b   batch 2: a (dup), c (new AND very late — the
+    # global regime must not watermark-filter it: first-seen keys
+    # emit no matter how late they arrive)
     b1 = mk([("a", 1000), ("b", 1010)])
-    b2 = mk([("a", 1020), ("c", 1030)])
+    b2 = mk([("a", 1020), ("c", 900)])
     schema = stage_slice_file(spark, tmp_path, b1, "s1.parquet", 1_000_000)
     stage_slice_file(spark, tmp_path, b2, "s2.parquet", 1_000_001)
     stream = (
@@ -530,7 +532,7 @@ def test_exact_dedup_stream_cross_batch(tmp_path, spark):
         .option("maxFilesPerTrigger", 1)
         .parquet(str(tmp_path))
     )
-    out = exact_dedup_stream(stream, ["k"], watermark=("ts", "10 seconds"))
+    out = exact_dedup_stream(stream, ["k"])
     run_stream_to_memory(out, "dedup_global", output_mode="append")
     got = sorted(
         r["k"] for r in spark.sql("SELECT k FROM dedup_global").collect()
