@@ -16,6 +16,11 @@ collected):
     join-back, per-doc agg: the heaviest shuffle pattern in the family
   * decontaminate(n=5)            — broadcast eval shingles + one shuffle
   * mix->shard->pack chain        — filter, exact-ntile, window cumsum
+  * token_budget_sample           — bucketed two-level cumsum (tokenize +
+    one row-level shuffle on (source, bucket))
+  * semantic_dedup                — k-means fit (partial-sum rounds) +
+    Arrow matmul assignment + per-cell Gram, over n_docs/10 synthetic
+    64-dim embeddings (pure xxhash64 function of vec_id)
 
 Usage: python scripts/curation_bench.py [n_docs] [reps]
 Each level runs in its own subprocess (fresh JVM).  Prints one JSON
@@ -40,14 +45,19 @@ from bench import _calibrate
 from sqlfeatureextraction_spark.session import get_spark
 from pyspark.sql import functions as F
 
-par, path, reps = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+par, path, reps, emb_path = (
+    int(sys.argv[1]), sys.argv[2], int(sys.argv[3]), sys.argv[4])
 spark = get_spark("curation_bench", parallelism=par, shuffle_partitions=max(par * 4, 8))
 docs = spark.read.parquet(path)
 n_docs = docs.count()  # warm: JIT + file listing + footer reads
+emb = spark.read.parquet(emb_path)
+emb.count()
 
 from sqlfeatureextraction_spark.operators.curation import (
     decontaminate, domain_mix_sample, dup_substring_fraction, pack_sequences,
+    token_budget_sample,
 )
+from sqlfeatureextraction_spark.operators.semdedup import semantic_dedup
 
 def op_dupfrac():
     r = dup_substring_fraction(docs, n=8, hashed=True).agg(
@@ -67,9 +77,21 @@ def op_chain():
         F.sum("tok_offset"), F.max("last_seq"), F.count("*")).collect()[0]
     return [r[0], r[1], r[2]]
 
+def op_budget():
+    r = token_budget_sample(docs, default_budget=30000).agg(
+        F.count("*"), F.sum("cum_tok")).collect()[0]
+    return [r[0], r[1]]
+
+def op_semdedup():
+    r = semantic_dedup(emb, k=64, iters=1, threshold=0.5).agg(
+        F.sum(F.col("kept").cast("long")), F.sum("cell")).collect()[0]
+    return [r[0], r[1]]
+
 out = {"parallelism": par, "n_docs": n_docs, "ops": {}}
 for name, fn in [("substr_dup_frac", op_dupfrac), ("decontaminate", op_decon),
-                 ("mix_shard_pack", op_chain)]:
+                 ("mix_shard_pack", op_chain),
+                 ("token_budget_sample", op_budget),
+                 ("semantic_dedup", op_semdedup)]:
     walls, checks, cals = [], [], [_calibrate()]
     fn()  # per-op warm-up rep (JIT of this op's codegen stages)
     for _ in range(reps):
@@ -117,6 +139,26 @@ docs = base.select(
     ).alias("source"),
 )
 docs.repartition(64).write.mode("overwrite").parquet(out)
+
+# companion embedding table for the semdedup leg: 64-dim vectors in
+# [-1, 1], a pure xxhash64 function of (vec_id, component)
+emb_out = sys.argv[3]
+n_vec = max(n_docs // 10, 1000)
+vecs = F.transform(
+    F.sequence(F.lit(1), F.lit(64)),
+    lambda i: (
+        (F.pmod(F.xxhash64(F.col("vec_id"), i), F.lit(2001)) - 1000)
+        / 1000.0
+    ).cast("float"),
+)
+(
+    spark.range(n_vec)
+    .select(F.col("id").alias("vec_id"))
+    .select("vec_id", vecs.alias("embedding"))
+    .repartition(64)
+    .write.mode("overwrite")
+    .parquet(emb_out)
+)
 spark.stop(); os._exit(0)
 """
 
@@ -132,16 +174,20 @@ def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     path = f"/tmp/curation_corpus_{n_docs}"
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    emb_path = f"/tmp/curation_emb_{n_docs}"
+    if not (
+        os.path.exists(os.path.join(path, "_SUCCESS"))
+        and os.path.exists(os.path.join(emb_path, "_SUCCESS"))
+    ):
         subprocess.run(
-            [sys.executable, "-c", PREP, str(n_docs), path],
+            [sys.executable, "-c", PREP, str(n_docs), path, emb_path],
             env=_env(),
             check=True,
         )
     results = {}
     for par in (2, 8):
         out = subprocess.run(
-            [sys.executable, "-c", CHILD, str(par), path, str(reps)],
+            [sys.executable, "-c", CHILD, str(par), path, str(reps), emb_path],
             env=_env(),
             check=True,
             capture_output=True,
