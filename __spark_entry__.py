@@ -1100,6 +1100,42 @@ def _q_merge_intervals(spark, sf_dir):
     return merge_intervals(ev, key_col="user_id")
 
 
+def _q_interval_join(spark, sf_dir):
+    """Containment join via bucketized equi-join: probes (ts+300 hits
+    its event's merged island; every 7th probe is shifted +1e6 s and
+    misses) LEFT-joined to the same merged islands as merge_intervals.
+    Spark's native plan for the range predicate is a
+    BroadcastNestedLoopJoin; the operator replicates intervals into
+    fixed-width buckets and equi-joins on (key, bucket) instead."""
+    from sqlfeatureextraction_spark.operators.intervals import (
+        interval_join,
+        merge_intervals,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts_sec").alias("start_s"),
+        (F.col("ts_sec") + 600).alias("end_s"),
+    )
+    islands = merge_intervals(ev, key_col="user_id").drop("n_merged")
+    probes = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        (
+            F.col("ts_sec")
+            + F.when(F.col("event_id") % 7 == 0, 1000000).otherwise(300)
+        ).alias("ts_p"),
+    )
+    return interval_join(
+        probes,
+        islands,
+        key_col="user_id",
+        ts_col="ts_p",
+        bucket_s=3600,
+        how="left",
+    )
+
+
 def _q_neardup_prune(spark, sf_dir):
     """D4 consecutive near-dup pruning: token-set cosine vs previous doc
     of the same source; survivors with their prev_cos."""
@@ -2185,6 +2221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_orders": _q_asof_join_orders,
         "oov_stats": _q_oov_stats,
         "merge_intervals": _q_merge_intervals,
+        "interval_join": _q_interval_join,
         "neardup_prune": _q_neardup_prune,
         "pivot_counts": _q_pivot_counts,
         "rollup_agg": _q_rollup_agg,
@@ -3294,6 +3331,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, MIN(start_s) AS island_start,
                    MAX(end_s) AS island_end, COUNT(*) AS n_merged
             FROM islands GROUP BY user_id, isl
+        """,
+        # containment join vs the same merged islands; DuckDB does the
+        # range predicate directly, the engine does the bucketized
+        # equi-join — identical pairs because islands are disjoint
+        "interval_join": f"""
+            WITH iv AS (
+              SELECT user_id, ts_sec AS start_s, ts_sec + 600 AS end_s
+              FROM ({_EV_TS})
+            ),
+            flagged AS (
+              SELECT user_id, start_s, end_s,
+                CASE WHEN MAX(end_s) OVER
+                  (PARTITION BY user_id ORDER BY start_s, end_s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR start_s > MAX(end_s) OVER
+                  (PARTITION BY user_id ORDER BY start_s, end_s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS new_island
+              FROM iv
+            ),
+            islands AS (
+              SELECT user_id, MIN(start_s) AS island_start,
+                     MAX(end_s) AS island_end
+              FROM (
+                SELECT user_id, start_s, end_s,
+                  SUM(new_island) OVER
+                    (PARTITION BY user_id ORDER BY start_s, end_s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+                FROM flagged
+              ) GROUP BY user_id, isl
+            ),
+            probes AS (
+              SELECT user_id, event_id,
+                     ts_sec + CASE WHEN event_id % 7 = 0
+                                   THEN 1000000 ELSE 300 END AS ts_p
+              FROM ({_EV_TS})
+            )
+            SELECT p.user_id, p.event_id, p.ts_p,
+                   i.island_start, i.island_end
+            FROM probes p LEFT JOIN islands i
+              ON p.user_id = i.user_id
+             AND p.ts_p >= i.island_start AND p.ts_p <= i.island_end
         """,
         "neardup_prune": f"""
             WITH t AS (

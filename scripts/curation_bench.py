@@ -19,7 +19,7 @@ collected):
   * token_budget_sample           — bucketed two-level cumsum (tokenize +
     one row-level shuffle on (source, bucket))
   * semantic_dedup                — k-means fit (partial-sum rounds) +
-    Arrow matmul assignment + per-cell Gram, over n_docs/10 synthetic
+    Arrow matmul assignment + per-cell Gram, over n_docs synthetic
     64-dim embeddings (pure xxhash64 function of vec_id)
 
 Usage: python scripts/curation_bench.py [n_docs] [reps]
@@ -40,6 +40,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CHILD = r"""
 import json, os, sys, time
+# one BLAS thread per Spark task: OpenBLAS otherwise spawns a thread
+# per CORE inside every python worker, so the low-parallelism leg
+# silently uses the whole box and the N-vs-4N comparison is bogus
+# (workers inherit this env from the driver fork)
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ[_v] = "1"
 sys.path.insert(0, os.environ["REPO_ROOT"])
 from bench import _calibrate
 from sqlfeatureextraction_spark.session import get_spark
@@ -87,11 +93,16 @@ def op_semdedup():
         F.sum(F.col("kept").cast("long")), F.sum("cell")).collect()[0]
     return [r[0], r[1]]
 
+only = set(
+    x for x in os.environ.get("CURATION_OPS", "").split(",") if x
+)
 out = {"parallelism": par, "n_docs": n_docs, "ops": {}}
 for name, fn in [("substr_dup_frac", op_dupfrac), ("decontaminate", op_decon),
                  ("mix_shard_pack", op_chain),
                  ("token_budget_sample", op_budget),
                  ("semantic_dedup", op_semdedup)]:
+    if only and name not in only:
+        continue
     walls, checks, cals = [], [], [_calibrate()]
     fn()  # per-op warm-up rep (JIT of this op's codegen stages)
     for _ in range(reps):
@@ -143,7 +154,7 @@ docs.repartition(64).write.mode("overwrite").parquet(out)
 # companion embedding table for the semdedup leg: 64-dim vectors in
 # [-1, 1], a pure xxhash64 function of (vec_id, component)
 emb_out = sys.argv[3]
-n_vec = max(n_docs // 10, 1000)
+n_vec = max(n_docs, 1000)
 vecs = F.transform(
     F.sequence(F.lit(1), F.lit(64)),
     lambda i: (

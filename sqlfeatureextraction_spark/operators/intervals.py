@@ -49,6 +49,76 @@ def merge_intervals(
     )
 
 
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts_sec",
+    start_col: str = "island_start",
+    end_col: str = "island_end",
+    bucket_s: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Containment join: attach to each event the same-key interval
+    with ``start <= ts <= end``.  Disjoint intervals (merge_intervals
+    output) ⇒ at most one match per event.
+
+    Spark's own plan for a range predicate like this is a
+    BroadcastNestedLoopJoin — O(|events|·|intervals|) and a
+    broadcast of a whole side, hopeless at corpus scale.  Instead:
+    replicate each interval into the fixed-width time buckets it
+    overlaps (``sequence`` + ``explode``; replication factor =
+    ceil(len/bucket) + 1, bounded for bounded intervals), bucket each
+    event once, and equi-join on (key, bucket) + containment filter.
+    An event meets an interval copy only in the event's OWN bucket, so
+    the pair appears at most once — no post-join dedupe.  ONE shuffle
+    per side on (key, bucket); pick ``bucket_s`` near the typical
+    interval length to balance replication vs candidates-per-bucket.
+
+    ``how='left'`` keeps unmatched events with NULL interval columns
+    (inner core + anti-join union, preserving exactly-once rows).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how}")
+    b_ev = F.floor(F.col(ts_col) / bucket_s)
+    iv = intervals.select(
+        F.col(key_col).alias("_k"),
+        start_col,
+        end_col,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bucket_s),
+                F.floor(F.col(end_col) / bucket_s),
+            )
+        ).alias("_b"),
+    )
+    ev = events.withColumn("_b", b_ev)
+    inner = (
+        ev.join(
+            iv,
+            (F.col(key_col) == F.col("_k")) & (ev["_b"] == iv["_b"]),
+        )
+        .where(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) <= F.col(end_col))
+        )
+        .drop("_k", "_b")
+    )
+    if how == "inner":
+        return inner
+    matched_keys = inner.select(*events.columns)
+    unmatched = events.join(
+        matched_keys, on=list(events.columns), how="left_anti"
+    )
+    s_t = intervals.schema[start_col].dataType
+    e_t = intervals.schema[end_col].dataType
+    return inner.unionByName(
+        unmatched.withColumn(start_col, F.lit(None).cast(s_t))
+        .withColumn(end_col, F.lit(None).cast(e_t)),
+        allowMissingColumns=False,
+    )
+
+
 def prune_consecutive_neardups(
     df: DataFrame,
     threshold: float = 0.8,

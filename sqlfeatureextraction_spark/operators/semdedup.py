@@ -94,13 +94,15 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: np.ndarray | None = None,
+    block: int = 1024,
 ) -> DataFrame:
     """SemDeDup over ``corpus``: returns ``(id, cell, kept)`` for every
     row — ``kept = false`` iff some same-cell row with a lower id has
     cosine >= ``threshold`` (survivors = ``WHERE kept``).
 
     Pass precomputed ``centroids`` to skip the fit (write-time at
-    scale, exactly like similarity.ivf_topk)."""
+    scale, exactly like similarity.ivf_topk).  ``block`` bounds the
+    per-task Gram working set (block x cell_size doubles)."""
     from .similarity import _cell_udf
 
     cent = (
@@ -119,14 +121,32 @@ def semantic_dedup(
     tau = float(threshold)
 
     def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Blocked lower-triangle scan: row i is dominated iff
+        # max_{j<i} cos(i, j) >= tau (ALL earlier rows count, kept or
+        # not — the non-recursive contract).  A full m x m Gram would
+        # allocate O(m^2) doubles per task (gigabytes for a 15k-row
+        # cell) and bottleneck on memory bandwidth, not flops; the
+        # blocked form peaks at block x m, computes only the lower
+        # triangle (half the flops), and keeps a running row-max.
         pdf = pdf.sort_values("id", kind="stable")
         mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        gram = mat @ mat.T
-        # strictly-earlier ids only — boolean mask, NOT np.tril value
-        # padding (its zeros would count as pairs for tau <= 0)
-        earlier = np.tril(np.ones(gram.shape, dtype=bool), -1)
-        dominated = ((gram >= tau) & earlier).any(axis=1)
+        n = mat.shape[0]
+        dominated = np.zeros(n, dtype=bool)
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            dom = np.zeros(hi - lo, dtype=bool)
+            if lo:  # vs all strictly-earlier blocks: no mask needed
+                dom |= (
+                    (mat[lo:hi] @ mat[:lo].T) >= tau
+                ).any(axis=1)
+            # vs earlier rows INSIDE this block: strict lower
+            # triangle as a boolean mask, NOT np.tril value padding
+            # (its zeros would count as pairs for tau <= 0)
+            diag = mat[lo:hi] @ mat[lo:hi].T
+            mask = np.tril(np.ones(diag.shape, dtype=bool), -1)
+            dom |= ((diag >= tau) & mask).any(axis=1)
+            dominated[lo:hi] = dom
         return pd.DataFrame(
             {
                 "id": pdf["id"].to_numpy(),

@@ -88,3 +88,65 @@ def test_extract_table(spark):
     )
     got = df.select("id", extract_table(F.col("tables")).alias("t")).toPandas()
     assert list(got.sort_values("id")["t"]) == ["events", "spans", "plain_table"]
+
+
+def test_interval_join_hand_case_and_plan(spark):
+    """Containment join: hits attach their island, misses get NULLs
+    (left) or drop (inner); the plan is a bucketized equi-join —
+    never a BroadcastNestedLoopJoin/Cartesian — and bucket width does
+    not change results."""
+    from sqlfeatureextraction_spark.operators.intervals import interval_join
+
+    iv = spark.createDataFrame(
+        [
+            ("u1", 100, 200),
+            ("u1", 5000, 5600),   # different bucket at bucket_s=3600
+            ("u2", 150, 250),
+        ],
+        "user_id string, island_start long, island_end long",
+    )
+    ev = spark.createDataFrame(
+        [
+            ("u1", 1, 150),    # hit island 1
+            ("u1", 2, 200),    # boundary hit (inclusive end)
+            ("u1", 3, 300),    # miss (gap)
+            ("u1", 4, 5600),   # boundary hit in later bucket
+            ("u2", 5, 150),    # hit, other key
+            ("u2", 6, 5000),   # miss (no u2 island there)
+            ("u3", 7, 150),    # miss (unknown key)
+        ],
+        "user_id string, event_id long, ts_p long",
+    )
+    left = interval_join(
+        ev, iv, key_col="user_id", ts_col="ts_p", bucket_s=3600, how="left"
+    )
+    got = {
+        r["event_id"]: (r["island_start"], r["island_end"])
+        for r in left.collect()
+    }
+    assert got == {
+        1: (100, 200),
+        2: (100, 200),
+        3: (None, None),
+        4: (5000, 5600),
+        5: (150, 250),
+        6: (None, None),
+        7: (None, None),
+    }
+    inner = interval_join(
+        ev, iv, key_col="user_id", ts_col="ts_p", bucket_s=3600, how="inner"
+    )
+    assert {r["event_id"] for r in inner.collect()} == {1, 2, 4, 5}
+
+    # bucket-width invariance (replication factor changes, pairs don't)
+    for b in (10, 100, 10**9):
+        alt = interval_join(
+            ev, iv, key_col="user_id", ts_col="ts_p", bucket_s=b, how="left"
+        )
+        assert sorted(map(tuple, alt.collect())) == sorted(
+            map(tuple, left.collect())
+        )
+
+    plan = inner._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    assert "Cartesian" not in plan

@@ -100,6 +100,29 @@ def test_semantic_dedup_precomputed_centroids_skip_fit(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_semantic_dedup_blocked_scan_block_invariant(spark):
+    """The blocked lower-triangle scan is exact for any block size:
+    tiny blocks (prefix + diagonal paths both exercised) == one
+    all-in-one block."""
+    from sqlfeatureextraction_spark.operators.semdedup import (
+        fit_kmeans_quantized,
+        semantic_dedup,
+    )
+
+    emb = _load(spark)
+    cent = fit_kmeans_quantized(emb, k=4, iters=1)
+    big = semantic_dedup(
+        emb, threshold=0.3, centroids=cent, block=10**9
+    ).collect()
+    small = semantic_dedup(
+        emb, threshold=0.3, centroids=cent, block=7
+    ).collect()
+    assert sorted(map(tuple, big)) == sorted(map(tuple, small))
+    # k=4 over 500 rows -> cells far larger than block=7, so multi-
+    # block prefixes were really exercised, and the prune is nontrivial
+    assert sum(1 for r in big if not r["kept"]) > 0
+
+
 def test_semantic_dedup_plan_single_shuffle(spark):
     """The prune stage is ONE exchange (hash by cell) — no cartesian,
     no corpus-vector broadcast."""
