@@ -1220,6 +1220,46 @@ def _q_stream_windowed_counts(spark, sf_dir):
     )
 
 
+def _q_stream_exact_dedup(spark, sf_dir):
+    """§2.9 streaming exact dedup (global regime): first arrival of a
+    (user_id, event_type) pair emits, repeats are suppressed across
+    micro-batches.  Projecting to the KEY columns makes the output
+    independent of which physical row arrived first, so the bounded
+    replay equals batch DISTINCT."""
+    import tempfile
+    import uuid
+
+    from sqlfeatureextraction_spark.streaming.stream import (
+        exact_dedup_stream,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    wdir = tempfile.mkdtemp(prefix="stream_dd_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(wdir, "events.parquet"),
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(wdir)
+        .select("user_id", "event_type")
+    )
+    out = exact_dedup_stream(stream, ["user_id", "event_type"])
+    name = f"stream_dd_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+    )
+
+
 def _q_stream_stateful_counter(spark, sf_dir):
     """§2.9 custom stateful streaming: applyInPandasWithState running
     turn counter + gap-session ids per entity, kept in GroupState across
@@ -2236,6 +2276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_window_features": _q_transcript_window_features,
         "transcript_wf_merge": _q_transcript_wf_merge,
         "stream_windowed_counts": _q_stream_windowed_counts,
+        "stream_exact_dedup": _q_stream_exact_dedup,
         "stream_stateful_counter": _q_stream_stateful_counter,
         "checkpoint_resume": _q_checkpoint_resume,
         "snapshot_time_travel": _q_snapshot_time_travel,
@@ -4117,6 +4158,13 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_turns,
                    ROUND(SUM(value), 4) AS total_cost
             FROM events GROUP BY 1, 2
+        """,
+        # streaming first-arrival dedup projected to key cols ==
+        # batch DISTINCT over the bounded source
+        "stream_exact_dedup": """
+            SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
+                   event_type
+            FROM events
         """,
         # GroupState counters over a bounded stream == batch window fns
         "stream_stateful_counter": """
