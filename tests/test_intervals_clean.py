@@ -150,3 +150,54 @@ def test_interval_join_hand_case_and_plan(spark):
     plan = inner._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan
     assert "Cartesian" not in plan
+
+
+def test_interval_join_random_differential(spark):
+    """Seeded sweep vs a brute-force nested-loop oracle: random keys,
+    interval lengths straddling the bucket width (incl. zero-length
+    and many-bucket spans), random probe times; disjointness NOT
+    assumed by the oracle (overlaps produce multi-matches in both)."""
+    import numpy as np
+
+    from sqlfeatureextraction_spark.operators.intervals import interval_join
+
+    for seed in (5, 6):
+        rng = np.random.RandomState(seed)
+        iv_rows = [
+            (
+                f"u{int(rng.randint(0, 5))}",
+                int(s),
+                int(s + rng.randint(0, 250)),
+            )
+            for s in rng.randint(0, 2000, size=40)
+        ]
+        ev_rows = [
+            (f"u{int(rng.randint(0, 6))}", int(i), int(rng.randint(0, 2200)))
+            for i in range(120)
+        ]
+        iv = spark.createDataFrame(
+            iv_rows, "user_id string, island_start long, island_end long"
+        )
+        ev = spark.createDataFrame(
+            ev_rows, "user_id string, event_id long, ts_p long"
+        )
+        got = sorted(
+            map(
+                tuple,
+                interval_join(
+                    ev,
+                    iv,
+                    key_col="user_id",
+                    ts_col="ts_p",
+                    bucket_s=100,
+                    how="inner",
+                ).collect(),
+            )
+        )
+        want = sorted(
+            (u, e, t, s, en)
+            for (u, e, t) in ev_rows
+            for (iu, s, en) in iv_rows
+            if u == iu and s <= t <= en
+        )
+        assert got == want, seed

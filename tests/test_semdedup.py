@@ -141,3 +141,46 @@ def test_semantic_dedup_plan_single_shuffle(spark):
     )
     assert plan.count("Exchange") == 1
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_semantic_dedup_random_differential(spark, seed):
+    """Seeded random-corpus sweep vs the sequential numpy reference:
+    random dimensionality / k / iters / tau per seed, planted exact
+    duplicates and near-duplicates (scaled + noisy copies) so the
+    prune decisions exercise both sides of the threshold."""
+    from sqlfeatureextraction_spark.operators.semdedup import semantic_dedup
+
+    rng = np.random.RandomState(seed)
+    n, dim = 150, int(rng.randint(4, 17))
+    k = int(rng.randint(2, 7))
+    iters = int(rng.randint(1, 4))
+    tau = float(rng.uniform(0.3, 0.95))
+    vecs = rng.randn(n, dim)
+    for _ in range(25):  # planted near/exact dups
+        a, b = rng.randint(0, n, size=2)
+        scale = float(rng.uniform(0.5, 2.0))
+        noise = rng.randn(dim) * (0.0 if rng.rand() < 0.5 else 0.05)
+        vecs[b] = vecs[a] * scale + noise
+    ids = rng.permutation(1000)[:n]
+    df = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in v])
+            for i, v in zip(ids, vecs)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["cell"], r["kept"])
+        for r in semantic_dedup(
+            df, k=k, iters=iters, threshold=tau, block=16
+        ).collect()
+    }
+    # float32 storage: the reference must see the same float32-rounded
+    # values the engine reads back from the array<float> column
+    want = _ref_semdedup(
+        ids, vecs.astype(np.float32).astype(np.float64), k, iters, tau
+    )
+    assert got == want
+    dropped = sum(1 for _, (__, kk) in got.items() if not kk)
+    assert 0 < dropped < n
