@@ -126,6 +126,8 @@ from sqlfeatureextraction_spark.session import get_spark
 from pyspark.sql import functions as F
 
 n_docs, out = int(sys.argv[1]), sys.argv[2]
+write_docs = sys.argv[4] == "1"
+write_emb = sys.argv[5] == "1"
 spark = get_spark("curation_prep", parallelism=8, shuffle_partitions=32)
 V = 500
 vocab = F.array(*[F.lit(f"tok{i:03d}") for i in range(V)])
@@ -149,7 +151,8 @@ docs = base.select(
         F.lit("src"), F.pmod(F.xxhash64(F.lit("s"), F.col("doc_id")), F.lit(20))
     ).alias("source"),
 )
-docs.repartition(64).write.mode("overwrite").parquet(out)
+if write_docs:
+    docs.repartition(64).write.mode("overwrite").parquet(out)
 
 # companion embedding table for the semdedup leg: 64-dim vectors in
 # [-1, 1], a pure xxhash64 function of (vec_id, component)
@@ -162,14 +165,15 @@ vecs = F.transform(
         / 1000.0
     ).cast("float"),
 )
-(
-    spark.range(n_vec)
-    .select(F.col("id").alias("vec_id"))
-    .select("vec_id", vecs.alias("embedding"))
-    .repartition(64)
-    .write.mode("overwrite")
-    .parquet(emb_out)
-)
+if write_emb:
+    (
+        spark.range(n_vec)
+        .select(F.col("id").alias("vec_id"))
+        .select("vec_id", vecs.alias("embedding"))
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(emb_out)
+    )
 spark.stop(); os._exit(0)
 """
 
@@ -186,12 +190,22 @@ def main() -> None:
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     path = f"/tmp/curation_corpus_{n_docs}"
     emb_path = f"/tmp/curation_emb_{n_docs}"
-    if not (
-        os.path.exists(os.path.join(path, "_SUCCESS"))
-        and os.path.exists(os.path.join(emb_path, "_SUCCESS"))
-    ):
+    # each dataset regenerates independently: a pre-existing corpus
+    # isn't rebuilt just because the embedding table is missing
+    need_docs = not os.path.exists(os.path.join(path, "_SUCCESS"))
+    need_emb = not os.path.exists(os.path.join(emb_path, "_SUCCESS"))
+    if need_docs or need_emb:
         subprocess.run(
-            [sys.executable, "-c", PREP, str(n_docs), path, emb_path],
+            [
+                sys.executable,
+                "-c",
+                PREP,
+                str(n_docs),
+                path,
+                emb_path,
+                "1" if need_docs else "0",
+                "1" if need_emb else "0",
+            ],
             env=_env(),
             check=True,
         )

@@ -75,12 +75,23 @@ def interval_join(
     per side on (key, bucket); pick ``bucket_s`` near the typical
     interval length to balance replication vs candidates-per-bucket.
 
-    ``how='left'`` keeps unmatched events with NULL interval columns
-    (inner core + anti-join union, preserving exactly-once rows).
+    ``how='left'`` keeps unmatched events with NULL interval columns.
+    Both modes are ONE join: because an event sits in exactly one
+    bucket, putting the containment predicate in the join condition
+    (equi keys + non-equi residual — SortMergeJoin supports the
+    residual natively) gives left-outer semantics directly, with no
+    inner+anti-join union that would recompute the join subtree and
+    double-emit matched events carrying NULLs in payload columns.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how}")
-    b_ev = F.floor(F.col(ts_col) / bucket_s)
+    reserved = {"_k", "_b", start_col, end_col}
+    clash = reserved.intersection(events.columns)
+    if clash:
+        raise ValueError(
+            f"events must not contain columns {sorted(clash)} "
+            "(interval-side / internal names)"
+        )
     iv = intervals.select(
         F.col(key_col).alias("_k"),
         start_col,
@@ -92,31 +103,14 @@ def interval_join(
             )
         ).alias("_b"),
     )
-    ev = events.withColumn("_b", b_ev)
-    inner = (
-        ev.join(
-            iv,
-            (F.col(key_col) == F.col("_k")) & (ev["_b"] == iv["_b"]),
-        )
-        .where(
-            (F.col(ts_col) >= F.col(start_col))
-            & (F.col(ts_col) <= F.col(end_col))
-        )
-        .drop("_k", "_b")
+    ev = events.withColumn("_b", F.floor(F.col(ts_col) / bucket_s))
+    cond = (
+        (F.col(key_col) == F.col("_k"))
+        & (ev["_b"] == iv["_b"])
+        & (F.col(ts_col) >= F.col(start_col))
+        & (F.col(ts_col) <= F.col(end_col))
     )
-    if how == "inner":
-        return inner
-    matched_keys = inner.select(*events.columns)
-    unmatched = events.join(
-        matched_keys, on=list(events.columns), how="left_anti"
-    )
-    s_t = intervals.schema[start_col].dataType
-    e_t = intervals.schema[end_col].dataType
-    return inner.unionByName(
-        unmatched.withColumn(start_col, F.lit(None).cast(s_t))
-        .withColumn(end_col, F.lit(None).cast(e_t)),
-        allowMissingColumns=False,
-    )
+    return ev.join(iv, cond, how).drop("_k", "_b")
 
 
 def prune_consecutive_neardups(

@@ -105,6 +105,10 @@ def semantic_dedup(
     per-task Gram working set (block x cell_size doubles)."""
     from .similarity import _cell_udf
 
+    if block < 1:
+        # block <= 0 would either skip the scan entirely (everything
+        # silently kept) or crash inside the Arrow UDF
+        raise ValueError(f"block must be >= 1, got {block}")
     cent = (
         fit_kmeans_quantized(corpus, k, iters, vec_col, id_col)
         if centroids is None

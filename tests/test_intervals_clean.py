@@ -2,6 +2,8 @@
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from sqlfeatureextraction_spark.functions.sqlclean import (
@@ -201,3 +203,45 @@ def test_interval_join_random_differential(spark):
             if u == iu and s <= t <= en
         )
         assert got == want, seed
+
+
+def test_interval_join_left_null_payload_no_duplication(spark):
+    """Regression: a matched event carrying a NULL payload column must
+    appear exactly once in how='left' output (the old inner+anti-join
+    union compared all event columns with null-unsafe equality and
+    double-emitted such rows)."""
+    from sqlfeatureextraction_spark.operators.intervals import interval_join
+
+    iv = spark.createDataFrame(
+        [("u1", 100, 200)],
+        "user_id string, island_start long, island_end long",
+    )
+    ev = spark.createDataFrame(
+        [("u1", 1, 150, None), ("u1", 2, 999, None)],
+        "user_id string, event_id long, ts_p long, note string",
+    )
+    out = interval_join(
+        ev, iv, key_col="user_id", ts_col="ts_p", bucket_s=3600, how="left"
+    ).collect()
+    assert len(out) == 2
+    got = {r["event_id"]: (r["island_start"], r["island_end"]) for r in out}
+    assert got == {1: (100, 200), 2: (None, None)}
+
+
+def test_interval_join_guards(spark):
+    from sqlfeatureextraction_spark.operators.intervals import interval_join
+
+    iv = spark.createDataFrame(
+        [("u1", 100, 200)],
+        "user_id string, island_start long, island_end long",
+    )
+    clash = spark.createDataFrame(
+        [("u1", 150, 1)], "user_id string, ts_p long, island_start long"
+    )
+    with pytest.raises(ValueError, match="island_start"):
+        interval_join(clash, iv, key_col="user_id", ts_col="ts_p")
+    ok = spark.createDataFrame(
+        [("u1", 150)], "user_id string, ts_p long"
+    )
+    with pytest.raises(ValueError, match="inner|left"):
+        interval_join(ok, iv, key_col="user_id", ts_col="ts_p", how="full")

@@ -184,3 +184,10 @@ def test_semantic_dedup_random_differential(spark, seed):
     assert got == want
     dropped = sum(1 for _, (__, kk) in got.items() if not kk)
     assert 0 < dropped < n
+
+
+def test_semantic_dedup_block_validation(spark):
+    from sqlfeatureextraction_spark.operators.semdedup import semantic_dedup
+
+    with pytest.raises(ValueError, match="block"):
+        semantic_dedup(_load(spark), threshold=0.4, block=0)
