@@ -137,17 +137,23 @@ def semantic_dedup(
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         n = mat.shape[0]
         dominated = np.zeros(n, dtype=bool)
+        # prefix panels are additionally chunked along the column
+        # (earlier-row) axis so each sims panel stays cache-resident
+        # (block x chunk doubles, ~8 MB) instead of streaming a
+        # block x m panel (~100s of MB at 15k-row cells) through DRAM
+        # — the Gram scan is bandwidth-bound, not flops-bound
+        chunk = 2048
         for lo in range(0, n, block):
             hi = min(lo + block, n)
             dom = np.zeros(hi - lo, dtype=bool)
-            if lo:  # vs all strictly-earlier blocks: no mask needed
-                dom |= (
-                    (mat[lo:hi] @ mat[:lo].T) >= tau
-                ).any(axis=1)
+            blk = mat[lo:hi]
+            for c0 in range(0, lo, chunk):  # strictly-earlier: no mask
+                c1 = min(c0 + chunk, lo)
+                dom |= ((blk @ mat[c0:c1].T) >= tau).any(axis=1)
             # vs earlier rows INSIDE this block: strict lower
             # triangle as a boolean mask, NOT np.tril value padding
             # (its zeros would count as pairs for tau <= 0)
-            diag = mat[lo:hi] @ mat[lo:hi].T
+            diag = blk @ blk.T
             mask = np.tril(np.ones(diag.shape, dtype=bool), -1)
             dom |= ((diag >= tau) & mask).any(axis=1)
             dominated[lo:hi] = dom
