@@ -625,6 +625,17 @@ def _q_doc_len_quantiles(spark, sf_dir):
     )
 
 
+def _q_token_topk(spark, sf_dir):
+    """Per-language heavy-hitter tokens (top 15, ties broken count
+    desc then token asc): explode → map-side-combined count per
+    distinct (lang, token) → row_number top-k.  The shuffle carries
+    distinct tokens, never corpus rows."""
+    from sqlfeatureextraction_spark.operators.stats import token_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_topk(docs, k=15, group_cols=("lang",))
+
+
 def _q_shard_assign(spark, sf_dir):
     """Deterministic global corpus shuffle into 8 equal training shards:
     order by md5('shard:doc_id'), cut with the range-repartition exact
@@ -2252,6 +2263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix_sample": _q_domain_mix_sample,
         "token_budget_sample": _q_token_budget_sample,
         "doc_len_quantiles": _q_doc_len_quantiles,
+        "token_topk": _q_token_topk,
         "shard_assign": _q_shard_assign,
         "pii_scrub": _q_pii_scrub,
         "pack_sequences": _q_pack_sequences,
@@ -3848,6 +3860,23 @@ def oracle_sql() -> dict[str, str]:
                    MIN(n_tok) AS vmin,
                    MAX(n_tok) AS vmax
             FROM t GROUP BY lang
+        """,
+        # per-language heavy hitters, deterministic tie-break
+        "token_topk": f"""
+            WITH t AS (
+              SELECT lang, UNNEST({_SPTOK}) AS token FROM documents
+            ),
+            c AS (
+              SELECT lang, token, COUNT(*) AS cnt
+              FROM t GROUP BY lang, token
+            )
+            SELECT lang, rk, token, cnt FROM (
+              SELECT lang, token, cnt,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY cnt DESC, token ASC) AS INT) AS rk
+              FROM c
+            ) WHERE rk <= 15
         """,
         # hash-ordered global shuffle into 8 exact-ntile shards
         "shard_assign": """

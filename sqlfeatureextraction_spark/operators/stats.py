@@ -63,3 +63,43 @@ def group_distribution_stats(
             )
         )
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+def token_topk(
+    docs: DataFrame,
+    k: int = 20,
+    group_cols: Sequence[str] = ("lang",),
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group heavy hitters: the ``k`` most frequent tokens with
+    deterministic tie-break (count desc, then token asc).  Output:
+    group cols + (rk, token, cnt).
+
+    Plan shape: explode → partial-aggregated count per (group, token)
+    (map-side combine absorbs each partition's repeats before the
+    shuffle) → top-k via row_number over the group.  The first shuffle
+    carries one row per DISTINCT (group, token) per partition — the
+    exact heavy-hitter path that stays cheap at corpus scale because
+    natural-language token frequencies are Zipfian (the distinct set
+    grows sublinearly).  The window's per-group sort is over distinct
+    tokens only, never corpus rows."""
+    from pyspark.sql import Window
+
+    from .curation import tokens_col
+
+    counts = (
+        docs.select(
+            *group_cols,
+            F.explode(tokens_col(F.col(text_col))).alias("token"),
+        )
+        .groupBy(*group_cols, "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("cnt"), F.asc("token")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(*group_cols, "rk", "token", "cnt")
+    )

@@ -183,3 +183,39 @@ def test_group_stats_hll_bound_and_plan(spark):
         .split("== Initial Plan ==")[0]
     )
     assert plan.count("Exchange") == 1  # one shuffle of sketch states
+
+
+def test_token_topk_brute_force_and_plan(spark):
+    from collections import Counter
+
+    from sqlfeatureextraction_spark.operators.stats import token_topk
+
+    docs = _docs(spark)
+    got = [
+        (r["lang"], r["rk"], r["token"], r["cnt"])
+        for r in token_topk(docs, k=10).orderBy("lang", "rk").collect()
+    ]
+    pdf = docs.toPandas()
+    want = []
+    for lang in sorted(pdf["lang"].dropna().unique()):
+        cnt = Counter(
+            t
+            for txt in pdf.loc[pdf["lang"] == lang, "text"]
+            for t in (txt or "").lower().split(" ")
+            if t
+        )
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        want += [
+            (lang, i + 1, tok, c) for i, (tok, c) in enumerate(ranked)
+        ]
+    assert got == want
+
+    plan = (
+        token_topk(docs, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    # one exchange for the distinct-token count, one for the window
+    assert plan.count("Exchange") == 2
