@@ -625,6 +625,21 @@ def _q_doc_len_quantiles(spark, sf_dir):
     )
 
 
+def _q_group_sample_exact(spark, sf_dir):
+    """Exactly-n deterministic per-source sample (reservoir without
+    RNG): the n smallest md5('sample:doc_id') per source, via the
+    bucketed two-level rank — src0 capped at 3, src1 oversized
+    (whole group kept), default 10."""
+    from sqlfeatureextraction_spark.operators.curation import (
+        group_sample_exact,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return group_sample_exact(
+        docs, n=10, counts={"src0": 3, "src1": 1000}
+    )
+
+
 def _q_token_topk(spark, sf_dir):
     """Per-language heavy-hitter tokens (top 15, ties broken count
     desc then token asc): explode → map-side-combined count per
@@ -2264,6 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": _q_token_budget_sample,
         "doc_len_quantiles": _q_doc_len_quantiles,
         "token_topk": _q_token_topk,
+        "group_sample_exact": _q_group_sample_exact,
         "shard_assign": _q_shard_assign,
         "pii_scrub": _q_pii_scrub,
         "pack_sequences": _q_pack_sequences,
@@ -3860,6 +3876,22 @@ def oracle_sql() -> dict[str, str]:
                    MIN(n_tok) AS vmin,
                    MAX(n_tok) AS vmax
             FROM t GROUP BY lang
+        """,
+        # exactly-n per-source deterministic sample == rank in md5
+        # order; the engine's bucketed two-level rank is identical
+        # because the bucket id is a prefix of the sort key
+        "group_sample_exact": """
+            SELECT doc_id, source, rk FROM (
+              SELECT doc_id, source,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS INT) AS rk
+              FROM documents
+            )
+            WHERE rk <= CASE source WHEN 'src0' THEN 3
+                                    WHEN 'src1' THEN 1000
+                                    ELSE 10 END
         """,
         # per-language heavy hitters, deterministic tie-break
         "token_topk": f"""

@@ -43,6 +43,7 @@ __all__ = [
     "dup_substring_fraction",
     "domain_mix_sample",
     "token_budget_sample",
+    "group_sample_exact",
     "mix_threshold_hex",
     "exact_ntile",
     "shard_assign",
@@ -377,6 +378,72 @@ def token_budget_sample(
         )
         .where(F.col("cum_tok") <= budget)
         .select(id_col, source_col, "n_tok", "cum_tok")
+    )
+
+
+def group_sample_exact(
+    docs: DataFrame,
+    n: int = 100,
+    counts: Mapping[str, int] | None = None,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "sample",
+    bucket_hex: int = 2,
+) -> DataFrame:
+    """EXACTLY-n deterministic sample per group: the n rows with the
+    smallest ``md5(salt:id)`` (ties by id) — a reservoir sample
+    without RNG state, reproducible across runs/engines/cluster sizes
+    and monotone in ``n`` (same device as domain_mix_sample, but with
+    an exact count instead of a rate; groups smaller than n are kept
+    whole).  Output: (id, group, rk) with rk = 1..n in hash order.
+
+    Same scale shape as token_budget_sample with unit weights: the
+    global in-group rank = broadcast per-bucket offset (exclusive
+    cumulative COUNT over ≤256 md5-prefix buckets per group) +
+    intra-bucket row_number — ONE row-level shuffle on (group,
+    bucket), never a per-group global sort.
+    """
+    u = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    d = docs.select(
+        F.col(id_col), F.col(group_col), u.alias("_u")
+    ).withColumn("_bkt", F.substring("_u", 1, bucket_hex))
+
+    per_bucket = d.groupBy(group_col, "_bkt").agg(
+        F.count(F.lit(1)).alias("_bcnt")
+    )
+    w_bkt = (
+        Window.partitionBy(group_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        group_col,
+        "_bkt",
+        F.coalesce(F.sum("_bcnt").over(w_bkt), F.lit(0)).alias("_off"),
+    )
+    limit = _per_source_lit(
+        {s: F.lit(int(c)) for s, c in (counts or {}).items()},
+        F.lit(int(n)),
+        group_col,
+    )
+    w_row = Window.partitionBy(group_col, "_bkt").orderBy("_u", id_col)
+    off = offsets.select(
+        F.col(group_col).alias("_grp_o"),
+        F.col("_bkt").alias("_bkt_o"),
+        "_off",
+    )
+    return (
+        d.join(
+            F.broadcast(off),
+            F.col(group_col).eqNullSafe(F.col("_grp_o"))
+            & F.col("_bkt").eqNullSafe(F.col("_bkt_o")),
+        )
+        .withColumn(
+            "rk",
+            (F.col("_off") + F.row_number().over(w_row)).cast("int"),
+        )
+        .where(F.col("rk") <= limit)
+        .select(id_col, group_col, "rk")
     )
 
 

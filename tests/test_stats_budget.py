@@ -219,3 +219,56 @@ def test_token_topk_brute_force_and_plan(spark):
     )
     # one exchange for the distinct-token count, one for the window
     assert plan.count("Exchange") == 2
+
+
+def test_group_sample_exact_brute_force(spark):
+    from sqlfeatureextraction_spark.operators.curation import (
+        group_sample_exact,
+    )
+
+    docs = _docs(spark)
+    got = sorted(
+        tuple(r)
+        for r in group_sample_exact(
+            docs, n=7, counts={"src0": 2}
+        ).collect()
+    )
+    pdf = docs.toPandas()
+    want = []
+    for src, grp in pdf.groupby("source"):
+        lim = 2 if src == "src0" else 7
+        order = sorted(
+            grp["doc_id"],
+            key=lambda i: (
+                hashlib.md5(f"sample:{i}".encode()).hexdigest(),
+                i,
+            ),
+        )
+        want += [(i, src, rk + 1) for rk, i in enumerate(order[:lim])]
+    assert got == sorted(want)
+
+    # exactly n per group (groups here are all larger than n)
+    sizes = {}
+    for _, s, __ in got:
+        sizes[s] = sizes.get(s, 0) + 1
+    assert all(v == (2 if s == "src0" else 7) for s, v in sizes.items())
+
+    # monotone: sample(n=3) is a prefix of sample(n=7) per group
+    small = {
+        (r["doc_id"], r["source"], r["rk"])
+        for r in group_sample_exact(docs, n=3).collect()
+    }
+    large = {
+        (r["doc_id"], r["source"], r["rk"])
+        for r in group_sample_exact(docs, n=7).collect()
+    }
+    assert small <= large
+
+    plan = (
+        group_sample_exact(docs, n=7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
