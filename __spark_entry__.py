@@ -625,6 +625,19 @@ def _q_doc_len_quantiles(spark, sf_dir):
     )
 
 
+def _q_chunk_documents(spark, sf_dir):
+    """Content-defined chunking: md5-prefix token boundaries ('0' ⇒
+    rate 1/16) close chunks; chunk text rebuilt order-exactly.  The
+    edit-resilience property (chunks re-synchronize after the next
+    boundary) is what makes sub-document dedup robust."""
+    from sqlfeatureextraction_spark.operators.curation import (
+        chunk_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs)
+
+
 def _q_group_sample_exact(spark, sf_dir):
     """Exactly-n deterministic per-source sample (reservoir without
     RNG): the n smallest md5('sample:doc_id') per source, via the
@@ -2280,6 +2293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_len_quantiles": _q_doc_len_quantiles,
         "token_topk": _q_token_topk,
         "group_sample_exact": _q_group_sample_exact,
+        "chunk_documents": _q_chunk_documents,
         "shard_assign": _q_shard_assign,
         "pii_scrub": _q_pii_scrub,
         "pack_sequences": _q_pack_sequences,
@@ -3876,6 +3890,34 @@ def oracle_sql() -> dict[str, str]:
                    MIN(n_tok) AS vmin,
                    MAX(n_tok) AS vmax
             FROM t GROUP BY lang
+        """,
+        # content-defined chunking: boundary = md5(token) starting
+        # '0'; exclusive running boundary count = chunk id; chunk
+        # text rebuilt in token order
+        "chunk_documents": f"""
+            WITH t AS (
+              SELECT doc_id, UNNEST({_SPTOK}) AS token,
+                     UNNEST(range(1, len({_SPTOK}) + 1)) AS pos
+              FROM documents
+            ),
+            b AS (
+              SELECT doc_id, token, pos,
+                     CASE WHEN substr(md5(token), 1, 1) = '0'
+                          THEN 1 ELSE 0 END AS bnd
+              FROM t
+            ),
+            c AS (
+              SELECT doc_id, token, pos,
+                     CAST(COALESCE(SUM(bnd) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS INT) AS chunk_id
+              FROM b
+            )
+            SELECT doc_id, chunk_id,
+                   string_agg(token, ' ' ORDER BY pos) AS chunk_text,
+                   CAST(COUNT(*) AS INT) AS n_tok
+            FROM c GROUP BY doc_id, chunk_id
         """,
         # exactly-n per-source deterministic sample == rank in md5
         # order; the engine's bucketed two-level rank is identical

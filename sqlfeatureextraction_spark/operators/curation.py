@@ -44,6 +44,7 @@ __all__ = [
     "domain_mix_sample",
     "token_budget_sample",
     "group_sample_exact",
+    "chunk_documents",
     "mix_threshold_hex",
     "exact_ntile",
     "shard_assign",
@@ -444,6 +445,65 @@ def group_sample_exact(
         )
         .where(F.col("rk") <= limit)
         .select(id_col, group_col, "rk")
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    boundary_hex: str = "0",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking: split each document into variable-
+    length chunks at hash-determined token boundaries — a token whose
+    ``md5`` starts with ``boundary_hex`` (one hex digit ⇒ boundary
+    rate 1/16, mean chunk ~16 tokens) CLOSES its chunk.  Because
+    boundaries depend only on local content, an insertion near the
+    start of a document shifts chunk IDs but re-synchronizes the
+    chunk TEXTS right after the next boundary — the property that
+    makes sub-document dedup robust to edits (the rolling-hash/CDC
+    idea, applied at token granularity).  Deterministic: no RNG, and
+    the md5-prefix test is the same hex-string device the samplers
+    use, so the oracle replays byte-identical boundaries.
+
+    Output: (id, chunk_id, chunk_text, n_tok) with chunk_id dense
+    from 0 in token order.  Empty documents produce no rows.
+
+    Plan: posexplode (narrow) → ONE shuffle on the doc id (the window
+    computing the exclusive running boundary count) reused by the
+    per-(doc, chunk) aggregation; chunk text is rebuilt order-exactly
+    via sort_array over (pos, token) structs, not collect_list order.
+    """
+    toks = tokens_col(F.col(text_col))
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "token")
+    ).withColumn(
+        "_bnd",
+        (F.substring(F.md5(F.col("token")), 1, len(boundary_hex))
+         == boundary_hex).cast("int"),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = exploded.withColumn(
+        "chunk_id", F.coalesce(F.sum("_bnd").over(w), F.lit(0)).cast("int")
+    )
+    return (
+        chunked.groupBy(id_col, "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "token"))
+                    ),
+                    lambda s: s["token"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.count(F.lit(1)).cast("int").alias("n_tok"),
+        )
     )
 
 
