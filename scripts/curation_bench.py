@@ -60,7 +60,8 @@ emb = spark.read.parquet(emb_path)
 emb.count()
 
 from sqlfeatureextraction_spark.operators.curation import (
-    decontaminate, domain_mix_sample, dup_substring_fraction, pack_sequences,
+    chunk_documents, decontaminate, domain_mix_sample,
+    dup_substring_fraction, group_sample_exact, pack_sequences,
     token_budget_sample,
 )
 from sqlfeatureextraction_spark.operators.semdedup import semantic_dedup
@@ -93,6 +94,19 @@ def op_semdedup():
         F.sum(F.col("kept").cast("long")), F.sum("cell")).collect()[0]
     return [r[0], r[1]]
 
+def op_chunk():
+    # modular checksum: raw sum(xxhash64) overflows long in ANSI mode
+    r = chunk_documents(docs).agg(
+        F.count("*"), F.sum("n_tok"),
+        F.sum(F.pmod(F.xxhash64("chunk_text"), F.lit(10**9)))
+    ).collect()[0]
+    return [r[0], r[1], r[2]]
+
+def op_sample():
+    r = group_sample_exact(docs, n=5000).agg(
+        F.count("*"), F.sum("rk")).collect()[0]
+    return [r[0], r[1]]
+
 only = set(
     x for x in os.environ.get("CURATION_OPS", "").split(",") if x
 )
@@ -100,7 +114,9 @@ out = {"parallelism": par, "n_docs": n_docs, "ops": {}}
 for name, fn in [("substr_dup_frac", op_dupfrac), ("decontaminate", op_decon),
                  ("mix_shard_pack", op_chain),
                  ("token_budget_sample", op_budget),
-                 ("semantic_dedup", op_semdedup)]:
+                 ("semantic_dedup", op_semdedup),
+                 ("chunk_documents", op_chunk),
+                 ("group_sample_exact", op_sample)]:
     if only and name not in only:
         continue
     walls, checks, cals = [], [], [_calibrate()]
