@@ -333,53 +333,57 @@ def token_budget_sample(
         .localCheckpoint(eager=True)
     )
 
-    per_bucket = d.groupBy(source_col, "_bkt").agg(
-        F.sum("n_tok").alias("_bsum")
-    )
-    w_bkt = (
-        Window.partitionBy(source_col)
-        .orderBy("_bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = per_bucket.select(
-        source_col,
-        "_bkt",
-        F.coalesce(F.sum("_bsum").over(w_bkt), F.lit(0)).alias("_off"),
-    )
-
     budget = _per_source_lit(
         {s: F.lit(int(b)) for s, b in (budgets or {}).items()},
         F.lit(int(default_budget)),
         source_col,
     )
-
     w_row = (
         Window.partitionBy(source_col, "_bkt")
         .orderBy("_u", id_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    # null-SAFE join keys: a NULL source (or NULL id → NULL bucket)
-    # forms its own group in both the aggregate and the window, and
-    # must survive the join-back too — a null-unsafe equi-join would
-    # silently drop those rows while the greedy-fill semantics (and
-    # the SQL-window oracle) keep them under the default budget
-    off = offsets.select(
-        F.col(source_col).alias("_src_o"),
-        F.col("_bkt").alias("_bkt_o"),
-        "_off",
-    )
     return (
-        d.join(
-            F.broadcast(off),
-            F.col(source_col).eqNullSafe(F.col("_src_o"))
-            & F.col("_bkt").eqNullSafe(F.col("_bkt_o")),
-        )
+        _with_bucket_offsets(d, source_col, "n_tok")
         .withColumn(
             "cum_tok", (F.col("_off") + F.sum("n_tok").over(w_row))
         )
         .where(F.col("cum_tok") <= budget)
         .select(id_col, source_col, "n_tok", "cum_tok")
     )
+
+
+def _with_bucket_offsets(
+    d: DataFrame, group_col: str, weight_col: str
+) -> DataFrame:
+    """Shared two-level-cumsum machinery for the bucketed samplers
+    (token_budget_sample / group_sample_exact): given a frame with
+    (group_col, ``_bkt``, weight_col), attach ``_off`` = the group's
+    exclusive running sum of per-bucket weight totals in bucket order
+    (a window over ≤16^bucket_hex rows per group — bounded, never
+    hot), broadcast-joined back with null-SAFE keys: a NULL group (or
+    NULL id → NULL bucket) forms its own group in both the aggregate
+    and the row-level window, and must survive the join-back too — a
+    null-unsafe equi-join would silently drop those rows while the
+    samplers' semantics (and the SQL-window oracles) keep them."""
+    per_bucket = d.groupBy(group_col, "_bkt").agg(
+        F.sum(weight_col).alias("_bsum")
+    )
+    w_bkt = (
+        Window.partitionBy(group_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = per_bucket.select(
+        F.col(group_col).alias("_grp_o"),
+        F.col("_bkt").alias("_bkt_o"),
+        F.coalesce(F.sum("_bsum").over(w_bkt), F.lit(0)).alias("_off"),
+    )
+    return d.join(
+        F.broadcast(off),
+        F.col(group_col).eqNullSafe(F.col("_grp_o"))
+        & F.col("_bkt").eqNullSafe(F.col("_bkt_o")),
+    ).drop("_grp_o", "_bkt_o")
 
 
 def group_sample_exact(
@@ -405,22 +409,16 @@ def group_sample_exact(
     bucket), never a per-group global sort.
     """
     u = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
-    d = docs.select(
-        F.col(id_col), F.col(group_col), u.alias("_u")
-    ).withColumn("_bkt", F.substring("_u", 1, bucket_hex))
-
-    per_bucket = d.groupBy(group_col, "_bkt").agg(
-        F.count(F.lit(1)).alias("_bcnt")
-    )
-    w_bkt = (
-        Window.partitionBy(group_col)
-        .orderBy("_bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = per_bucket.select(
-        group_col,
-        "_bkt",
-        F.coalesce(F.sum("_bcnt").over(w_bkt), F.lit(0)).alias("_off"),
+    # localCheckpoint: the projection feeds both the offsets aggregate
+    # and the row-level rank — without it the input is scanned and
+    # hashed twice, and a nondeterministic upstream (sample()/limit)
+    # could diverge between the two jobs, desynchronizing offsets from
+    # ranks (the hazard token_budget_sample pins the same way)
+    d = (
+        docs.select(F.col(id_col), F.col(group_col), u.alias("_u"))
+        .withColumn("_bkt", F.substring("_u", 1, bucket_hex))
+        .withColumn("_one", F.lit(1).cast("long"))
+        .localCheckpoint(eager=True)
     )
     limit = _per_source_lit(
         {s: F.lit(int(c)) for s, c in (counts or {}).items()},
@@ -428,17 +426,8 @@ def group_sample_exact(
         group_col,
     )
     w_row = Window.partitionBy(group_col, "_bkt").orderBy("_u", id_col)
-    off = offsets.select(
-        F.col(group_col).alias("_grp_o"),
-        F.col("_bkt").alias("_bkt_o"),
-        "_off",
-    )
     return (
-        d.join(
-            F.broadcast(off),
-            F.col(group_col).eqNullSafe(F.col("_grp_o"))
-            & F.col("_bkt").eqNullSafe(F.col("_bkt_o")),
-        )
+        _with_bucket_offsets(d, group_col, "_one")
         .withColumn(
             "rk",
             (F.col("_off") + F.row_number().over(w_row)).cast("int"),
@@ -474,6 +463,12 @@ def chunk_documents(
     per-(doc, chunk) aggregation; chunk text is rebuilt order-exactly
     via sort_array over (pos, token) structs, not collect_list order.
     """
+    if not boundary_hex or any(c not in "0123456789abcdef" for c in boundary_hex):
+        # Spark md5 is lowercase hex; an uppercase/non-hex prefix
+        # would silently never match (one giant chunk per doc)
+        raise ValueError(
+            f"boundary_hex must be non-empty lowercase hex, got {boundary_hex!r}"
+        )
     toks = tokens_col(F.col(text_col))
     exploded = docs.select(
         F.col(id_col), F.posexplode(toks).alias("pos", "token")

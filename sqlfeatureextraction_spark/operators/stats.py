@@ -23,8 +23,10 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from .curation import tokens_col
 
 DEFAULT_PROBS: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)
 
@@ -83,10 +85,6 @@ def token_topk(
     natural-language token frequencies are Zipfian (the distinct set
     grows sublinearly).  The window's per-group sort is over distinct
     tokens only, never corpus rows."""
-    from pyspark.sql import Window
-
-    from .curation import tokens_col
-
     counts = (
         docs.select(
             *group_cols,
