@@ -638,6 +638,17 @@ def _q_chunk_documents(spark, sf_dir):
     return chunk_documents(docs)
 
 
+def _q_chunk_dup_fraction(spark, sf_dir):
+    """Per-doc duplicated-CDC-chunk fraction: whole-passage reuse at
+    chunk granularity (complements shingle-level substr_dup_frac)."""
+    from sqlfeatureextraction_spark.operators.curation import (
+        chunk_dup_fraction,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_dup_fraction(docs)
+
+
 def _q_group_sample_exact(spark, sf_dir):
     """Exactly-n deterministic per-source sample (reservoir without
     RNG): the n smallest md5('sample:doc_id') per source, via the
@@ -2294,6 +2305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_topk": _q_token_topk,
         "group_sample_exact": _q_group_sample_exact,
         "chunk_documents": _q_chunk_documents,
+        "chunk_dup_fraction": _q_chunk_dup_fraction,
         "shard_assign": _q_shard_assign,
         "pii_scrub": _q_pii_scrub,
         "pack_sequences": _q_pack_sequences,
@@ -3918,6 +3930,42 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(token, ' ' ORDER BY pos) AS chunk_text,
                    CAST(COUNT(*) AS INT) AS n_tok
             FROM c GROUP BY doc_id, chunk_id
+        """,
+        # duplicated-CDC-chunk fraction per doc: count per distinct
+        # chunk text, join back, per-doc aggregate
+        "chunk_dup_fraction": f"""
+            WITH t AS (
+              SELECT doc_id, UNNEST({_SPTOK}) AS token,
+                     UNNEST(range(1, len({_SPTOK}) + 1)) AS pos
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, token, pos,
+                     CAST(COALESCE(SUM(CASE WHEN substr(md5(token), 1, 1)
+                                            = '0' THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS INT) AS chunk_id
+              FROM t
+            ),
+            ch AS (
+              SELECT doc_id, chunk_id,
+                     string_agg(token, ' ' ORDER BY pos) AS chunk_text
+              FROM c GROUP BY doc_id, chunk_id
+            ),
+            occ AS (
+              SELECT chunk_text, COUNT(*) AS n_occ FROM ch
+              GROUP BY chunk_text
+            )
+            SELECT ch.doc_id,
+                   CAST(COUNT(*) AS INT) AS n_chunks,
+                   CAST(SUM(CASE WHEN occ.n_occ > 1
+                                 THEN 1 ELSE 0 END) AS INT)
+                     AS n_dup_chunks,
+                   ROUND(SUM(CASE WHEN occ.n_occ > 1 THEN 1 ELSE 0 END)
+                         * 1.0 / COUNT(*), 6) AS dup_frac
+            FROM ch JOIN occ USING (chunk_text)
+            GROUP BY ch.doc_id
         """,
         # exactly-n per-source deterministic sample == rank in md5
         # order; the engine's bucketed two-level rank is identical

@@ -45,6 +45,7 @@ __all__ = [
     "token_budget_sample",
     "group_sample_exact",
     "chunk_documents",
+    "chunk_dup_fraction",
     "mix_threshold_hex",
     "exact_ntile",
     "shard_assign",
@@ -498,6 +499,48 @@ def chunk_documents(
                 " ",
             ).alias("chunk_text"),
             F.count(F.lit(1)).cast("int").alias("n_tok"),
+        )
+    )
+
+
+def chunk_dup_fraction(
+    docs: DataFrame,
+    boundary_hex: str = "0",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-CHUNK fraction: the share of a doc's
+    content-defined chunks (chunk_documents) whose exact text occurs
+    in more than one chunk corpus-wide — sub-document duplication at
+    CDC granularity, which (unlike fixed shingles) stays aligned
+    across edited copies of a passage.  Complements
+    dup_substring_fraction: shingles measure local overlap density,
+    CDC chunks measure whole-passage reuse.
+
+    Output: (id, n_chunks, n_dup_chunks, dup_frac rounded to 6dp).
+
+    Plan: chunking's one doc-id shuffle, then count per distinct
+    chunk text (map-side combine; a hot chunk contributes ONE count
+    row) and a join back on the text key — the substr_dup_frac shape.
+    At corpus scale swap the join key for xxhash64(chunk_text) to cut
+    transport, exactly like dup_substring_fraction(hashed=True).
+    """
+    chunks = chunk_documents(docs, boundary_hex, id_col, text_col)
+    per_text = chunks.groupBy("chunk_text").agg(
+        F.count(F.lit(1)).alias("_n_occ")
+    )
+    return (
+        chunks.join(per_text, "chunk_text")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_chunks"),
+            F.sum((F.col("_n_occ") > 1).cast("int"))
+            .cast("int")
+            .alias("n_dup_chunks"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6),
         )
     )
 

@@ -399,3 +399,46 @@ def test_chunk_documents_reconstruction_and_resync(spark):
         hashlib.md5(t.encode()).hexdigest().startswith("0")
         for t in base.split(" ")
     )
+
+
+def test_chunk_dup_fraction_hand_case(spark):
+    """Two identical docs: every chunk duplicated (frac 1.0); a
+    unique doc: 0.0; a doc sharing one passage with the twins: its
+    shared chunks (aligned by CDC boundaries despite a changed
+    prefix) count as duplicated."""
+    from sqlfeatureextraction_spark.operators.curation import (
+        chunk_documents,
+        chunk_dup_fraction,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
+        "omega one two three four five six seven eight nine ten"
+    )
+    df = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),                     # exact twin
+            (2, "totally different words unique here"),
+            (3, "CHANGED PREFIX " + base),  # shares the tail passage
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"], r["dup_frac"])
+        for r in chunk_dup_fraction(df).collect()
+    }
+    assert got[0][2] == 1.0 and got[1][2] == 1.0
+    assert got[2] == (1, 0, 0.0) or got[2][1] == 0
+    # doc 3 re-synchronizes after its first boundary: all later
+    # chunks match the twins' chunks
+    n3, d3, f3 = got[3]
+    assert d3 == n3 - 1 and n3 > 2
+    # cross-check n_chunks against chunk_documents directly
+    per_doc = (
+        chunk_documents(df).groupBy("doc_id").count().collect()
+    )
+    assert {r["doc_id"]: r["count"] for r in per_doc} == {
+        d: v[0] for d, v in got.items()
+    }
