@@ -508,6 +508,7 @@ def chunk_dup_fraction(
     boundary_hex: str = "0",
     id_col: str = "doc_id",
     text_col: str = "text",
+    hashed: bool = False,
 ) -> DataFrame:
     """Per-document duplicated-CHUNK fraction: the share of a doc's
     content-defined chunks (chunk_documents) whose exact text occurs
@@ -522,15 +523,20 @@ def chunk_dup_fraction(
     Plan: chunking's one doc-id shuffle, then count per distinct
     chunk text (map-side combine; a hot chunk contributes ONE count
     row) and a join back on the text key — the substr_dup_frac shape.
-    At corpus scale swap the join key for xxhash64(chunk_text) to cut
-    transport, exactly like dup_substring_fraction(hashed=True).
+    ``hashed=True`` swaps the join/count key for
+    ``xxhash64(chunk_text)`` (8-byte transport — the corpus-scale
+    path, exactly like dup_substring_fraction(hashed=True)); pinned
+    equal in pytest, text keys kept as the oracle-parity default.
     """
     chunks = chunk_documents(docs, boundary_hex, id_col, text_col)
-    per_text = chunks.groupBy("chunk_text").agg(
+    key = "_ckey" if hashed else "chunk_text"
+    if hashed:
+        chunks = chunks.withColumn("_ckey", F.xxhash64("chunk_text"))
+    per_text = chunks.groupBy(key).agg(
         F.count(F.lit(1)).alias("_n_occ")
     )
     return (
-        chunks.join(per_text, "chunk_text")
+        chunks.join(per_text, key)
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_chunks"),

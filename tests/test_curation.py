@@ -442,3 +442,18 @@ def test_chunk_dup_fraction_hand_case(spark):
     assert {r["doc_id"]: r["count"] for r in per_doc} == {
         d: v[0] for d, v in got.items()
     }
+
+
+def test_chunk_dup_fraction_hashed_equals_text(spark):
+    from sqlfeatureextraction_spark.operators.curation import (
+        chunk_dup_fraction,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    a = sorted(map(tuple, chunk_dup_fraction(docs).collect()))
+    b = sorted(
+        map(tuple, chunk_dup_fraction(docs, hashed=True).collect())
+    )
+    assert a == b
