@@ -60,9 +60,9 @@ emb = spark.read.parquet(emb_path)
 emb.count()
 
 from sqlfeatureextraction_spark.operators.curation import (
-    chunk_documents, decontaminate, domain_mix_sample,
-    dup_substring_fraction, group_sample_exact, pack_sequences,
-    token_budget_sample,
+    chunk_documents, chunk_dup_fraction, decontaminate,
+    domain_mix_sample, dup_substring_fraction, group_sample_exact,
+    pack_sequences, token_budget_sample,
 )
 from sqlfeatureextraction_spark.operators.semdedup import semantic_dedup
 
@@ -107,6 +107,12 @@ def op_sample():
         F.count("*"), F.sum("rk")).collect()[0]
     return [r[0], r[1]]
 
+def op_chunkdup():
+    r = chunk_dup_fraction(docs, hashed=True).agg(
+        F.sum("n_chunks"), F.sum("n_dup_chunks"),
+        F.round(F.sum("dup_frac"), 3)).collect()[0]
+    return [r[0], r[1], r[2]]
+
 only = set(
     x for x in os.environ.get("CURATION_OPS", "").split(",") if x
 )
@@ -116,7 +122,8 @@ for name, fn in [("substr_dup_frac", op_dupfrac), ("decontaminate", op_decon),
                  ("token_budget_sample", op_budget),
                  ("semantic_dedup", op_semdedup),
                  ("chunk_documents", op_chunk),
-                 ("group_sample_exact", op_sample)]:
+                 ("group_sample_exact", op_sample),
+                 ("chunk_dup_fraction", op_chunkdup)]:
     if only and name not in only:
         continue
     walls, checks, cals = [], [], [_calibrate()]
