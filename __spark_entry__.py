@@ -664,6 +664,16 @@ def _q_group_sample_exact(spark, sf_dir):
     )
 
 
+def _q_unigram_nll(spark, sf_dir):
+    """Per-doc mean NLL under the corpus's own unigram model — the
+    label-free statistical quality signal (CCNet-style filtering's
+    SQL-expressible core)."""
+    from sqlfeatureextraction_spark.operators.stats import unigram_nll
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_nll(docs)
+
+
 def _q_token_topk(spark, sf_dir):
     """Per-language heavy-hitter tokens (top 15, ties broken count
     desc then token asc): explode → map-side-combined count per
@@ -2303,6 +2313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": _q_token_budget_sample,
         "doc_len_quantiles": _q_doc_len_quantiles,
         "token_topk": _q_token_topk,
+        "unigram_nll": _q_unigram_nll,
         "group_sample_exact": _q_group_sample_exact,
         "chunk_documents": _q_chunk_documents,
         "chunk_dup_fraction": _q_chunk_dup_fraction,
@@ -3982,6 +3993,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE rk <= CASE source WHEN 'src0' THEN 3
                                     WHEN 'src1' THEN 1000
                                     ELSE 10 END
+        """,
+        # per-doc mean NLL under the corpus's own unigram model
+        "unigram_nll": f"""
+            WITH t AS (
+              SELECT doc_id, UNNEST({_SPTOK}) AS token FROM documents
+            ),
+            c AS (
+              SELECT token, COUNT(*) AS cnt FROM t GROUP BY token
+            ),
+            tot AS (SELECT SUM(cnt) AS total FROM c)
+            SELECT t.doc_id,
+                   CAST(COUNT(*) AS INT) AS n_tok,
+                   ROUND(-AVG(LN(c.cnt / (SELECT total * 1.0 FROM tot))),
+                         4) AS nll
+            FROM t JOIN c USING (token)
+            GROUP BY t.doc_id
         """,
         # per-language heavy hitters, deterministic tie-break
         "token_topk": f"""

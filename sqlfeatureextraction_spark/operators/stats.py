@@ -67,6 +67,44 @@ def group_distribution_stats(
     return df.groupBy(*group_cols).agg(*aggs)
 
 
+def unigram_nll(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's
+    own unigram model — the statistical quality signal (CCNet-style
+    perplexity filtering uses a KenLM n-gram model; the unigram case
+    is its exactly-SQL-expressible core): documents full of rare
+    tokens score high, boilerplate scores low, and the score needs no
+    labels.  ``nll = -mean_t ln(count(t) / total_tokens)``, fit and
+    scored on the same corpus (so every token has mass — no OOV
+    smoothing needed; for scoring against a FOREIGN model, join the
+    model's count table instead of the self-fit).
+
+    Output: (id, n_tok, nll rounded to 4dp); empty docs yield no row.
+
+    Plan: one explode feeding (a) the token-count aggregate (map-side
+    combine; distinct-token rows only) and (b) the scoring join on
+    the token key, then a per-doc aggregate — the token_topk /
+    substr_dup_frac shuffle family, all JVM."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("_cnt"))
+    total = counts.agg(F.sum("_cnt")).collect()[0][0] or 1
+    return (
+        toks.join(counts, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tok"),
+            F.round(
+                -F.avg(F.log(F.col("_cnt") / F.lit(float(total)))), 4
+            ).alias("nll"),
+        )
+    )
+
+
 def token_topk(
     docs: DataFrame,
     k: int = 20,

@@ -272,3 +272,33 @@ def test_group_sample_exact_brute_force(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_unigram_nll_brute_force(spark):
+    """Exact replay in python floats: nll = -mean ln(cnt/total), plus
+    ordering sanity (a doc of globally-rare tokens scores higher than
+    one of the corpus's most common tokens)."""
+    import math
+    from collections import Counter
+
+    from sqlfeatureextraction_spark.operators.stats import unigram_nll
+
+    rows = [
+        (0, "the the the cat"),
+        (1, "the cat sat"),
+        (2, "zyx qwv zyx"),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tok"], r["nll"]) for r in unigram_nll(df).collect()
+    }
+    assert 3 not in got and 4 not in got  # empty docs: no row
+    toks = {i: [t for t in (x or "").lower().split(" ") if t] for i, x in rows}
+    cnt = Counter(t for ts in toks.values() for t in ts)
+    total = sum(cnt.values())
+    for d in (0, 1, 2):
+        want = -sum(math.log(cnt[t] / total) for t in toks[d]) / len(toks[d])
+        assert got[d] == (len(toks[d]), round(want, 4)), d
+    assert got[2][1] > got[0][1]  # rare-token doc scores higher
