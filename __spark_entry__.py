@@ -674,6 +674,16 @@ def _q_unigram_nll(spark, sf_dir):
     return unigram_nll(docs)
 
 
+def _q_bigram_nll(spark, sf_dir):
+    """Per-doc conditional-bigram NLL (order-sensitive quality
+    signal; prefix counts derived from bigram counts so conditionals
+    sum to 1)."""
+    from sqlfeatureextraction_spark.operators.stats import bigram_nll
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_nll(docs)
+
+
 def _q_token_topk(spark, sf_dir):
     """Per-language heavy-hitter tokens (top 15, ties broken count
     desc then token asc): explode → map-side-combined count per
@@ -2314,6 +2324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_len_quantiles": _q_doc_len_quantiles,
         "token_topk": _q_token_topk,
         "unigram_nll": _q_unigram_nll,
+        "bigram_nll": _q_bigram_nll,
         "group_sample_exact": _q_group_sample_exact,
         "chunk_documents": _q_chunk_documents,
         "chunk_dup_fraction": _q_chunk_dup_fraction,
@@ -4009,6 +4020,29 @@ def oracle_sql() -> dict[str, str]:
                          4) AS nll
             FROM t JOIN c USING (token)
             GROUP BY t.doc_id
+        """,
+        # per-doc conditional-bigram NLL; prefix counts derived from
+        # bigram counts so the conditionals sum to 1
+        "bigram_nll": f"""
+            WITH {_shingle_cte(2)},
+            c AS (
+              SELECT sh AS bigram, COUNT(*) AS cnt FROM sh
+              GROUP BY sh
+            ),
+            p AS (
+              SELECT string_split(bigram, ' ')[1] AS prefix,
+                     SUM(cnt) AS pcnt
+              FROM c GROUP BY 1
+            ),
+            m AS (
+              SELECT c.bigram, c.cnt, p.pcnt
+              FROM c JOIN p ON string_split(c.bigram, ' ')[1] = p.prefix
+            )
+            SELECT sh.doc_id,
+                   CAST(COUNT(*) AS INT) AS n_bigrams,
+                   ROUND(-AVG(LN(m.cnt * 1.0 / m.pcnt)), 4) AS nll
+            FROM sh JOIN m ON sh.sh = m.bigram
+            GROUP BY sh.doc_id
         """,
         # per-language heavy hitters, deterministic tie-break
         "token_topk": f"""

@@ -105,6 +105,55 @@ def unigram_nll(
     )
 
 
+def bigram_nll(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean negative log-likelihood of each bigram under
+    the corpus's own conditional bigram model:
+    ``nll = -mean_i ln( cnt(t_i, t_{i+1}) / cnt_prefix(t_i) )`` where
+    ``cnt_prefix`` counts t_i occurrences AS a bigram prefix (so the
+    conditionals sum to 1 and a doc's last token never skews the
+    denominator).  The order-sensitive upgrade of unigram_nll —
+    scrambled or templated text scores differently even at identical
+    token frequencies.  Self-fit ⇒ every observed bigram has mass.
+
+    Output: (id, n_bigrams, nll rounded to 4dp); docs with < 2 tokens
+    yield no row.
+
+    Plan: one explode of word 2-shingles feeding the bigram-count
+    aggregate, a prefix-count aggregate derived FROM the bigram
+    counts (distinct-bigram rows, never corpus rows), and the scoring
+    join — the same distinct-key shuffle family as token_topk."""
+    from .curation import shingles_col
+
+    toks = tokens_col(F.col(text_col))
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(shingles_col(toks, 2)).alias("bigram"),
+    )
+    counts = grams.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    prefix = counts.withColumn(
+        "_prefix", F.split("bigram", " ").getItem(0)
+    ).groupBy("_prefix").agg(F.sum("_cnt").alias("_pcnt"))
+    model = counts.withColumn(
+        "_prefix", F.split("bigram", " ").getItem(0)
+    ).join(prefix, "_prefix")
+    return (
+        grams.join(model.select("bigram", "_cnt", "_pcnt"), "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            F.round(
+                -F.avg(F.log(F.col("_cnt") / F.col("_pcnt"))), 4
+            ).alias("nll"),
+        )
+    )
+
+
 def token_topk(
     docs: DataFrame,
     k: int = 20,

@@ -302,3 +302,38 @@ def test_unigram_nll_brute_force(spark):
         want = -sum(math.log(cnt[t] / total) for t in toks[d]) / len(toks[d])
         assert got[d] == (len(toks[d]), round(want, 4)), d
     assert got[2][1] > got[0][1]  # rare-token doc scores higher
+
+
+def test_bigram_nll_brute_force(spark):
+    import math
+    from collections import Counter
+
+    from sqlfeatureextraction_spark.operators.stats import bigram_nll
+
+    rows = [
+        (0, "a b a b a b"),
+        (1, "a b c d"),
+        (2, "solo"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["nll"])
+        for r in bigram_nll(df).collect()
+    }
+    assert 2 not in got and 3 not in got  # < 2 tokens: no row
+    toks = {i: (x or "").split(" ") for i, x in rows if x}
+    grams = {
+        i: list(zip(ts, ts[1:])) for i, ts in toks.items() if len(ts) > 1
+    }
+    cnt = Counter(g for gs in grams.values() for g in gs)
+    pre = Counter()
+    for (a, _), c in cnt.items():
+        pre[a] += c
+    for d, gs in grams.items():
+        want = -sum(math.log(cnt[g] / pre[g[0]]) for g in gs) / len(gs)
+        assert got[d] == (len(gs), round(want, 4)), d
+    # 'a b' repeated is perfectly predictable given prefix counts that
+    # include the 'b a' continuation — doc 0 is still lower-NLL than
+    # the all-distinct doc 1
+    assert got[0][1] < got[1][1]
