@@ -552,6 +552,21 @@ def _q_substr_dup_frac(spark, sf_dir):
     return dup_substring_fraction(docs, n=8)
 
 
+def _q_remove_dup_spans(spark, sf_dir):
+    """Duplicated-span REMOVAL (Lee et al. ACL'22 removal counterpart
+    of substr_dup_frac): every occurrence of a word 8-gram that appears
+    in >= 2 documents marks its 8 token positions removed; clean_text
+    is the surviving tokens re-joined.  All stages key-partitioned
+    shuffles (shingle-count join, coverage anti-join, bounded per-doc
+    rebuild) — no collect, no cartesian."""
+    from sqlfeatureextraction_spark.operators.curation import (
+        remove_duplicate_spans,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return remove_duplicate_spans(docs, n=8)
+
+
 def _q_domain_mix_sample(spark, sf_dir):
     """Deterministic domain-mix downsampling: keep a doc iff the 32-bit
     md5 prefix of 'mix:doc_id' falls under its source's target rate
@@ -2319,6 +2334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": _q_corpus_curation,
         "decontaminate": _q_decontaminate,
         "substr_dup_frac": _q_substr_dup_frac,
+        "remove_dup_spans": _q_remove_dup_spans,
         "domain_mix_sample": _q_domain_mix_sample,
         "token_budget_sample": _q_token_budget_sample,
         "doc_len_quantiles": _q_doc_len_quantiles,
@@ -3877,6 +3893,51 @@ def oracle_sql() -> dict[str, str]:
               ROUND(coalesce(p.n_dup, 0) * 1.0
                     / greatest(coalesce(p.n_shingles, 0), 1), 6) AS dup_frac
             FROM documents x LEFT JOIN per p USING (doc_id)
+        """,
+        # Lee et al. duplicated-span REMOVAL at word-8-grams: every
+        # occurrence (all positions) of an 8-gram present in >= 2
+        # distinct documents covers its 8 token positions; clean_text
+        # rebuilds the surviving tokens in order
+        "remove_dup_spans": f"""
+            WITH tok AS (SELECT doc_id, {_SPTOK} AS toks FROM documents),
+            shp AS (
+              SELECT doc_id, i - 1 AS pos,
+                     array_to_string(toks[i:i+7], ' ') AS sh
+              FROM tok CROSS JOIN unnest(
+                generate_series(1, greatest(len(toks) - 7, 0))) AS g(i)
+            ),
+            dup AS (
+              SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM shp)
+              GROUP BY sh HAVING count(*) > 1
+            ),
+            cov AS (
+              SELECT DISTINCT s.doc_id, s.pos + j.j AS i
+              FROM shp s JOIN dup USING (sh)
+              CROSS JOIN unnest(generate_series(0, 7)) AS j(j)
+            ),
+            tokr AS (
+              SELECT doc_id, i - 1 AS i, toks[i] AS tok
+              FROM tok CROSS JOIN unnest(
+                generate_series(1, len(toks))) AS g(i)
+            ),
+            kept AS (
+              SELECT t.doc_id, t.i, t.tok FROM tokr t
+              WHERE NOT EXISTS (
+                SELECT 1 FROM cov c
+                WHERE c.doc_id = t.doc_id AND c.i = t.i)
+            ),
+            reb AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(tok, ' ' ORDER BY i) AS clean_text
+              FROM kept GROUP BY doc_id
+            )
+            SELECT k.doc_id,
+                   CAST(len(k.toks) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(len(k.toks) - coalesce(r.n_kept, 0) AS BIGINT)
+                     AS n_removed,
+                   coalesce(r.clean_text, '') AS clean_text
+            FROM tok k LEFT JOIN reb r USING (doc_id)
         """,
         # deterministic domain-mix sampling: same md5-prefix threshold
         # decision as the Spark path, thresholds from one shared dict

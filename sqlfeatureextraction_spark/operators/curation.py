@@ -41,6 +41,7 @@ __all__ = [
     "shingles_col",
     "decontaminate",
     "dup_substring_fraction",
+    "remove_duplicate_spans",
     "domain_mix_sample",
     "token_budget_sample",
     "group_sample_exact",
@@ -195,6 +196,98 @@ def dup_substring_fraction(
                 / F.greatest(F.coalesce("n_shingles", F.lit(0)), F.lit(1)),
                 6,
             ).alias("dup_frac"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove cross-document duplicated spans — the removal counterpart
+    of :func:`dup_substring_fraction` (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022, which drops
+    the duplicated substrings themselves rather than whole documents).
+
+    Semantics (shared verbatim with the DuckDB oracle): a word n-gram
+    is *duplicated* iff it occurs in more than one distinct document
+    (within-document repeats alone do NOT qualify — same rule as
+    ``dup_substring_fraction``).  EVERY occurrence of a duplicated
+    shingle (all start positions, not just distinct shingle values)
+    marks its n token positions removed; ``clean_text`` is the
+    surviving tokens re-joined with single spaces, preserving order.
+
+    Plan shape for 100 TB: all stages are key-partitioned shuffles —
+    distinct (doc, shingle) → per-shingle count (the duplicated-shingle
+    set, never collected/broadcast), an equi-join of shingle
+    occurrences against that set on the shingle key, coverage explode →
+    distinct (doc, position), a left-anti join of token rows against
+    covered positions on (doc, position), and one per-document
+    aggregate whose buffer is bounded by the document's own token
+    count.  No driver collect, no cartesian product; the only
+    quadratic-looking step (sequence-explode of n positions per
+    duplicated occurrence) is a constant n-fold expansion.
+
+    Returns one row per document: (id_col, n_tokens, n_kept,
+    n_removed, clean_text) — documents with no duplicated span pass
+    through with clean_text == normalized original text.
+    """
+    if n < 1:
+        raise ValueError(f"shingle width must be >= 1, got {n}")
+    toks = docs.select(F.col(id_col), tokens_col(F.col(text_col)).alias("_tk"))
+    # shingle occurrences with their 0-based token start positions:
+    # shingles_col nulls only the tail starts (i + n > size), and the
+    # null-filter preserves prefix order, so posexplode's pos IS the
+    # original token index of the shingle's first word.
+    sh_pos = toks.select(
+        F.col(id_col),
+        F.posexplode(shingles_col(F.col("_tk"), n)).alias("pos", "sh"),
+    )
+    dup = (
+        sh_pos.select(id_col, "sh")
+        .distinct()
+        .groupBy("sh")
+        .agg(F.count("*").alias("_nd"))
+        .where(F.col("_nd") > 1)
+        .select("sh")
+    )
+    cov = (
+        sh_pos.join(dup, "sh")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("i"),
+        )
+        .distinct()
+    )
+    tok_rows = toks.select(
+        F.col(id_col), F.posexplode(F.col("_tk")).alias("i", "tok")
+    )
+    kept = tok_rows.join(cov, [id_col, "i"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        toks.select(F.col(id_col), F.size("_tk").alias("n_tokens"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("_n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
 

@@ -83,6 +83,51 @@ def test_dup_substring_fraction_vs_bruteforce(spark, docs_df):
     assert got_h == got
 
 
+def _remove_dup_spans_oracle(docs, n):
+    """Pure-python oracle: duplicated = shingle in >1 distinct doc;
+    every occurrence of a duplicated shingle covers its n positions."""
+    per_doc_toks = {
+        i: [t for t in (txt or "").lower().split(" ") if t] for i, txt, _ in docs
+    }
+    doc_count = {}
+    for i, tk in per_doc_toks.items():
+        for sh in {
+            " ".join(tk[j : j + n]) for j in range(len(tk) - n + 1)
+        }:
+            doc_count[sh] = doc_count.get(sh, 0) + 1
+    out = {}
+    for i, tk in per_doc_toks.items():
+        covered = set()
+        for j in range(len(tk) - n + 1):
+            if doc_count.get(" ".join(tk[j : j + n]), 0) > 1:
+                covered.update(range(j, j + n))
+        kept = [t for j, t in enumerate(tk) if j not in covered]
+        out[i] = (len(tk), len(kept), len(tk) - len(kept), " ".join(kept))
+    return out
+
+
+def test_remove_duplicate_spans_vs_bruteforce(spark, docs_df):
+    n = 4
+    want = _remove_dup_spans_oracle(DOCS, n)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["n_removed"], r["clean_text"])
+        for r in curation.remove_duplicate_spans(docs_df, n=n).collect()
+    }
+    assert got == want
+    # structural pins on the hand corpus: docs 0/2/6/7 share "the quick
+    # brown fox" 4-grams -> spans removed; doc 5's within-doc repeats
+    # alone do NOT count as duplicated (distinct-doc rule); doc 1 is
+    # untouched; short/empty docs pass through whole.
+    assert got[0][2] > 0 and got[2][2] > 0 and got[6][2] > 0 and got[7][2] > 0
+    assert got[5] == (8, 8, 0, DOCS[5][1])
+    assert got[1][2] == 0 and got[1][3] == DOCS[1][1].lower()
+    assert got[3] == (1, 1, 0, "short") and got[4] == (0, 0, 0, "")
+    # overlapping duplicated spans merge: doc 0 loses exactly the
+    # tokens covered by some duplicated 4-gram, never more
+    tk0 = DOCS[0][1].split(" ")
+    assert got[0][1] + got[0][2] == len(tk0)
+
+
 def _mix_keep(doc_id, rate, salt="mix"):
     h = hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()[:8]
     return "0" + h < curation.mix_threshold_hex(rate)
@@ -289,6 +334,12 @@ def test_curation_random_corpus_differential(spark, seed):
         )
         for i, shs in per_sh.items()
     }
+    # remove_duplicate_spans (same shingle width as dup fraction)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["n_removed"], r["clean_text"])
+        for r in curation.remove_duplicate_spans(df, n=n_dup).collect()
+    }
+    assert got == _remove_dup_spans_oracle(rows, n_dup)
     # repetition stats
     got = {
         r["doc_id"]: (r["n_shingles"], r["n_distinct"])
