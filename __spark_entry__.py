@@ -710,6 +710,18 @@ def _q_token_topk(spark, sf_dir):
     return token_topk(docs, k=15, group_cols=("lang",))
 
 
+def _q_tfidf_topk(spark, sf_dir):
+    """Per-document top-10 tf-idf terms (keyword extraction): one
+    explode → per-(doc, token) count feeding both the doc-length and
+    document-frequency aggregates, two key joins back, per-doc top-k
+    window over distinct tokens.  Ranking key is round(score, 6) desc
+    then token asc — identical across engines by construction."""
+    from sqlfeatureextraction_spark.operators.stats import tfidf_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_topk(docs, k=10)
+
+
 def _q_shard_assign(spark, sf_dir):
     """Deterministic global corpus shuffle into 8 equal training shards:
     order by md5('shard:doc_id'), cut with the range-repartition exact
@@ -2339,6 +2351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": _q_token_budget_sample,
         "doc_len_quantiles": _q_doc_len_quantiles,
         "token_topk": _q_token_topk,
+        "tfidf_topk": _q_tfidf_topk,
         "unigram_nll": _q_unigram_nll,
         "bigram_nll": _q_bigram_nll,
         "group_sample_exact": _q_group_sample_exact,
@@ -4121,6 +4134,35 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY cnt DESC, token ASC) AS INT) AS rk
               FROM c
             ) WHERE rk <= 15
+        """,
+        # per-document top-10 tf-idf keywords; rank key = round(score,6)
+        # desc, token asc (cross-engine-identical by construction)
+        "tfidf_topk": f"""
+            WITH tok AS (
+              SELECT doc_id, UNNEST({_SPTOK}) AS token FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, token, COUNT(*) AS cnt
+              FROM tok GROUP BY doc_id, token
+            ),
+            nt AS (SELECT doc_id, SUM(cnt) AS n_tok FROM tf GROUP BY 1),
+            dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+            nd AS (SELECT COUNT(*) AS n FROM documents),
+            s AS (
+              SELECT t.doc_id, t.token, t.cnt, d.df,
+                     ROUND(t.cnt * 1.0 / n.n_tok
+                           * ln(nd.n * 1.0 / d.df), 6) AS score
+              FROM tf t JOIN nt n USING (doc_id)
+              JOIN dfq d USING (token) CROSS JOIN nd
+            )
+            SELECT doc_id, rk, token, CAST(cnt AS BIGINT) AS cnt,
+                   CAST(df AS BIGINT) AS df, score
+            FROM (
+              SELECT *, CAST(ROW_NUMBER() OVER (
+                PARTITION BY doc_id
+                ORDER BY score DESC, token ASC) AS INT) AS rk
+              FROM s
+            ) WHERE rk <= 10
         """,
         # hash-ordered global shuffle into 8 exact-ntile shards
         "shard_assign": """

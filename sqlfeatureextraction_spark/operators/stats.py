@@ -154,6 +154,68 @@ def bigram_nll(
     )
 
 
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-``k`` terms by tf-idf — the classic
+    keyword-extraction / document-signature pass:
+    ``score = (cnt_dt / n_tok_d) * ln(N / df_t)`` with N = total input
+    documents and df_t = number of documents containing the term.
+
+    Determinism contract (shared verbatim with the DuckDB oracle):
+    ranking is by ``round(score, 6)`` desc then token asc — the
+    rounding makes the order key identical across engines whose
+    ``ln`` differs in the last ulp, and the token tie-break uniquifies
+    everything closer than 1e-6.  Emitted ``score`` is the same
+    6dp-rounded value.
+
+    Output: (id, rk, token, cnt, df, score); documents with no tokens
+    yield no rows.
+
+    Plan shape: one explode → per-(doc, token) count (map-side
+    combine) feeding BOTH the per-doc length aggregate and the
+    document-frequency aggregate (each over distinct (doc, token)
+    rows, never corpus rows), then two key-partitioned joins back and
+    a per-doc top-k window over distinct tokens only.  N is the one
+    driver-side scalar (a count, like unigram_nll's total)."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    n_docs = docs.count()
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("cnt"))
+    n_tok = tf.groupBy(id_col).agg(F.sum("cnt").alias("_n_tok"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(n_tok, id_col)
+        .join(dfreq, "token")
+        .withColumn(
+            "score",
+            F.round(
+                F.col("cnt")
+                / F.col("_n_tok")
+                * F.log(F.lit(float(n_docs)) / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            F.col(id_col),
+            "rk",
+            "token",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("df").cast("long").alias("df"),
+            "score",
+        )
+    )
+
+
 def token_topk(
     docs: DataFrame,
     k: int = 20,

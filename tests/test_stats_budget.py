@@ -221,6 +221,73 @@ def test_token_topk_brute_force_and_plan(spark):
     assert plan.count("Exchange") == 2
 
 
+def test_tfidf_topk_brute_force_and_plan(spark):
+    """Exact replay in python floats of the operator's determinism
+    contract: score = round(tf * ln(N/df), 6), rank by score desc then
+    token asc; edge cases (empty doc → no rows, ubiquitous token →
+    idf 0)."""
+    import math
+    from collections import Counter
+
+    from sqlfeatureextraction_spark.operators.stats import tfidf_topk
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat"),
+        (2, "aardvark zebra aardvark"),
+        (3, "the the the"),
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k = 3
+    got = [
+        (r["doc_id"], r["rk"], r["token"], r["cnt"], r["df"], r["score"])
+        for r in tfidf_topk(df, k=k).orderBy("doc_id", "rk").collect()
+    ]
+    toks = {i: [t for t in (x or "").lower().split(" ") if t] for i, x in rows}
+    n_docs = len(rows)
+    dfreq = Counter(t for ts in toks.values() for t in set(ts))
+    want = []
+    for i in sorted(toks):
+        cnt = Counter(toks[i])
+        if not cnt:
+            continue
+        n_tok = sum(cnt.values())
+        scored = sorted(
+            (
+                (
+                    tok,
+                    c,
+                    dfreq[tok],
+                    round(c / n_tok * math.log(n_docs / dfreq[tok]), 6),
+                )
+                for tok, c in cnt.items()
+            ),
+            key=lambda x: (-x[3], x[0]),
+        )[:k]
+        want += [
+            (i, rk + 1, tok, c, d, s)
+            for rk, (tok, c, d, s) in enumerate(scored)
+        ]
+    assert got == want
+    ids = {r[0] for r in got}
+    assert 4 not in ids and 5 not in ids  # empty docs: no rows
+    # 'the' appears in 3 of 6 docs -> idf ln(2) > 0; a token in every
+    # doc would score exactly 0 (still rankable, token-asc tie-break)
+    the_rows = [r for r in got if r[2] == "the"]
+    assert all(abs(r[5]) > 0 for r in the_rows)
+
+    plan = (
+        tfidf_topk(df, k=k)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "CartesianProduct" not in plan
+
+
 def test_group_sample_exact_brute_force(spark):
     from sqlfeatureextraction_spark.operators.curation import (
         group_sample_exact,
