@@ -62,9 +62,10 @@ emb.count()
 from sqlfeatureextraction_spark.operators.curation import (
     chunk_documents, chunk_dup_fraction, decontaminate,
     domain_mix_sample, dup_substring_fraction, group_sample_exact,
-    pack_sequences, token_budget_sample,
+    pack_sequences, remove_duplicate_spans, token_budget_sample,
 )
 from sqlfeatureextraction_spark.operators.semdedup import semantic_dedup
+from sqlfeatureextraction_spark.operators.stats import tfidf_topk
 
 def op_dupfrac():
     r = dup_substring_fraction(docs, n=8, hashed=True).agg(
@@ -113,6 +114,20 @@ def op_chunkdup():
         F.round(F.sum("dup_frac"), 3)).collect()[0]
     return [r[0], r[1], r[2]]
 
+def op_rmspans():
+    # modular checksum of clean_text so the full rebuild is forced
+    r = remove_duplicate_spans(docs, n=8, hashed=True).agg(
+        F.sum("n_removed"), F.sum("n_kept"),
+        F.sum(F.pmod(F.xxhash64("clean_text"), F.lit(10**9)))
+    ).collect()[0]
+    return [r[0], r[1], r[2]]
+
+def op_tfidf():
+    r = tfidf_topk(docs, k=10).agg(
+        F.count("*"), F.sum("cnt"), F.sum("df"),
+        F.round(F.sum("score"), 3)).collect()[0]
+    return [r[0], r[1], r[2], r[3]]
+
 only = set(
     x for x in os.environ.get("CURATION_OPS", "").split(",") if x
 )
@@ -123,7 +138,9 @@ for name, fn in [("substr_dup_frac", op_dupfrac), ("decontaminate", op_decon),
                  ("semantic_dedup", op_semdedup),
                  ("chunk_documents", op_chunk),
                  ("group_sample_exact", op_sample),
-                 ("chunk_dup_fraction", op_chunkdup)]:
+                 ("chunk_dup_fraction", op_chunkdup),
+                 ("remove_dup_spans", op_rmspans),
+                 ("tfidf_topk", op_tfidf)]:
     if only and name not in only:
         continue
     walls, checks, cals = [], [], [_calibrate()]

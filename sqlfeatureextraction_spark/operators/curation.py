@@ -205,6 +205,7 @@ def remove_duplicate_spans(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hashed: bool = False,
 ) -> DataFrame:
     """Remove cross-document duplicated spans — the removal counterpart
     of :func:`dup_substring_fraction` (Lee et al., "Deduplicating
@@ -230,6 +231,12 @@ def remove_duplicate_spans(
     quadratic-looking step (sequence-explode of n positions per
     duplicated occurrence) is a constant n-fold expansion.
 
+    ``hashed=True`` replaces the shingle string by ``xxhash64`` of it
+    before the count/join shuffles — the 100-TB transport format
+    (8 bytes/key instead of n-gram text), same trade as
+    ``dup_substring_fraction``; path equality is pinned in pytest and
+    the DuckDB-oracled driver row uses the string path.
+
     Returns one row per document: (id_col, n_tokens, n_kept,
     n_removed, clean_text) — documents with no duplicated span pass
     through with clean_text == normalized original text.
@@ -245,6 +252,8 @@ def remove_duplicate_spans(
         F.col(id_col),
         F.posexplode(shingles_col(F.col("_tk"), n)).alias("pos", "sh"),
     )
+    if hashed:
+        sh_pos = sh_pos.select(id_col, "pos", F.xxhash64("sh").alias("sh"))
     dup = (
         sh_pos.select(id_col, "sh")
         .distinct()

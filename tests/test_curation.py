@@ -126,6 +126,14 @@ def test_remove_duplicate_spans_vs_bruteforce(spark, docs_df):
     # tokens covered by some duplicated 4-gram, never more
     tk0 = DOCS[0][1].split(" ")
     assert got[0][1] + got[0][2] == len(tk0)
+    # hashed shingle-key transport path: identical result
+    got_h = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["n_removed"], r["clean_text"])
+        for r in curation.remove_duplicate_spans(
+            docs_df, n=n, hashed=True
+        ).collect()
+    }
+    assert got_h == got
 
 
 def _mix_keep(doc_id, rate, salt="mix"):
