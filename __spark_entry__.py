@@ -428,6 +428,53 @@ def _q_minhash_pairs(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_cross_corpus_exact(spark, sf_dir):
+    """Incremental-ingest exact dedup: a deterministic synthetic 'new
+    batch' (every 3rd doc re-ingested — even source ids verbatim, odd
+    ones with a novel suffix — plus every 6th doc twice, so the row
+    exercises in_corpus true/false AND batch_rank > 1) flagged against
+    the full corpus.  Corpus side reduces to distinct text keys before
+    the membership join; never broadcast (it is the big side)."""
+    from sqlfeatureextraction_spark.operators.dedup import (
+        exact_against_corpus,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" novel "), F.col("doc_id")))
+        .alias("text"),
+    )
+    double = docs.where(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return exact_against_corpus(base.unionByName(double), docs)
+
+
+def _q_cross_corpus_neardup(spark, sf_dir):
+    """Incremental-ingest NEAR-dup detection: every 13th doc re-enters
+    as the new batch (ids offset) and is LSH-banded against the full
+    corpus — an equi-join on the band key across the two tables, never
+    new×corpus all-pairs.  Oracle = exact cross-side Jaccard; the LSH
+    miss-probability argument is minhash_pairs' (32 bands × 2 rows:
+    miss ≤ 1e-4 at J=0.5, and the re-ingested copies sit at J=1)."""
+    from sqlfeatureextraction_spark.operators.dedup import (
+        neardup_against_corpus,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    pairs = neardup_against_corpus(
+        new, docs, n=3, num_hashes=64, bands=32, threshold=0.5
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     """EXACT n-gram Jaccard similarity join via prefix filtering
     (AllPairs family, Vernica et al. SIGMOD 2010 distributed form):
@@ -2339,6 +2386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_agg": _q_join_agg,
         "ann_topk": _q_ann_topk,
         "minhash_pairs": _q_minhash_pairs,
+        "cross_corpus_exact": _q_cross_corpus_exact,
+        "cross_corpus_neardup": _q_cross_corpus_neardup,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_neardup": _q_simhash_neardup,
         "simhash_dedup": _q_simhash_dedup,
@@ -3811,6 +3860,60 @@ def oracle_sql() -> dict[str, str]:
                      len(a.sh) + len(b.sh)
                        - len(list_intersect(a.sh, b.sh)) AS nu
               FROM s a JOIN s b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, ROUND(ni * 1.0 / nu, 6) AS jaccard
+            FROM p WHERE nu > 0 AND ni * 1.0 / nu >= 0.5
+        """,
+        # incremental-ingest exact dedup vs the full corpus; the new
+        # batch is derived deterministically from the corpus itself
+        "cross_corpus_exact": """
+            WITH newb AS (
+              SELECT doc_id + 100000 AS doc_id,
+                     CASE WHEN doc_id % 2 = 0 THEN text
+                          ELSE text || ' novel ' || CAST(doc_id AS VARCHAR)
+                     END AS text
+              FROM documents WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT doc_id + 200000 AS doc_id, text
+              FROM documents WHERE doc_id % 6 = 0
+            ),
+            ck AS (SELECT DISTINCT text FROM documents),
+            r AS (
+              SELECT doc_id, text,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY text ORDER BY doc_id) AS INT)
+                       AS batch_rank
+              FROM newb
+            )
+            SELECT r.doc_id,
+                   (c.text IS NOT NULL) AS in_corpus,
+                   r.batch_rank,
+                   (c.text IS NULL AND r.batch_rank = 1) AS keep
+            FROM r LEFT JOIN ck c USING (text)
+        """,
+        # incremental-ingest near-dup: exact cross-side Jaccard between
+        # the derived new batch (every 13th doc, ids offset) and the
+        # corpus; same shingle-3 convention as minhash_pairs
+        "cross_corpus_neardup": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+            s AS (
+              SELECT doc_id,
+                CASE WHEN len(toks) >= 3 THEN
+                  list_distinct(list_transform(range(len(toks) - 2),
+                    i -> toks[i+1] || toks[i+2] || toks[i+3]))
+                ELSE [] END AS sh
+              FROM t
+            ),
+            ns AS (
+              SELECT doc_id + 100000 AS doc_id, sh FROM s
+              WHERE doc_id % 13 = 0
+            ),
+            p AS (
+              SELECT n.doc_id AS id_a, c.doc_id AS id_b,
+                     len(list_intersect(n.sh, c.sh)) AS ni,
+                     len(n.sh) + len(c.sh)
+                       - len(list_intersect(n.sh, c.sh)) AS nu
+              FROM ns n CROSS JOIN s c
             )
             SELECT id_a, id_b, ROUND(ni * 1.0 / nu, 6) AS jaccard
             FROM p WHERE nu > 0 AND ni * 1.0 / nu >= 0.5

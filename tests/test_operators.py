@@ -148,6 +148,56 @@ def test_minhash_neardup(docs):
     assert len(j01) and abs(j01.iloc[0] - 1.0) < 1e-9
 
 
+def test_exact_against_corpus(spark, docs):
+    new_rows = [
+        (100, "the quick brown fox jumps over the lazy dog"),  # in corpus
+        (101, "the quick brown fox jumps over the lazy dog"),  # batch dup
+        (102, "a genuinely new document about ingest"),
+        (103, "a genuinely new document about ingest"),  # batch dup, not in corpus
+        (104, "spark engines are completely different text about"),  # in corpus
+    ]
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    want = {
+        100: (True, 1, False),
+        101: (True, 2, False),
+        102: (False, 1, True),
+        103: (False, 2, False),
+        104: (True, 1, False),
+    }
+    got = {
+        r["doc_id"]: (r["in_corpus"], r["batch_rank"], r["keep"])
+        for r in D.exact_against_corpus(new, docs).collect()
+    }
+    assert got == want
+    # hashed 8-byte transport path: identical decisions
+    got_h = {
+        r["doc_id"]: (r["in_corpus"], r["batch_rank"], r["keep"])
+        for r in D.exact_against_corpus(new, docs, hashed=True).collect()
+    }
+    assert got_h == want
+
+
+def test_neardup_against_corpus(spark, docs):
+    new = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),  # = docs 0/1
+            (101, "the quick brown fox jumps over the hazy cat"),  # near docs 2
+            (102, "nothing like anything in the ingested corpus"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = D.neardup_against_corpus(
+        new, docs, n=3, num_hashes=64, bands=32, threshold=0.5
+    ).toPandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (100, 0) in got and (100, 1) in got  # exact copies, J=1
+    j = pairs[(pairs["id_a"] == 100) & (pairs["id_b"] == 0)]["jaccard"]
+    assert abs(j.iloc[0] - 1.0) < 1e-9
+    assert not any(a == 102 for a, _ in got)  # novel doc pairs with nothing
+    # pairs are cross-table only: id_a is always a new-batch id
+    assert all(a >= 100 and b < 100 for a, b in got)
+
+
 def test_jaccard_value_exact(spark):
     # hand-computed: shingle-3 sets of "a b c d" vs "a b c e":
     # {abc,bcd} vs {abc,bce} → |∩|=1, |∪|=3 → 1/3
