@@ -746,6 +746,19 @@ def _q_bigram_nll(spark, sf_dir):
     return bigram_nll(docs)
 
 
+def _q_trigram_nll(spark, sf_dir):
+    """Per-doc NLL under the Jelinek-Mercer-interpolated trigram model
+    (0.6/0.3/0.1) — the order-3 completion of the unigram/bigram
+    quality ladder; backoff counts derived from trigram-position
+    occurrences so every conditional sums to 1."""
+    from sqlfeatureextraction_spark.operators.stats import (
+        trigram_nll_interpolated,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return trigram_nll_interpolated(docs)
+
+
 def _q_token_topk(spark, sf_dir):
     """Per-language heavy-hitter tokens (top 15, ties broken count
     desc then token asc): explode → map-side-combined count per
@@ -2403,6 +2416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf_topk,
         "unigram_nll": _q_unigram_nll,
         "bigram_nll": _q_bigram_nll,
+        "trigram_nll": _q_trigram_nll,
         "group_sample_exact": _q_group_sample_exact,
         "chunk_documents": _q_chunk_documents,
         "chunk_dup_fraction": _q_chunk_dup_fraction,
@@ -4219,6 +4233,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS INT) AS n_bigrams,
                    ROUND(-AVG(LN(m.cnt * 1.0 / m.pcnt)), 4) AS nll
             FROM sh JOIN m ON sh.sh = m.bigram
+            GROUP BY sh.doc_id
+        """,
+        # JM-interpolated trigram NLL (0.6/0.3/0.1); backoff counts
+        # derived from trigram-position occurrences, unigram over the
+        # whole token stream — mirrors the engine's model exactly
+        "trigram_nll": f"""
+            WITH {_shingle_cte(3)},
+            tc AS (SELECT sh AS tri, COUNT(*) AS c3 FROM sh GROUP BY 1),
+            pt AS (
+              SELECT tri, c3,
+                     string_split(tri, ' ')[1] || ' '
+                       || string_split(tri, ' ')[2] AS p12,
+                     string_split(tri, ' ')[2] || ' '
+                       || string_split(tri, ' ')[3] AS s23,
+                     string_split(tri, ' ')[2] AS w2,
+                     string_split(tri, ' ')[3] AS w3
+              FROM tc
+            ),
+            a12 AS (SELECT p12, SUM(c3) AS cp12 FROM pt GROUP BY 1),
+            b23 AS (SELECT s23, SUM(c3) AS c23 FROM pt GROUP BY 1),
+            c2 AS (SELECT w2, SUM(c3) AS cp2 FROM pt GROUP BY 1),
+            uni AS (
+              SELECT w3u, COUNT(*) AS c1 FROM (
+                SELECT UNNEST({_SPTOK}) AS w3u FROM documents
+              ) GROUP BY 1
+            ),
+            tot AS (SELECT SUM(c1) AS n FROM uni),
+            m AS (
+              SELECT pt.tri,
+                     0.6 * pt.c3 * 1.0 / a.cp12
+                     + 0.3 * b.c23 * 1.0 / c.cp2
+                     + 0.1 * u.c1 * 1.0 / (SELECT n FROM tot) AS p
+              FROM pt JOIN a12 a USING (p12) JOIN b23 b USING (s23)
+              JOIN c2 c USING (w2) JOIN uni u ON u.w3u = pt.w3
+            )
+            SELECT sh.doc_id,
+                   CAST(COUNT(*) AS INT) AS n_trigrams,
+                   ROUND(-AVG(LN(m.p)), 4) AS nll
+            FROM sh JOIN m ON sh.sh = m.tri
             GROUP BY sh.doc_id
         """,
         # per-language heavy hitters, deterministic tie-break

@@ -154,6 +154,95 @@ def bigram_nll(
     )
 
 
+def trigram_nll_interpolated(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lambdas: tuple[float, float, float] = (0.6, 0.3, 0.1),
+) -> DataFrame:
+    """Per-document mean NLL under a Jelinek-Mercer-interpolated
+    trigram model fit on the corpus itself — the order-3 completion of
+    the unigram/bigram quality ladder (CCNet filters on a KenLM 5-gram
+    perplexity; JM interpolation is its exactly-SQL-expressible
+    smoothing):
+
+      P(t3 | t1 t2) = l3 * cnt(t1 t2 t3)/cnt_prefix(t1 t2)
+                    + l2 * cnt(t2 t3)/cnt_prefix(t2)
+                    + l1 * cnt(t3)/total_tokens
+
+    where each ``cnt_prefix`` counts occurrences AS that n-gram's
+    prefix (conditionals sum to 1), and the backoff terms give unseen
+    contexts mass — self-fit means every scored trigram was observed,
+    but interpolation still reshapes scores toward robustness exactly
+    as in the real filter.  ``nll = -mean ln P`` over the doc's
+    trigrams, rounded to 4dp; docs with < 3 tokens yield no row.
+
+    Plan: one explode of word 3-shingles; ALL model tables (trigram,
+    bigram, bigram-prefix, unigram counts) are aggregates over
+    distinct-n-gram rows derived from the trigram counts or one token
+    explode — never corpus-row joins; scoring is three key-partitioned
+    joins on n-gram suffix keys then a per-doc aggregate.  total is
+    the one driver-side scalar (as unigram_nll).
+    """
+    from .curation import shingles_col
+
+    l3, l2, l1 = (float(x) for x in lambdas)
+    if abs(l3 + l2 + l1 - 1.0) > 1e-9:
+        raise ValueError(f"lambdas must sum to 1, got {lambdas}")
+    toks = tokens_col(F.col(text_col))
+    tri = docs.select(
+        F.col(id_col), F.explode(shingles_col(toks, 3)).alias("tri")
+    )
+    # model tables, all over distinct n-gram rows
+    tri_cnt = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("_c3"))
+    parts = tri_cnt.select(
+        "tri",
+        "_c3",
+        F.split("tri", " ").alias("_w"),
+    ).select(
+        "tri",
+        "_c3",
+        F.concat_ws(" ", F.col("_w")[0], F.col("_w")[1]).alias("_p12"),
+        F.concat_ws(" ", F.col("_w")[1], F.col("_w")[2]).alias("_s23"),
+        F.col("_w")[1].alias("_w2"),
+        F.col("_w")[2].alias("_w3"),
+    )
+    # prefix(t1 t2): occurrences of (t1,t2) as a trigram prefix
+    p12 = parts.groupBy("_p12").agg(F.sum("_c3").alias("_cp12"))
+    # bigram (t2 t3) count and its prefix t2 — derived from trigram
+    # counts they cover every scored position exactly (each trigram
+    # occurrence contributes one (t2,t3) bigram occurrence)
+    b23 = parts.groupBy("_s23").agg(F.sum("_c3").alias("_c23"))
+    p2 = parts.groupBy("_w2").agg(F.sum("_c3").alias("_cp2"))
+    # unigram t3 over the whole corpus token stream
+    uni = docs.select(F.explode(toks).alias("_w3")).groupBy("_w3").agg(
+        F.count(F.lit(1)).alias("_c1")
+    )
+    total = uni.agg(F.sum("_c1")).collect()[0][0] or 1
+    model = (
+        parts.join(p12, "_p12")
+        .join(b23, "_s23")
+        .join(p2, "_w2")
+        .join(uni, "_w3")
+        .select(
+            "tri",
+            (
+                F.lit(l3) * F.col("_c3") / F.col("_cp12")
+                + F.lit(l2) * F.col("_c23") / F.col("_cp2")
+                + F.lit(l1) * F.col("_c1") / F.lit(float(total))
+            ).alias("_p"),
+        )
+    )
+    return (
+        tri.join(model, "tri")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_trigrams"),
+            F.round(-F.avg(F.log("_p")), 4).alias("nll"),
+        )
+    )
+
+
 def tfidf_topk(
     docs: DataFrame,
     k: int = 10,

@@ -404,3 +404,61 @@ def test_bigram_nll_brute_force(spark):
     # include the 'b a' continuation — doc 0 is still lower-NLL than
     # the all-distinct doc 1
     assert got[0][1] < got[1][1]
+
+
+def test_trigram_nll_interpolated_brute_force(spark):
+    """Exact python-float replay of the JM-interpolated trigram model:
+    all backoff counts derived from trigram-position occurrences (the
+    model's stated population), unigram from the whole token stream."""
+    import math
+    from collections import Counter
+
+    from sqlfeatureextraction_spark.operators.stats import (
+        trigram_nll_interpolated,
+    )
+
+    rows = [
+        (0, "a b c a b c a b c"),
+        (1, "a b c d e f"),
+        (2, "x y"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    l3, l2, l1 = 0.6, 0.3, 0.1
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["nll"])
+        for r in trigram_nll_interpolated(df, lambdas=(l3, l2, l1)).collect()
+    }
+    assert 2 not in got and 3 not in got  # < 3 tokens: no row
+    toks = {i: [t for t in (x or "").lower().split(" ") if t] for i, x in rows}
+    tris = {
+        i: [tuple(ts[j : j + 3]) for j in range(len(ts) - 2)]
+        for i, ts in toks.items()
+        if len(ts) >= 3
+    }
+    c3 = Counter(t for ts in tris.values() for t in ts)
+    cp12 = Counter()
+    c23 = Counter()
+    cp2 = Counter()
+    for (w1, w2, w3), c in c3.items():
+        cp12[(w1, w2)] += c
+        c23[(w2, w3)] += c
+        cp2[w2] += c
+    c1 = Counter(t for ts in toks.values() for t in ts)
+    total = sum(c1.values())
+    for d, ts in tris.items():
+        p = [
+            l3 * c3[t] / cp12[t[:2]]
+            + l2 * c23[t[1:]] / cp2[t[1]]
+            + l1 * c1[t[2]] / total
+            for t in ts
+        ]
+        want = -sum(math.log(x) for x in p) / len(p)
+        assert got[d] == (len(ts), round(want, 4)), d
+    # the repetitive doc is more predictable than the all-distinct one
+    assert got[0][1] < got[1][1]
+    # lambdas must sum to 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        trigram_nll_interpolated(df, lambdas=(0.5, 0.3, 0.1))
