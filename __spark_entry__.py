@@ -1963,6 +1963,21 @@ def _q_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, qs, k=10, nlist=8, n_probe=8, iters=2)
 
 
+def _q_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-10 (Jégou et al. TPAMI'11):
+    iters=0 makes the codebooks the subvectors of the 8 lowest-id
+    embeddings — fully SQL-replayable — and every (query, sub, cell)
+    distance is quantized to 6dp before argmin/summation, so encode
+    AND the ADC ranking are cross-engine exact by construction, not
+    probabilistically.  The oracle replays seed codebooks → per-sub
+    argmin encode → table-lookup ADC in DuckDB.  Lloyd-improved fits
+    and the lossless ADC==exact identity are pinned in pytest."""
+    from sqlfeatureextraction_spark.operators.similarity import pq_topk
+
+    emb, qs = _ann_queries(spark, sf_dir)
+    return pq_topk(emb, qs, k=10, m=4, k_sub=8, iters=0)
+
+
 def _q_lsh_topk(spark, sf_dir):
     """ANN via hyperplane-LSH buckets + multiprobe, driver-visible with
     a provable expected result: corpus = embeddings ∪ scaled copies,
@@ -2459,6 +2474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "ivf_topk": _q_ivf_topk,
         "lsh_topk": _q_lsh_topk,
+        "pq_topk": _q_pq_topk,
         "f12_iso_ladder": _q_f12_iso_ladder,
         "session_split": _q_session_split,
         "apm_window_backfill": _q_apm_window_backfill,
@@ -3655,6 +3671,61 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                 ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rk
               FROM pairs
+            ) WHERE rk <= 10
+        """,
+        # PQ/ADC replay: seed codebooks = the 8 lowest-id embeddings,
+        # per-subspace argmin encode and table-lookup ADC, every
+        # distance quantized to 6dp before argmin/summation (the
+        # cross-engine float contract shared with the Spark UDFs)
+        "pq_topk": """
+            WITH subs AS (SELECT UNNEST([0, 1, 2, 3]) AS sub),
+            cb AS (
+              SELECT rn - 1 AS cell, embedding FROM (
+                SELECT vec_id, embedding,
+                       ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+                FROM embeddings
+              ) WHERE rn <= 8
+            ),
+            encd AS (
+              SELECT e.vec_id, s.sub, c.cell,
+                ROUND((SELECT SUM((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                                  * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))
+                       FROM (SELECT
+                         UNNEST(e.embedding[(s.sub*16+1):(s.sub*16+16)]) x,
+                         UNNEST(c.embedding[(s.sub*16+1):(s.sub*16+16)]) y)),
+                      6) AS d
+              FROM embeddings e CROSS JOIN subs s CROSS JOIN cb c
+            ),
+            enc AS (
+              SELECT vec_id, sub, cell FROM (
+                SELECT vec_id, sub, cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                         ORDER BY d ASC, cell ASC) AS rn
+                FROM encd
+              ) WHERE rn = 1
+            ),
+            qt AS (
+              SELECT q.vec_id AS query_id, s.sub, c.cell,
+                ROUND((SELECT SUM((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+                                  * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))
+                       FROM (SELECT
+                         UNNEST(q.embedding[(s.sub*16+1):(s.sub*16+16)]) x,
+                         UNNEST(c.embedding[(s.sub*16+1):(s.sub*16+16)]) y)),
+                      6) AS d
+              FROM embeddings q CROSS JOIN subs s CROSS JOIN cb c
+              WHERE q.vec_id < 5
+            ),
+            adc AS (
+              SELECT qt.query_id, enc.vec_id AS neighbor_id,
+                     ROUND(SUM(qt.d), 6) AS adc
+              FROM enc JOIN qt ON enc.sub = qt.sub AND enc.cell = qt.cell
+              GROUP BY 1, 2
+            )
+            SELECT CAST(query_id AS INT) AS query_id, rk, neighbor_id, adc
+            FROM (
+              SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY adc ASC, neighbor_id ASC) AS INT) AS rk
+              FROM adc
             ) WHERE rk <= 10
         """,
         "lsh_topk": """

@@ -346,3 +346,220 @@ def lsh_topk(
         .where(F.col("rk") <= k)
         .select("query_id", "rk", "neighbor_id", "cos")
     )
+
+
+# --------------------------------------------------- product quantization
+
+
+def fit_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    k_sub: int = 8,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): the vector
+    is split into ``m`` equal subspaces and each gets its own k-means
+    codebook of ``k_sub`` centroids (Euclidean).  Returns
+    (m, k_sub, dim/m) float64.
+
+    Determinism contract (same device as semdedup's quantized
+    k-means): seeds = the subvectors of the ``k_sub`` LOWEST-ID
+    embeddings; assignment by squared-L2 argmin with ties to the
+    lowest cell; every mean update rounded to 6 decimals so a SQL
+    replay bit-agrees.  ``iters=0`` returns the seed codebooks
+    unchanged — the fully-SQL-replayable configuration the driver row
+    uses; Lloyd-improved fits are pinned against numpy in pytest.
+
+    Scale posture: each round is ONE job — an Arrow ``mapInPandas``
+    emits per-partition partial sums for ALL m subspaces at once
+    (≤ m·k_sub rows × dim/m doubles per partition), reduced JVM-side
+    via posexplode + groupBy(sub, cell, pos); only m·k_sub·dim/m =
+    k_sub·dim doubles reach the driver, never corpus vectors.
+    """
+    first = corpus.select(F.size(vec_col).alias("d")).first()
+    dim = first["d"]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    seeds = corpus.select(id_col, vec_col).orderBy(id_col).limit(k_sub).collect()
+    cbs = np.stack(
+        [
+            np.vstack(
+                [
+                    np.asarray(r[vec_col], dtype=np.float64)[
+                        s * dsub : (s + 1) * dsub
+                    ]
+                    for r in seeds
+                ]
+            )
+            for s in range(m)
+        ]
+    )  # (m, k_sub, dsub)
+
+    for _ in range(iters):
+
+        def partials(batches, _cb=cbs):
+            sums = np.zeros((m, k_sub, dsub))
+            cnts = np.zeros((m, k_sub), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                for s in range(m):
+                    Xs = X[:, s * dsub : (s + 1) * dsub]
+                    # full squared distance (same form as the encode
+                    # UDF and the pytest numpy replay); argmin ties
+                    # break to the lowest cell
+                    d2 = (
+                        (Xs[:, None, :] - _cb[s][None, :, :]) ** 2
+                    ).sum(axis=2)
+                    cells = np.argmin(d2, axis=1)
+                    np.add.at(sums[s], cells, Xs)
+                    cnts[s] += np.bincount(cells, minlength=k_sub)
+            rows = []
+            for s in range(m):
+                for c in np.nonzero(cnts[s])[0]:
+                    rows.append(
+                        (int(s), int(c), int(cnts[s, c]), sums[s, c].tolist())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["sub", "cell", "cnt", "vsum"]
+            )
+
+        red = (
+            corpus.select(vec_col)
+            .mapInPandas(
+                partials, "sub int, cell int, cnt long, vsum array<double>"
+            )
+            .select("sub", "cell", F.posexplode("vsum").alias("pos", "v"), "cnt")
+            .groupBy("sub", "cell", "pos")
+            .agg(F.sum("v").alias("s"), F.sum("cnt").alias("c"))
+            .collect()
+        )
+        sums = np.zeros((m, k_sub, dsub))
+        cnts = np.zeros((m, k_sub), dtype=np.int64)
+        for r in red:
+            sums[r["sub"], r["cell"], r["pos"]] = r["s"]
+            if r["pos"] == 0:
+                cnts[r["sub"], r["cell"]] = r["c"]
+        live = cnts > 0
+        for s in range(m):
+            for c in np.nonzero(live[s])[0]:
+                cbs[s, c] = np.round(sums[s, c] / cnts[s, c], 6)
+    return cbs
+
+
+def _pq_encode_udf(cbs: np.ndarray):
+    """codes per vector: array<int> of length m, code[s] = squared-L2
+    argmin cell in subspace s (ties -> lowest cell).  The FULL
+    squared distance is computed and quantized to 6 decimals before
+    the argmin — the cross-engine float contract that lets a SQL
+    replay (ROUND(dist, 6) + lowest-cell tie-break) reproduce every
+    code exactly."""
+    m, k_sub, dsub = cbs.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(vs: pd.Series) -> pd.Series:
+        X = np.vstack(vs.to_numpy()).astype(np.float64)
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for s in range(m):
+            Xs = X[:, s * dsub : (s + 1) * dsub]
+            d2 = ((Xs[:, None, :] - cbs[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(np.round(d2, 6), axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    m: int = 4,
+    k_sub: int = 8,
+    iters: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """ANN top-k via product quantization with asymmetric distance
+    computation (ADC): the corpus is stored as m-byte codes (encode is
+    write-time at scale — pass precomputed ``codebooks``); each query
+    precomputes an (m, k_sub) table of squared L2 distances from its
+    subvectors to every codebook entry, and a candidate's approximate
+    distance is m table lookups summed — never a full-vector scan at
+    query time.  The memory story at 10^12 vectors: m·log2(k_sub) bits
+    per vector instead of dim·32.
+
+    Cross-engine float contract: every (query, sub, cell) table entry
+    is quantized to 6 decimals BEFORE the m-way sum, so the ADC value
+    is a sum of a few 6dp-granular doubles — exact in both engines —
+    and ranking by (adc asc, neighbor asc) is identical by
+    construction, not merely with high probability.  Output:
+    (query_id, rk, neighbor_id, adc).
+    """
+    cbs = (
+        fit_pq_codebooks(corpus, m, k_sub, iters, vec_col, id_col)
+        if codebooks is None
+        else codebooks
+    )
+    m_, k_, dsub = cbs.shape
+    qids = [q[0] for q in queries]
+    qmat = np.asarray([q[1] for q in queries], dtype=np.float64)
+    # (nq, m, k_sub) distance tables
+    tables = np.round(
+        np.stack(
+            [
+                np.stack(
+                    [
+                        (
+                            (qmat[:, s * dsub : (s + 1) * dsub] - cbs[s, c])
+                            ** 2
+                        ).sum(axis=1)
+                        for c in range(k_)
+                    ],
+                    axis=1,
+                )
+                for s in range(m_)
+            ],
+            axis=1,
+        ),
+        6,
+    )
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def adc_all(codes: pd.Series) -> pd.Series:
+        C = np.vstack(codes.to_numpy())  # (n, m)
+        n = len(C)
+        out = np.zeros((n, len(qids)))
+        for s in range(m_):
+            # tables[:, s, :][:, C[:, s]] -> (nq, n)
+            out += tables[:, s, :][:, C[:, s]].T
+        return pd.Series(list(out))
+
+    encoded = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _pq_encode_udf(cbs)(F.col(vec_col)).alias("code"),
+    )
+    sims = encoded.withColumn("adcs", adc_all(F.col("code"))).select(
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(q) for q in qids]).alias("query_id"),
+                F.col("adcs").alias("adc"),
+            )
+        ).alias("z"),
+        "neighbor_id",
+    ).select(
+        F.col("z.query_id").cast("int").alias("query_id"),
+        "neighbor_id",
+        F.round("z.adc", 6).alias("adc"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "rk", "neighbor_id", "adc")
+    )

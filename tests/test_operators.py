@@ -612,3 +612,90 @@ def test_oov_paths_agree(spark):
     assert list(lit["n_oov"]) == [0, 3, 0]
     assert list(aj["n_oov"]) == list(lit["n_oov"])
     assert list(aj["n_tokens"]) == list(lit["n_tokens"])
+
+
+def test_pq_lossless_identity_and_adc(spark):
+    """When every distinct subvector appears among the seed codebook
+    entries, encoding is lossless and ADC == exact squared L2 — PQ's
+    analog of IVF's n_probe == nlist identity."""
+    sub = {
+        "a": [1.0, 0.0, 0.0, 0.0],
+        "b": [0.0, 1.0, 0.0, 0.0],
+        "c": [0.0, 0.0, 2.0, 0.0],
+        "d": [0.0, 0.0, 0.0, 3.0],
+    }
+    # 4 lowest-id vectors jointly expose all 4 subvector values in
+    # BOTH subspaces; later vectors only recombine them
+    rows = [
+        (0, sub["a"] + sub["b"]),
+        (1, sub["b"] + sub["c"]),
+        (2, sub["c"] + sub["d"]),
+        (3, sub["d"] + sub["a"]),
+        (4, sub["a"] + sub["c"]),
+        (5, sub["b"] + sub["d"]),
+        (6, sub["d"] + sub["c"]),
+    ]
+    emb = spark.createDataFrame(
+        [(i, list(map(float, v))) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    queries = [(0, rows[0][1]), (6, rows[6][1])]
+    got = (
+        SIM.pq_topk(emb, queries, k=7, m=2, k_sub=4, iters=0)
+        .toPandas()
+        .sort_values(["query_id", "rk"])
+        .reset_index(drop=True)
+    )
+    V = {i: np.asarray(v, dtype=np.float64) for i, v in rows}
+    for qid, qv in queries:
+        q = np.asarray(qv, dtype=np.float64)
+        want = sorted(
+            ((round(float(((q - V[i]) ** 2).sum()), 6), i) for i in V),
+            key=lambda t: (t[0], t[1]),
+        )
+        sl = got[got["query_id"] == qid].reset_index(drop=True)
+        assert list(sl["neighbor_id"]) == [i for _, i in want], qid
+        assert [round(float(x), 6) for x in sl["adc"]] == [
+            d for d, _ in want
+        ], qid
+
+
+def test_pq_fit_matches_numpy_replay(spark):
+    """Lloyd-improved codebooks: the distributed fit equals a numpy
+    replay with identical seeding, tie-break, and 6dp rounding."""
+    rng = np.random.default_rng(11)
+    X = rng.standard_normal((40, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    )
+    m, k_sub, iters = 2, 3, 2
+    got = SIM.fit_pq_codebooks(emb, m=m, k_sub=k_sub, iters=iters)
+    Xd = X.astype(np.float64)
+    dsub = 4
+    cbs = np.stack(
+        [Xd[:k_sub, s * dsub : (s + 1) * dsub].copy() for s in range(m)]
+    )
+    for _ in range(iters):
+        for s in range(m):
+            Xs = Xd[:, s * dsub : (s + 1) * dsub]
+            d2 = ((Xs[:, None, :] - cbs[s][None, :, :]) ** 2).sum(axis=2)
+            cells = np.argmin(d2, axis=1)
+            for c in range(k_sub):
+                mem = Xs[cells == c]
+                if len(mem):
+                    cbs[s, c] = np.round(mem.mean(axis=0), 6)
+    assert np.allclose(got, cbs, atol=1e-12)
+    # quantization error does not increase with Lloyd rounds
+    def qerr(cb):
+        e = 0.0
+        for s in range(m):
+            Xs = Xd[:, s * dsub : (s + 1) * dsub]
+            d2 = ((Xs[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+            e += d2.min(axis=1).sum()
+        return e
+
+    seed_cbs = np.stack(
+        [Xd[:k_sub, s * dsub : (s + 1) * dsub].copy() for s in range(m)]
+    )
+    assert qerr(got) <= qerr(seed_cbs) + 1e-9
