@@ -360,6 +360,38 @@ def _q_quality_score(spark, sf_dir):
     )
 
 
+def _q_gopher_quality(spark, sf_dir):
+    """Gopher rule-based quality gate (Rae et al. 2021 A1.1) over text
+    with deterministically synthesized rule triggers (the corpus alone
+    would exercise only the word-count/stopword rules): every 5th doc
+    gains stopwords, bullet lines, #/... symbols, or duplicate lines
+    by doc_id case — so every rule fires both ways.  All signals are
+    per-row column expressions; no shuffle."""
+    from sqlfeatureextraction_spark.operators.textstats import (
+        gopher_quality_flags,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mod5 = F.col("doc_id") % 5
+    t = F.col("text")
+    synth = (
+        F.when(mod5 == 0, F.concat(t, F.lit(" the of and that have with")))
+        .when(
+            mod5 == 1,
+            F.concat(
+                t,
+                F.lit("\n- bullet one\n- bullet two\n- bullet three"),
+            ),
+        )
+        .when(mod5 == 2, F.concat(t, F.lit(" ###...")))
+        .when(mod5 == 3, F.concat(F.lit("dup line\ndup line\n"), t))
+        .otherwise(t)
+    )
+    return gopher_quality_flags(
+        docs.select("doc_id", synth.alias("text"))
+    ).drop("text")
+
+
 def _q_join_agg(spark, sf_dir):
     """Multi-way join + agg: revenue per customer (broadcast-eligible
     dims; Catalyst picks the join order)."""
@@ -2411,6 +2443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "token_stats_full": _q_token_stats_full,
         "quality_score": _q_quality_score,
+        "gopher_quality": _q_gopher_quality,
         "join_agg": _q_join_agg,
         "ann_topk": _q_ann_topk,
         "minhash_pairs": _q_minhash_pairs,
@@ -3195,6 +3228,109 @@ _SPTOK = (
 )
 
 
+def _gopher_oracle_sql() -> str:
+    """Gopher-rule oracle generated from the SAME bounds/stopword
+    constants the Spark path uses (textstats.GOPHER_BOUNDS) — one
+    source of truth; rules evaluate over the 4dp-rounded signals in
+    both engines (the shared determinism contract)."""
+    from sqlfeatureextraction_spark.operators.textstats import (
+        GOPHER_BOUNDS as B,
+        GOPHER_STOPWORDS,
+    )
+
+    stop_list = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 5 = 0
+                   THEN text || ' the of and that have with'
+                 WHEN doc_id % 5 = 1
+                   THEN text || chr(10) || '- bullet one' || chr(10)
+                        || '- bullet two' || chr(10) || '- bullet three'
+                 WHEN doc_id % 5 = 2 THEN text || ' ###...'
+                 WHEN doc_id % 5 = 3
+                   THEN 'dup line' || chr(10) || 'dup line' || chr(10)
+                        || text
+                 ELSE text END AS text
+          FROM documents
+        ),
+        base AS (
+          SELECT doc_id, coalesce(text, '') AS raw, {_SPTOK} AS toks,
+                 list_filter(string_split(coalesce(text, ''), chr(10)),
+                             l -> trim(l) <> '') AS lines
+          FROM t
+        ),
+        lin AS (
+          SELECT doc_id, l, trim(l) AS lt
+          FROM base, UNNEST(lines) AS u(l)
+        ),
+        lc AS (
+          SELECT doc_id, l, lt,
+                 COUNT(*) OVER (PARTITION BY doc_id, lt) AS c
+          FROM lin
+        ),
+        ls AS (
+          SELECT doc_id, COUNT(*) AS n_lines,
+            SUM(CASE WHEN starts_with(lt, '-') OR starts_with(lt, '*')
+                       OR starts_with(lt, '•') THEN 1 ELSE 0 END)
+              AS n_bullet,
+            SUM(CASE WHEN ends_with(rtrim(l), '...') THEN 1 ELSE 0 END)
+              AS n_ell,
+            SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_dup,
+            SUM(len(l)) AS line_chars,
+            SUM(CASE WHEN c > 1 THEN len(l) ELSE 0 END) AS dup_chars
+          FROM lc GROUP BY doc_id
+        ),
+        sig AS (
+          SELECT b.doc_id,
+            CAST(len(b.toks) AS BIGINT) AS n_words,
+            ROUND(COALESCE(
+              list_sum(list_transform(b.toks, x -> len(x))), 0) * 1.0
+              / greatest(len(b.toks), 1), 4) AS mean_word_len,
+            ROUND((len(b.raw) - len(replace(b.raw, '#', ''))
+                   + (len(b.raw) - len(replace(b.raw, '...', ''))) / 3.0)
+                  / greatest(len(b.toks), 1), 4) AS symbol_ratio,
+            ROUND(COALESCE(s.n_bullet, 0) * 1.0
+              / greatest(COALESCE(s.n_lines, 0), 1), 4) AS bullet_frac,
+            ROUND(COALESCE(s.n_ell, 0) * 1.0
+              / greatest(COALESCE(s.n_lines, 0), 1), 4) AS ellipsis_frac,
+            ROUND(len(list_filter(b.toks,
+              x -> regexp_matches(x, '[a-z]'))) * 1.0
+              / greatest(len(b.toks), 1), 4) AS alpha_word_frac,
+            CAST(len(list_intersect(list_distinct(b.toks),
+              [{stop_list}])) AS INT) AS stopword_hits,
+            ROUND(COALESCE(s.n_dup, 0) * 1.0
+              / greatest(COALESCE(s.n_lines, 0), 1), 4) AS dup_line_frac,
+            ROUND(COALESCE(s.dup_chars, 0) * 1.0
+              / greatest(COALESCE(s.line_chars, 0), 1), 4)
+              AS dup_line_char_frac
+          FROM base b LEFT JOIN ls s USING (doc_id)
+        ),
+        flags AS (
+          SELECT *,
+            (n_words >= {B["min_words"]}
+             AND n_words <= {B["max_words"]}) AS r_word_count,
+            (mean_word_len >= {B["min_mean_word_len"]}
+             AND mean_word_len <= {B["max_mean_word_len"]})
+              AS r_mean_word_len,
+            (symbol_ratio <= {B["max_symbol_ratio"]}) AS r_symbol_ratio,
+            (bullet_frac <= {B["max_bullet_frac"]}) AS r_bullet,
+            (ellipsis_frac <= {B["max_ellipsis_frac"]}) AS r_ellipsis,
+            (alpha_word_frac >= {B["min_alpha_word_frac"]}) AS r_alpha,
+            (stopword_hits >= {B["min_stopword_hits"]}) AS r_stopwords,
+            (dup_line_frac <= {B["max_dup_line_frac"]}) AS r_dup_lines,
+            (dup_line_char_frac <= {B["max_dup_line_char_frac"]})
+              AS r_dup_chars
+          FROM sig
+        )
+        SELECT *,
+          (r_word_count AND r_mean_word_len AND r_symbol_ratio
+           AND r_bullet AND r_ellipsis AND r_alpha AND r_stopwords
+           AND r_dup_lines AND r_dup_chars) AS passes_gopher
+        FROM flags
+    """
+
+
 def _shingle_cte(n: int) -> str:
     """CTE fragment: documents → exploded (doc_id, word n-gram) rows,
     mirroring curation.shingles_col."""
@@ -3436,6 +3572,9 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 0.0 END AS avg_tok_len
             FROM documents
         """,
+        # Gopher rule gate (Rae et al. 2021 A1.1); SQL generated from
+        # the Spark path's own bounds/stopwords constants
+        "gopher_quality": _gopher_oracle_sql(),
         "quality_score": f"""
             WITH r AS (
               SELECT doc_id,

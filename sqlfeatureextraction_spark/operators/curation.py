@@ -206,6 +206,7 @@ def remove_duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     hashed: bool = False,
+    mode: str = "compact",
 ) -> DataFrame:
     """Remove cross-document duplicated spans — the removal counterpart
     of :func:`dup_substring_fraction` (Lee et al., "Deduplicating
@@ -222,14 +223,28 @@ def remove_duplicate_spans(
 
     Plan shape for 100 TB: all stages are key-partitioned shuffles —
     distinct (doc, shingle) → per-shingle count (the duplicated-shingle
-    set, never collected/broadcast), an equi-join of shingle
-    occurrences against that set on the shingle key, coverage explode →
-    distinct (doc, position), a left-anti join of token rows against
-    covered positions on (doc, position), and one per-document
-    aggregate whose buffer is bounded by the document's own token
-    count.  No driver collect, no cartesian product; the only
-    quadratic-looking step (sequence-explode of n positions per
-    duplicated occurrence) is a constant n-fold expansion.
+    set, never collected/broadcast), and an equi-join of shingle
+    occurrences against that set on the shingle key.  From there, two
+    modes (bit-identical; equality pinned in pytest):
+
+    * ``mode="compact"`` (default): the duplicated-occurrence START
+      positions aggregate per document (collect_set — bounded by the
+      doc's own shingle count) and the rebuild is one join back to the
+      token arrays plus array expressions (a token survives iff no
+      start lies in (i-n, i]).  Shuffle volume is ONE row per
+      duplicated occurrence + one per doc — nothing is exploded to
+      per-covered-position or per-token rows.  Per-row work is
+      O(tokens × starts), bounded by the document's own length — the
+      same bound as the final rebuild buffer.
+    * ``mode="antijoin"``: coverage explode → distinct (doc, position),
+      left-anti join of token rows against covered positions, per-doc
+      rebuild aggregate.  Every step is constant work per row (no
+      O(tokens × starts) term), at the cost of shuffling n rows per
+      duplicated occurrence plus one row per corpus token — the
+      formulation to prefer if single documents are pathologically
+      long.
+
+    No driver collect, no cartesian product in either mode.
 
     ``hashed=True`` replaces the shingle string by ``xxhash64`` of it
     before the count/join shuffles — the 100-TB transport format
@@ -243,6 +258,8 @@ def remove_duplicate_spans(
     """
     if n < 1:
         raise ValueError(f"shingle width must be >= 1, got {n}")
+    if mode not in ("compact", "antijoin"):
+        raise ValueError(f"unknown mode {mode!r}")
     toks = docs.select(F.col(id_col), tokens_col(F.col(text_col)).alias("_tk"))
     # shingle occurrences with their 0-based token start positions:
     # shingles_col nulls only the tail starts (i + n > size), and the
@@ -262,6 +279,44 @@ def remove_duplicate_spans(
         .where(F.col("_nd") > 1)
         .select("sh")
     )
+    if mode == "compact":
+        starts = (
+            sh_pos.join(dup, "sh")
+            .groupBy(id_col)
+            .agg(F.collect_set("pos").alias("_starts"))
+        )
+        joined = toks.join(starts, id_col, "left").select(
+            F.col(id_col),
+            "_tk",
+            F.coalesce("_starts", F.array().cast("array<int>")).alias(
+                "_starts"
+            ),
+        )
+        # token i survives iff no duplicated span start s satisfies
+        # s <= i < s + n
+        kept_arr = F.filter(
+            F.transform(
+                F.col("_tk"),
+                lambda t, i: F.when(
+                    ~F.exists(
+                        F.col("_starts"),
+                        lambda s: (s <= i) & (i < s + F.lit(n)),
+                    ),
+                    t,
+                ),
+            ),
+            lambda t: t.isNotNull(),
+        )
+        return joined.select(
+            F.col(id_col),
+            F.size("_tk").cast("long").alias("n_tokens"),
+            F.size(kept_arr).cast("long").alias("n_kept"),
+            (F.size("_tk") - F.size(kept_arr)).cast("long").alias(
+                "n_removed"
+            ),
+            F.array_join(kept_arr, " ").alias("clean_text"),
+        )
+
     cov = (
         sh_pos.join(dup, "sh")
         .select(

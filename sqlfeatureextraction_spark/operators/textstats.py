@@ -123,3 +123,126 @@ def with_fingerprint(
     return df.withColumn("fingerprint", F.xxhash64(F.col(text_col))).withColumn(
         "winnow_min", F.array_min(sketch)
     )
+
+
+# Gopher rule constants (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", appendix A1.1) —
+# one shared source of truth for the Spark path, the oracle generator,
+# and the tests.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_BOUNDS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_ratio": 0.1,
+    "max_bullet_frac": 0.9,
+    "max_ellipsis_frac": 0.3,
+    "min_alpha_word_frac": 0.8,
+    "min_stopword_hits": 2,
+    "max_dup_line_frac": 0.3,
+    "max_dup_line_char_frac": 0.2,
+}
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The Gopher quality-filter heuristics (Rae et al. 2021 A1.1) as
+    pure column expressions — the standard rule-based pre-training
+    gate: word-count bounds, mean-word-length bounds, symbol-to-word
+    ratio (# or ...), bullet/ellipsis line fractions, alphabetic-word
+    fraction, stop-word presence, and duplicate-line fractions (by
+    line count and by character mass).
+
+    Word convention shared verbatim with the DuckDB oracle: lowercase,
+    split on single spaces, empties dropped (curation.tokens_col);
+    lines split on '\\n'.  Output keeps every input row and appends
+    the measured signals plus per-rule booleans and the conjunction
+    ``passes_gopher`` — filtering is the caller's ``where`` so the
+    rejected stream can be audited.  No shuffle: per-row projections
+    that compose with any scan (the one aggregate-free exception in
+    the family: duplicate-line detection stays WITHIN the document,
+    via array self-counts, never a corpus join).
+    """
+    from .curation import tokens_col
+
+    b = GOPHER_BOUNDS
+    toks = tokens_col(F.col(text_col))
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    mean_wl = sum_len / F.greatest(n_words, F.lit(1))
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    n_hash = F.length(raw) - F.length(F.replace(raw, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(raw) - F.length(F.replace(raw, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = (n_hash + n_ellipsis) / F.greatest(n_words, F.lit(1))
+    lines = F.filter(
+        F.split(raw, "\n"), lambda ln: F.trim(ln) != F.lit("")
+    )
+    n_lines = F.size(lines)
+    bullet_frac = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.trim(ln).startswith("-")
+            | F.trim(ln).startswith("*")
+            | F.trim(ln).startswith("•"),
+        )
+    ) / F.greatest(n_lines, F.lit(1))
+    ellipsis_frac = F.size(
+        F.filter(lines, lambda ln: F.rtrim(ln).endswith("..."))
+    ) / F.greatest(n_lines, F.lit(1))
+    alpha_word_frac = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-z]"))
+    ) / F.greatest(n_words, F.lit(1))
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stopword_hits = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    # duplicate-line fractions: a line is duplicated iff its trimmed
+    # text occurs more than once IN THIS DOCUMENT
+    dup_lines = F.filter(
+        lines,
+        lambda ln: F.size(
+            F.filter(lines, lambda o: F.trim(o) == F.trim(ln))
+        )
+        > 1,
+    )
+    dup_line_frac = F.size(dup_lines) / F.greatest(n_lines, F.lit(1))
+    line_chars = F.aggregate(
+        lines, F.lit(0), lambda acc, ln: acc + F.length(ln)
+    )
+    dup_line_chars = F.aggregate(
+        dup_lines, F.lit(0), lambda acc, ln: acc + F.length(ln)
+    )
+    dup_char_frac = dup_line_chars / F.greatest(line_chars, F.lit(1))
+
+    out = (
+        df.withColumn("n_words", n_words.cast("long"))
+        .withColumn("mean_word_len", F.round(mean_wl, 4))
+        .withColumn("symbol_ratio", F.round(symbol_ratio, 4))
+        .withColumn("bullet_frac", F.round(bullet_frac, 4))
+        .withColumn("ellipsis_frac", F.round(ellipsis_frac, 4))
+        .withColumn("alpha_word_frac", F.round(alpha_word_frac, 4))
+        .withColumn("stopword_hits", stopword_hits.cast("int"))
+        .withColumn("dup_line_frac", F.round(dup_line_frac, 4))
+        .withColumn("dup_line_char_frac", F.round(dup_char_frac, 4))
+    )
+    rules = {
+        "r_word_count": (F.col("n_words") >= b["min_words"])
+        & (F.col("n_words") <= b["max_words"]),
+        "r_mean_word_len": (F.col("mean_word_len") >= b["min_mean_word_len"])
+        & (F.col("mean_word_len") <= b["max_mean_word_len"]),
+        "r_symbol_ratio": F.col("symbol_ratio") <= b["max_symbol_ratio"],
+        "r_bullet": F.col("bullet_frac") <= b["max_bullet_frac"],
+        "r_ellipsis": F.col("ellipsis_frac") <= b["max_ellipsis_frac"],
+        "r_alpha": F.col("alpha_word_frac") >= b["min_alpha_word_frac"],
+        "r_stopwords": F.col("stopword_hits") >= b["min_stopword_hits"],
+        "r_dup_lines": F.col("dup_line_frac") <= b["max_dup_line_frac"],
+        "r_dup_chars": F.col("dup_line_char_frac")
+        <= b["max_dup_line_char_frac"],
+    }
+    passes = F.lit(True)
+    for name, expr in rules.items():
+        out = out.withColumn(name, expr)
+        passes = passes & F.col(name)
+    return out.withColumn("passes_gopher", passes)

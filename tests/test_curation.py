@@ -134,6 +134,15 @@ def test_remove_duplicate_spans_vs_bruteforce(spark, docs_df):
         ).collect()
     }
     assert got_h == got
+    # antijoin mode (constant work per row, for pathologically long
+    # docs): identical result to the default compact mode
+    got_a = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["n_removed"], r["clean_text"])
+        for r in curation.remove_duplicate_spans(
+            docs_df, n=n, mode="antijoin"
+        ).collect()
+    }
+    assert got_a == got
 
 
 def _mix_keep(doc_id, rate, salt="mix"):
@@ -342,12 +351,19 @@ def test_curation_random_corpus_differential(spark, seed):
         )
         for i, shs in per_sh.items()
     }
-    # remove_duplicate_spans (same shingle width as dup fraction)
-    got = {
-        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["n_removed"], r["clean_text"])
-        for r in curation.remove_duplicate_spans(df, n=n_dup).collect()
-    }
-    assert got == _remove_dup_spans_oracle(rows, n_dup)
+    # remove_duplicate_spans (same shingle width as dup fraction),
+    # both modes
+    want_rm = _remove_dup_spans_oracle(rows, n_dup)
+    for mode in ("compact", "antijoin"):
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"], r["n_kept"], r["n_removed"], r["clean_text"]
+            )
+            for r in curation.remove_duplicate_spans(
+                df, n=n_dup, mode=mode
+            ).collect()
+        }
+        assert got == want_rm, mode
     # repetition stats
     got = {
         r["doc_id"]: (r["n_shingles"], r["n_distinct"])

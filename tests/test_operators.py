@@ -699,3 +699,78 @@ def test_pq_fit_matches_numpy_replay(spark):
         [Xd[:k_sub, s * dsub : (s + 1) * dsub].copy() for s in range(m)]
     )
     assert qerr(got) <= qerr(seed_cbs) + 1e-9
+
+
+def test_gopher_quality_flags_bruteforce(spark):
+    """Python replay of every Gopher rule on a hand corpus exercising
+    each rule both ways."""
+    good_words = ("the quick brown fox and that dog have fun with it " * 6).strip()
+    rows = [
+        (0, good_words),  # long enough, stopwords present -> passes
+        (1, "short text"),  # word count fails
+        (2, good_words + " ######## ..."),  # symbol ratio pushed up
+        (3, "- a\n- b\n- c\n" + good_words.replace(" ", "\n", 2)),  # bullets
+        (4, "same line\nsame line\nsame line\n" + good_words),  # dup lines
+        (5, ""),  # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in TS.gopher_quality_flags(df).collect()
+    }
+    from sqlfeatureextraction_spark.operators.textstats import (
+        GOPHER_BOUNDS as B,
+        GOPHER_STOPWORDS,
+    )
+
+    for i, text in rows:
+        toks = [t for t in text.lower().split(" ") if t]
+        raw = text
+        lines = [ln for ln in raw.split("\n") if ln.strip()]
+        n_words = len(toks)
+        mean_wl = round(sum(len(t) for t in toks) / max(n_words, 1), 4)
+        n_hash = raw.count("#")
+        n_ell = (len(raw) - len(raw.replace("...", ""))) / 3
+        symbol_ratio = round((n_hash + n_ell) / max(n_words, 1), 4)
+        bullets = [
+            ln
+            for ln in lines
+            if ln.strip().startswith(("-", "*", "•"))
+        ]
+        ells = [ln for ln in lines if ln.rstrip().endswith("...")]
+        import re as _re
+
+        alpha = [t for t in toks if _re.search("[a-z]", t)]
+        stop_hits = len(set(toks) & set(GOPHER_STOPWORDS))
+        from collections import Counter as _C
+
+        lc = _C(ln.strip() for ln in lines)
+        dup = [ln for ln in lines if lc[ln.strip()] > 1]
+        g = got[i]
+        assert g["n_words"] == n_words, i
+        assert g["mean_word_len"] == mean_wl, i
+        assert g["symbol_ratio"] == symbol_ratio, i
+        assert g["bullet_frac"] == round(len(bullets) / max(len(lines), 1), 4), i
+        assert g["ellipsis_frac"] == round(len(ells) / max(len(lines), 1), 4), i
+        assert g["alpha_word_frac"] == round(len(alpha) / max(n_words, 1), 4), i
+        assert g["stopword_hits"] == stop_hits, i
+        assert g["dup_line_frac"] == round(len(dup) / max(len(lines), 1), 4), i
+        assert g["dup_line_char_frac"] == round(
+            sum(len(x) for x in dup) / max(sum(len(x) for x in lines), 1), 4
+        ), i
+        want_pass = (
+            B["min_words"] <= n_words <= B["max_words"]
+            and B["min_mean_word_len"] <= mean_wl <= B["max_mean_word_len"]
+            and symbol_ratio <= B["max_symbol_ratio"]
+            and g["bullet_frac"] <= B["max_bullet_frac"]
+            and g["ellipsis_frac"] <= B["max_ellipsis_frac"]
+            and g["alpha_word_frac"] >= B["min_alpha_word_frac"]
+            and stop_hits >= B["min_stopword_hits"]
+            and g["dup_line_frac"] <= B["max_dup_line_frac"]
+            and g["dup_line_char_frac"] <= B["max_dup_line_char_frac"]
+        )
+        assert g["passes_gopher"] == want_pass, i
+    assert got[0]["passes_gopher"] is True
+    assert got[1]["r_word_count"] is False
+    assert got[2]["r_symbol_ratio"] is False
+    assert got[5]["passes_gopher"] is False
