@@ -484,6 +484,46 @@ def _q_cross_corpus_exact(spark, sf_dir):
     return exact_against_corpus(base.unionByName(double), docs)
 
 
+def _q_cross_corpus_bloom(spark, sf_dir):
+    """cross_corpus_exact through the Bloom prefilter: the new batch
+    probes a broadcast bitmap of the corpus keys in one Arrow pass and
+    only Bloom candidates enter the verify join (no false negatives;
+    the verify removes false positives, so the output — and the
+    oracle — are IDENTICAL to the exact path).  The bitmap here is
+    deliberately small (2^14 bits for ~500 keys ≈ 4 bits/key) so the
+    row exercises real false positives through the verify join."""
+    from sqlfeatureextraction_spark.operators.dedup import (
+        bloom_against_corpus,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" novel "), F.col("doc_id")))
+        .alias("text"),
+    )
+    double = docs.where(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return bloom_against_corpus(
+        base.unionByName(double), docs, m_bits=1 << 14, num_hashes=4
+    )
+
+
+def _q_dsir_topk(spark, sf_dir):
+    """DSIR importance selection (Xie et al. 2023): hashed word-bigram
+    bucket models of TARGET (source='src0') vs RAW (all documents),
+    per-doc log importance weight, deterministic top-50 by the
+    6dp-rounded weight (doc_id tiebreak).  The bucket key is a hex
+    md5 substring shared verbatim with the DuckDB oracle."""
+    from sqlfeatureextraction_spark.operators.selection import dsir_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.where(F.col("source") == "src0")
+    return dsir_topk(docs, target, 50)
+
+
 def _q_cross_corpus_neardup(spark, sf_dir):
     """Incremental-ingest NEAR-dup detection: every 13th doc re-enters
     as the new batch (ids offset) and is LSH-banded against the full
@@ -2448,7 +2488,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "minhash_pairs": _q_minhash_pairs,
         "cross_corpus_exact": _q_cross_corpus_exact,
+        "cross_corpus_bloom": _q_cross_corpus_bloom,
         "cross_corpus_neardup": _q_cross_corpus_neardup,
+        "dsir_topk": _q_dsir_topk,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_neardup": _q_simhash_neardup,
         "simhash_dedup": _q_simhash_dedup,
@@ -3392,7 +3434,7 @@ def _pii_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "pit_window_sum": f"""
             SELECT event_id, user_id, ts_sec,
                    ROUND(SUM(value) OVER w, 4) AS w_sum,
@@ -4998,4 +5040,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_rows
             FROM documents d LEFT JOIN o USING (doc_id)
         """,
+        # DSIR top-k (selection.dsir_topk): hashed word-bigram bucket
+        # (hex md5 substring — the domain_mix string-compare trick, no
+        # integer conversion) models of target (src0) vs raw (all),
+        # add-1 smoothing over B=16^4 buckets, per-doc sum of bucket
+        # log-ratios, 6dp-rounded ordering key + id tiebreak.  Since
+        # raw = documents, every scored bucket exists in rb, so the
+        # smoothed ratio table is rb LEFT JOIN tb.
+        "dsir_topk": f"""
+            WITH tok AS (SELECT doc_id, source, {_SPTOK} AS toks
+                         FROM documents),
+            sh AS (
+              SELECT doc_id, source,
+                     array_to_string(toks[i:i+1], ' ') AS sh
+              FROM tok CROSS JOIN unnest(
+                generate_series(1, greatest(len(toks) - 1, 0))) AS g(i)
+            ),
+            b AS (SELECT doc_id, source,
+                         substr(md5('dsir:' || sh), 1, 4) AS bucket
+                  FROM sh),
+            tb AS (SELECT bucket, count(*) AS ct FROM b
+                   WHERE source = 'src0' GROUP BY 1),
+            rb AS (SELECT bucket, count(*) AS cr FROM b GROUP BY 1),
+            tot AS (SELECT (SELECT coalesce(sum(ct), 0) FROM tb) AS nt,
+                           (SELECT coalesce(sum(cr), 0) FROM rb) AS nr),
+            ratio AS (
+              SELECT rb.bucket,
+                     ln((coalesce(tb.ct, 0) + 1.0) / (tot.nt + 65536.0))
+                   - ln((rb.cr + 1.0) / (tot.nr + 65536.0)) AS lr
+              FROM rb LEFT JOIN tb USING (bucket), tot
+            ),
+            perdoc AS (
+              SELECT b.doc_id, count(*) AS n_shingles,
+                     sum(r.lr) AS logw_raw
+              FROM b JOIN ratio r USING (bucket) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+                   ROUND(coalesce(p.logw_raw, 0.0), 6) AS logw
+            FROM documents d LEFT JOIN perdoc p USING (doc_id)
+            ORDER BY logw DESC, d.doc_id ASC
+            LIMIT 50
+        """,
     }
+    # the Bloom-prefiltered ingest path is EXACT by construction (no
+    # false negatives; the verify join removes false positives), so it
+    # shares the exact path's oracle verbatim
+    sql["cross_corpus_bloom"] = sql["cross_corpus_exact"]
+    return sql
