@@ -854,6 +854,19 @@ def _q_tfidf_topk(spark, sf_dir):
     return tfidf_topk(docs, k=10)
 
 
+def _q_bm25_topk(spark, sf_dir):
+    """BM25 lexical retrieval (Okapi with Robertson/Lucene idf): top-25
+    documents for a 4-term query.  dl rides the explode narrow (no
+    join); rows filter to the query's term set BEFORE the first
+    shuffle; df is a |Q|-row broadcast; orderBy+limit compiles to
+    TakeOrderedAndProject.  Ranking key is round(score, 6) desc then
+    doc_id asc — identical across engines by construction."""
+    from sqlfeatureextraction_spark.operators.stats import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_topk(docs, "spark window merge filter", k=25)
+
+
 def _q_shard_assign(spark, sf_dir):
     """Deterministic global corpus shuffle into 8 equal training shards:
     order by md5('shard:doc_id'), cut with the range-repartition exact
@@ -2504,6 +2517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_len_quantiles": _q_doc_len_quantiles,
         "token_topk": _q_token_topk,
         "tfidf_topk": _q_tfidf_topk,
+        "bm25_topk": _q_bm25_topk,
         "unigram_nll": _q_unigram_nll,
         "bigram_nll": _q_bigram_nll,
         "trigram_nll": _q_trigram_nll,
@@ -4571,6 +4585,40 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY score DESC, token ASC) AS INT) AS rk
               FROM s
             ) WHERE rk <= 10
+        """,
+        # BM25 retrieval: Okapi scoring with the Robertson/Lucene idf,
+        # k1=1.2 b=0.75, 6dp-rounded order key shared with the engine
+        "bm25_topk": f"""
+            WITH tok AS (
+              SELECT doc_id, len({_SPTOK}) AS dl,
+                     UNNEST({_SPTOK}) AS token
+              FROM documents
+            ),
+            st AS (
+              SELECT (SELECT COUNT(*) FROM documents) AS n,
+                     (SELECT COUNT(*) FROM tok) AS tot
+            ),
+            tf AS (
+              SELECT doc_id, dl, token, COUNT(*) AS cnt
+              FROM tok
+              WHERE token IN ('filter', 'merge', 'spark', 'window')
+              GROUP BY doc_id, dl, token
+            ),
+            dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+            s AS (
+              SELECT t.doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+                     ROUND(SUM(
+                       ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5))
+                       * (t.cnt * 2.2
+                          / (t.cnt + 1.2 * (0.25
+                             + 0.75 * t.dl / (st.tot * 1.0 / st.n))))
+                     ), 6) AS score
+              FROM tf t JOIN dfq d USING (token) CROSS JOIN st
+              GROUP BY t.doc_id
+            )
+            SELECT doc_id, n_terms_matched, score
+            FROM s ORDER BY score DESC, doc_id ASC LIMIT 25
         """,
         # hash-ordered global shuffle into 8 exact-ntile shards
         "shard_assign": """

@@ -305,6 +305,98 @@ def tfidf_topk(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 lexical retrieval: the ``k`` documents scoring highest
+    against a bag-of-words ``query`` under Okapi BM25 with the
+    Robertson/Lucene idf::
+
+        idf(t)  = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+        s(d, t) = idf(t) * cnt * (k1+1) / (cnt + k1*(1 - b + b*dl/avgdl))
+
+    where ``cnt`` is t's count in d, ``dl`` the document token length,
+    ``avgdl`` the corpus mean length, ``N`` the corpus size.  This is
+    the retrieval complement to the embedding-ANN family
+    (operators/similarity.py): the sparse/lexical leg of the standard
+    hybrid retrieval stack, and the text-side dual of
+    :func:`tfidf_topk` (which extracts keywords per document; this
+    ranks documents per query).
+
+    Determinism contract (the tfidf_topk rule, shared verbatim with
+    the DuckDB oracle): the query is tokenized with the same
+    lowercase/space tokenizer as the corpus, duplicate query terms
+    collapse (set semantics), and ranking is by ``round(score, 6)``
+    desc then id asc, so the order key is identical across engines
+    whose ``ln`` differs in the last ulp.
+
+    Plan shape (one corpus scan, shuffles carry only query-matched
+    rows): ``dl`` rides the explode as ``size(tokens)`` — computed
+    narrow, never joined; rows are filtered to the query's term set
+    BEFORE the first shuffle, so the per-(doc, term) count aggregation
+    (map-side combine) touches only documents containing a query term;
+    ``df_t`` is a |Q|-row aggregate broadcast back; the final top-k is
+    orderBy+limit = TakeOrderedAndProject (per-partition heap + k-row
+    merge, no global sort).  N and total token count are the two
+    driver-side scalars (one agg — the unigram_nll total pattern).
+    Documents matching no query term never reach any shuffle and are
+    absent from the output (score would be 0).
+
+    Output: (id_col, n_terms_matched, score).
+    """
+    terms = sorted({t for t in query.lower().split(" ") if t})
+    if not terms:
+        raise ValueError("query has no terms")
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(tokens_col(F.col(text_col)))).alias("tot"),
+    ).collect()[0]
+    n_docs = int(stats["n"])
+    avgdl = float(stats["tot"] or 0) / max(n_docs, 1)
+    toks = docs.select(
+        F.col(id_col),
+        F.size(tokens_col(F.col(text_col))).alias("dl"),
+        F.explode(tokens_col(F.col(text_col))).alias("token"),
+    ).where(F.col("token").isin(*terms))
+    tf = toks.groupBy(id_col, "dl", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    part = idf * (
+        F.col("cnt")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("cnt")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("dl") / F.lit(avgdl)
+            )
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+            F.round(F.sum(part), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def token_topk(
     docs: DataFrame,
     k: int = 20,

@@ -462,3 +462,72 @@ def test_trigram_nll_interpolated_brute_force(spark):
 
     with _pytest.raises(ValueError):
         trigram_nll_interpolated(df, lambdas=(0.5, 0.3, 0.1))
+
+
+def _bm25_ref(pdf, query, k, k1=1.2, b=0.75):
+    """Brute-force python BM25 replay (Robertson/Lucene idf)."""
+    import math
+
+    terms = sorted({t for t in query.lower().split(" ") if t})
+    toks = {
+        r.doc_id: [t for t in (r.text or "").lower().split(" ") if t]
+        for r in pdf.itertuples()
+    }
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / max(n, 1)
+    df = {
+        t: sum(1 for v in toks.values() if t in v) for t in terms
+    }
+    rows = []
+    for d, v in toks.items():
+        matched = [t for t in terms if t in v]
+        if not matched:
+            continue
+        s = 0.0
+        for t in matched:
+            cnt = v.count(t)
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * cnt * (k1 + 1) / (
+                cnt + k1 * (1 - b + b * len(v) / avgdl)
+            )
+        rows.append((d, len(matched), round(s, 6)))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    return rows[:k]
+
+
+def test_bm25_topk_matches_bruteforce(spark):
+    from sqlfeatureextraction_spark.operators.stats import bm25_topk
+
+    q = "spark window merge"
+    got = [
+        (r["doc_id"], r["n_terms_matched"], r["score"])
+        for r in bm25_topk(_docs(spark), q, k=25).collect()
+    ]
+    want = _bm25_ref(_docs(spark).toPandas(), q, 25)
+    assert got == want
+    assert len(got) == 25
+
+
+def test_bm25_topk_duplicate_query_terms_collapse(spark):
+    from sqlfeatureextraction_spark.operators.stats import bm25_topk
+
+    a = bm25_topk(_docs(spark), "merge spark", k=5).collect()
+    bb = bm25_topk(_docs(spark), "spark merge spark  spark", k=5).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in bb]
+
+
+def test_bm25_topk_no_match_term_only(spark):
+    from sqlfeatureextraction_spark.operators.stats import bm25_topk
+
+    got = bm25_topk(_docs(spark), "zzzznotaword", k=5).collect()
+    assert got == []
+
+
+def test_bm25_topk_plan_shape(spark):
+    """Top-k compiles to TakeOrderedAndProject; no Python stage."""
+    from sqlfeatureextraction_spark.operators.stats import bm25_topk
+
+    plan = bm25_topk(_docs(spark), "spark merge", k=5)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
