@@ -867,6 +867,47 @@ def _q_bm25_topk(spark, sf_dir):
     return bm25_topk(docs, "spark window merge filter", k=25)
 
 
+def _q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion (Cormack et al., SIGIR
+    2009) of the sparse BM25 top-50 and the dense cosine top-50 for
+    one fixed query embedding (vec_id 0 embeds document 0 — the two
+    lists share the 0-based corpus id space).  Both legs emit the
+    engine's standard (score desc, id asc) total order, rrf_fuse
+    recomputes ranks from it, and the fused key is 6dp-rounded — so
+    the fusion is cross-engine exact by construction."""
+    from sqlfeatureextraction_spark.operators.similarity import rrf_fuse
+    from sqlfeatureextraction_spark.operators.stats import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sparse = bm25_topk(docs, "spark window merge filter", k=50)
+    emb, qs = _ann_queries(spark, sf_dir, n_q=1)
+    q_df = spark.createDataFrame(
+        [(0, qs[0][1])], "query_id int, qe array<double>"
+    )
+    dbl = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    dot = F.aggregate(
+        F.zip_with(dbl(F.col("embedding")), F.col("qe"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        dbl(c), F.lit(0.0), lambda acc, v: acc + v * v
+    )
+    qsq = F.aggregate(F.col("qe"), F.lit(0.0), lambda acc, v: acc + v * v)
+    dense = (
+        emb.crossJoin(F.broadcast(q_df))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                dot / (F.sqrt(sq(F.col("embedding"))) * F.sqrt(qsq)), 6
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+    )
+    return rrf_fuse([sparse.select("doc_id", "score"), dense], k=20)
+
+
 def _q_shard_assign(spark, sf_dir):
     """Deterministic global corpus shuffle into 8 equal training shards:
     order by md5('shard:doc_id'), cut with the range-repartition exact
@@ -2518,6 +2559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_topk": _q_token_topk,
         "tfidf_topk": _q_tfidf_topk,
         "bm25_topk": _q_bm25_topk,
+        "hybrid_rrf": _q_hybrid_rrf,
         "unigram_nll": _q_unigram_nll,
         "bigram_nll": _q_bigram_nll,
         "trigram_nll": _q_trigram_nll,
@@ -4619,6 +4661,67 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_terms_matched, score
             FROM s ORDER BY score DESC, doc_id ASC LIMIT 25
+        """,
+        # hybrid retrieval: RRF fusion of BM25 top-50 and dense cosine
+        # top-50 for query embedding vec_id 0; ranks recomputed from
+        # the shared (score desc, id asc) total order, c = 60
+        "hybrid_rrf": f"""
+            WITH tok AS (
+              SELECT doc_id, len({_SPTOK}) AS dl,
+                     UNNEST({_SPTOK}) AS token
+              FROM documents
+            ),
+            st AS (
+              SELECT (SELECT COUNT(*) FROM documents) AS n,
+                     (SELECT COUNT(*) FROM tok) AS tot
+            ),
+            tf AS (
+              SELECT doc_id, dl, token, COUNT(*) AS cnt
+              FROM tok
+              WHERE token IN ('filter', 'merge', 'spark', 'window')
+              GROUP BY doc_id, dl, token
+            ),
+            dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+            bm AS (
+              SELECT t.doc_id,
+                     ROUND(SUM(
+                       ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5))
+                       * (t.cnt * 2.2
+                          / (t.cnt + 1.2 * (0.25
+                             + 0.75 * t.dl / (st.tot * 1.0 / st.n))))
+                     ), 6) AS score
+              FROM tf t JOIN dfq d USING (token) CROSS JOIN st
+              GROUP BY t.doc_id
+            ),
+            bs AS (SELECT doc_id, score FROM bm
+                   ORDER BY score DESC, doc_id ASC LIMIT 50),
+            br AS (SELECT doc_id, ROW_NUMBER() OVER (
+                     ORDER BY score DESC, doc_id ASC) AS rk FROM bs),
+            q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            dp AS (
+              SELECT c.vec_id AS doc_id,
+                ROUND(
+                  (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                   FROM (SELECT UNNEST(q.qe) x, UNNEST(c.embedding) y))
+                  / (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                           FROM (SELECT UNNEST(c.embedding) x)))
+                     * sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                             FROM (SELECT UNNEST(q.qe) x)))), 6) AS score
+              FROM q, embeddings c
+            ),
+            ds AS (SELECT doc_id, score FROM dp
+                   ORDER BY score DESC, doc_id ASC LIMIT 50),
+            dr AS (SELECT doc_id, ROW_NUMBER() OVER (
+                     ORDER BY score DESC, doc_id ASC) AS rk FROM ds),
+            u AS (
+              SELECT doc_id, CAST(1 AS DOUBLE) / (60 + rk) AS part FROM br
+              UNION ALL
+              SELECT doc_id, CAST(1 AS DOUBLE) / (60 + rk) AS part FROM dr
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+                   ROUND(SUM(part), 6) AS rrf_score
+            FROM u GROUP BY doc_id
+            ORDER BY rrf_score DESC, doc_id ASC LIMIT 20
         """,
         # hash-ordered global shuffle into 8 exact-ntile shards
         "shard_assign": """

@@ -563,3 +563,64 @@ def pq_topk(
         .where(F.col("rk") <= k)
         .select("query_id", "rk", "neighbor_id", "adc")
     )
+
+
+def rrf_fuse(
+    lists,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    k: int = 10,
+    c: float = 60.0,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of two or
+    more ranked candidate lists — the standard way to combine the
+    sparse (``stats.bm25_topk``) and dense (``brute_force_topk`` /
+    ``ivf_topk`` / ``pq_topk``) legs of a hybrid retrieval stack
+    without score calibration::
+
+        rrf(d) = sum over lists L containing d of 1 / (c + rank_L(d))
+
+    Each input DataFrame must expose (``id_col``, ``score_col``);
+    rank within a list is recomputed here as ``row_number`` over
+    (score desc, id asc) — the same total order every ``*_topk``
+    operator in this engine emits, so fusion is deterministic and
+    cross-engine exact (the emitted ``rrf_score`` is 6dp-rounded per
+    the tfidf_topk rule; 1/(c+rank) gaps at rank <= a few hundred are
+    >> 1e-6, so rounding never merges distinct ranks).
+
+    Scale contract: inputs are CANDIDATE LISTS — the bounded top-k
+    output of an upstream retrieval operator (<= thousands of rows),
+    never a corpus.  The per-list rank window is unpartitioned, which
+    is exactly right at that size (one task over k rows); the fusion
+    itself is a union + groupBy on the id, and the final top-k
+    compiles to TakeOrderedAndProject.
+
+    Output: (id_col, n_lists, rrf_score), ordered by fused score desc
+    then id asc, limited to ``k``.
+    """
+    lists = list(lists)
+    if len(lists) < 2:
+        raise ValueError("rrf_fuse needs at least two ranked lists")
+    fused = None
+    for df in lists:
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        part = (
+            df.select(id_col, score_col)
+            .withColumn("_rk", F.row_number().over(w))
+            .select(
+                id_col,
+                (
+                    F.lit(1.0) / (F.lit(float(c)) + F.col("_rk"))
+                ).alias("_part"),
+            )
+        )
+        fused = part if fused is None else fused.unionByName(part)
+    return (
+        fused.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+            F.round(F.sum("_part"), 6).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(k)
+    )

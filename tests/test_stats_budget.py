@@ -531,3 +531,58 @@ def test_bm25_topk_plan_shape(spark):
     ).executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def _rrf_ref(lists, k, c=60.0):
+    """Python replay: rank by (score desc, id asc) per list, fuse."""
+    from collections import defaultdict
+
+    parts = defaultdict(list)
+    for rows in lists:
+        ranked = sorted(rows, key=lambda r: (-r[1], r[0]))
+        for i, (d, _) in enumerate(ranked, start=1):
+            parts[d].append(1.0 / (c + i))
+    out = [
+        (d, len(ps), round(sum(ps), 6)) for d, ps in parts.items()
+    ]
+    out.sort(key=lambda r: (-r[2], r[0]))
+    return out[:k]
+
+
+def test_rrf_fuse_matches_python_replay(spark):
+    from sqlfeatureextraction_spark.operators.similarity import rrf_fuse
+    from sqlfeatureextraction_spark.operators.stats import bm25_topk
+
+    a = bm25_topk(_docs(spark), "spark window merge", k=30)
+    b = bm25_topk(_docs(spark), "customer join filter", k=30)
+    got = [tuple(r) for r in rrf_fuse([a, b], k=15).collect()]
+    ref = _rrf_ref(
+        [
+            [(r["doc_id"], r["score"]) for r in a.collect()],
+            [(r["doc_id"], r["score"]) for r in b.collect()],
+        ],
+        k=15,
+    )
+    assert got == ref
+    assert len(got) == 15
+    assert any(r[1] == 2 for r in got)  # overlap exists and is fused
+
+
+def test_rrf_fuse_requires_two_lists(spark):
+    from sqlfeatureextraction_spark.operators.similarity import rrf_fuse
+    from sqlfeatureextraction_spark.operators.stats import bm25_topk
+
+    with pytest.raises(ValueError):
+        rrf_fuse([bm25_topk(_docs(spark), "spark", k=5)], k=5)
+
+
+def test_rrf_fuse_plan_shape(spark):
+    from sqlfeatureextraction_spark.operators.similarity import rrf_fuse
+    from sqlfeatureextraction_spark.operators.stats import bm25_topk
+
+    a = bm25_topk(_docs(spark), "spark window", k=10)
+    b = bm25_topk(_docs(spark), "merge filter", k=10)
+    plan = rrf_fuse([a, b], k=5)._jdf.queryExecution().executedPlan(
+    ).toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
