@@ -69,7 +69,7 @@ from sqlfeatureextraction_spark.operators.dedup import (
 )
 from sqlfeatureextraction_spark.operators.selection import dsir_logweights
 from sqlfeatureextraction_spark.operators.semdedup import semantic_dedup
-from sqlfeatureextraction_spark.operators.stats import tfidf_topk
+from sqlfeatureextraction_spark.operators.stats import bm25_topk, tfidf_topk
 
 def op_dupfrac():
     r = dup_substring_fraction(docs, n=8, hashed=True).agg(
@@ -126,6 +126,14 @@ def op_rmspans():
     ).collect()[0]
     return [r[0], r[1], r[2]]
 
+def op_bm25():
+    # retrieval leg: one corpus scan, shuffle carries only rows of
+    # docs containing a query term (~35% of the corpus at this vocab)
+    r = bm25_topk(docs, "tok007 tok123 tok314 tok499", k=100).agg(
+        F.count("*"), F.sum("n_terms_matched"),
+        F.round(F.sum("score"), 3)).collect()[0]
+    return [r[0], r[1], r[2]]
+
 def op_dsir():
     # target = one of the 20 sources; raw = the whole corpus
     tgt = docs.where(F.col("source") == "src0")
@@ -177,6 +185,7 @@ for name, fn in [("substr_dup_frac", op_dupfrac), ("decontaminate", op_decon),
                  ("chunk_dup_fraction", op_chunkdup),
                  ("remove_dup_spans", op_rmspans),
                  ("tfidf_topk", op_tfidf),
+                 ("bm25_topk", op_bm25),
                  ("dsir_logweights", op_dsir),
                  ("bloom_ingest", op_bloom)]:
     if only and name not in only:

@@ -586,3 +586,31 @@ def test_rrf_fuse_plan_shape(spark):
     ).toString()
     assert "TakeOrderedAndProject" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_bm25_random_corpus_differential(spark, seed):
+    """Differential sweep on a seeded random corpus: bm25_topk vs the
+    brute-force Python replay — random doc lengths (including empty
+    docs), a query mixing common, rare, and absent terms, and k larger
+    than the match set."""
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(120):
+        k = int(rng.randint(0, 15))
+        words = [vocab[j] for j in rng.randint(0, len(vocab), size=k)]
+        rows.append((i, " ".join(words)))
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from sqlfeatureextraction_spark.operators.stats import bm25_topk
+
+    q = "w0 w1 w29 zz_absent"
+    got = [
+        (r["doc_id"], r["n_terms_matched"], r["score"])
+        for r in bm25_topk(df, q, k=200).collect()
+    ]
+    assert got == _bm25_ref(pdf, q, 200)
