@@ -96,6 +96,40 @@ def _q_sessionize(spark, sf_dir):
     )
 
 
+def _q_pack_transcripts(spark, sf_dir):
+    """Transcript → SFT-example packing manifest: per-conversation
+    ordered "role: text" rendering offsets plus assistant-turn
+    loss-mask flags, with roles derived deterministically from
+    event_id (the shared-driver-data convention).  One window spec on
+    the conversation key — single shuffle, no Python; the packed
+    string is never materialized (manifest-not-payload, as
+    curation.pack_sequences)."""
+    from sqlfeatureextraction_spark.operators.sessionize import (
+        pack_transcript_spans,
+    )
+
+    ev = _events(spark, sf_dir)
+    roles = F.array(
+        F.lit("user"), F.lit("assistant"), F.lit("tool"), F.lit("system")
+    )
+    tx = ev.select(
+        "user_id",
+        "ts_sec",
+        "event_id",
+        F.element_at(
+            roles, (F.pmod(F.col("event_id"), F.lit(4)) + 1).cast("int")
+        ).alias("role"),
+        F.col("props").alias("text"),
+    )
+    return pack_transcript_spans(
+        tx,
+        conv_col="user_id",
+        order_cols=("ts_sec", "event_id"),
+        role_col="role",
+        text_col="text",
+    )
+
+
 def _q_lag_lead(spark, sf_dir):
     """W10/P9 analog: lag gap + lead value per entity, stable order."""
     ev = _events(spark, sf_dir)
@@ -2522,6 +2556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pit_window_sum": _q_pit_window_sum,
         "sessionize": _q_sessionize,
+        "pack_transcripts": _q_pack_transcripts,
         "lag_lead": _q_lag_lead,
         "topk_per_group": _q_topk_per_group,
         "asof_last_match": _q_asof_last_match,
@@ -3520,6 +3555,34 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_EV_TS})
             WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
                          RANGE BETWEEN 299 PRECEDING AND CURRENT ROW)
+        """,
+        # SFT packing manifest: char spans of "role: text" pieces in
+        # the per-conversation rendering (sep "\n"), assistant-masked
+        "pack_transcripts": f"""
+            WITH t AS (
+              SELECT user_id, ts_sec, event_id,
+                     (['user', 'assistant', 'tool', 'system'])
+                       [(event_id % 4) + 1] AS role,
+                     coalesce(props, '') AS text
+              FROM ({_EV_TS})
+            ),
+            p AS (
+              SELECT user_id, ts_sec, event_id, role,
+                     CAST(length(role) + 2 + length(text) AS BIGINT)
+                       AS piece
+              FROM t
+            ),
+            s AS (
+              SELECT *, CAST(coalesce(SUM(piece + 1) OVER (
+                       PARTITION BY user_id ORDER BY ts_sec, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS start_char
+              FROM p
+            )
+            SELECT user_id, ts_sec, event_id, role, start_char,
+                   start_char + piece AS end_char,
+                   role = 'assistant' AS train_on
+            FROM s
         """,
         "sessionize": f"""
             WITH g AS (

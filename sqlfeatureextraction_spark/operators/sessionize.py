@@ -121,3 +121,56 @@ def train_test_split_by_session(
         )
         .drop("_rn", "_n")
     )
+
+
+def pack_transcript_spans(
+    tx: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: tuple = ("turn_idx",),
+    role_col: str = "role",
+    text_col: str = "text",
+    sep: str = "\n",
+    train_roles: tuple = ("assistant",),
+) -> DataFrame:
+    """Transcript → training-example packing manifest with loss-mask
+    spans: render each conversation as the ordered concatenation of
+    ``"<role>: <text>"`` pieces joined by ``sep``, and emit one row per
+    turn with its character span in that rendering plus ``train_on``
+    (true for roles the loss is computed on — assistant turns by
+    default, the standard SFT masking).  The packed string itself is
+    never materialized (same manifest-not-payload design as
+    curation.pack_sequences): a writer reconstructs it from the spans,
+    and downstream tokenizer offsets are affine in the char offsets.
+
+    Offsets are exact by construction: ``start`` of a turn is the
+    window running sum of ``len(piece) + len(sep)`` over PRECEDING
+    turns in (order_cols) order, ``end = start + len(piece)``, with
+    ``piece = role + ": " + coalesce(text, '')``.
+
+    Plan shape: ONE window spec (partitionBy conv, orderBy order_cols)
+    computing the running sum — a single shuffle on the conversation
+    key, whole-stage codegen, no Python; per-task work is bounded by
+    conversation length, the same bound every transcript window op in
+    this engine carries.
+
+    Output: (conv_col, *order_cols, role_col, start_char, end_char,
+    train_on).
+    """
+    piece = F.length(F.col(role_col)) + F.lit(2) + F.length(
+        F.coalesce(F.col(text_col), F.lit(""))
+    )
+    w = Window.partitionBy(conv_col).orderBy(
+        *[F.asc(c) for c in order_cols]
+    )
+    prev = F.sum(piece + F.lit(len(sep))).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(prev, F.lit(0)).cast("long")
+    return tx.select(
+        conv_col,
+        *order_cols,
+        role_col,
+        start.alias("start_char"),
+        (start + piece).cast("long").alias("end_char"),
+        F.col(role_col).isin(*train_roles).alias("train_on"),
+    )
