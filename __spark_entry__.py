@@ -130,6 +130,37 @@ def _q_pack_transcripts(spark, sf_dir):
     )
 
 
+def _q_conv_dedup(spark, sf_dir):
+    """Conversation-level exact dedup (retry / double-submission
+    collapse): order-sensitive md5 fingerprint of the turn-ordered
+    text concatenation, keep-one per fingerprint.  Duplicate
+    conversations are synthesized by unioning an id-shifted copy of
+    every 10th conversation, so the keep/drop semantics are actually
+    exercised (originals keep — lower id).  The oracle rebuilds the
+    identical string with string_agg(text, chr(31) ORDER BY ts_sec,
+    event_id), so the fingerprint is cross-engine exact."""
+    from sqlfeatureextraction_spark.operators.dedup import (
+        dedup_conversations,
+    )
+
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "user_id",
+        "ts_sec",
+        "event_id",
+        F.coalesce(F.col("props"), F.lit("")).alias("text"),
+    )
+    copies = base.where(F.col("user_id") % 10 == 0).withColumn(
+        "user_id", F.col("user_id") + F.lit(1000000)
+    )
+    return dedup_conversations(
+        base.unionByName(copies),
+        conv_col="user_id",
+        order_cols=("ts_sec", "event_id"),
+        text_col="text",
+    )
+
+
 def _q_lag_lead(spark, sf_dir):
     """W10/P9 analog: lag gap + lead value per entity, stable order."""
     ev = _events(spark, sf_dir)
@@ -2557,6 +2588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_window_sum": _q_pit_window_sum,
         "sessionize": _q_sessionize,
         "pack_transcripts": _q_pack_transcripts,
+        "conv_dedup": _q_conv_dedup,
         "lag_lead": _q_lag_lead,
         "topk_per_group": _q_topk_per_group,
         "asof_last_match": _q_asof_last_match,
@@ -3555,6 +3587,35 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_EV_TS})
             WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
                          RANGE BETWEEN 299 PRECEDING AND CURRENT ROW)
+        """,
+        # conversation-level exact dedup: ordered-text md5 fingerprint,
+        # keep-one per fingerprint; id-shifted copies of every 10th
+        # conversation synthesize real duplicates
+        "conv_dedup": f"""
+            WITH b AS (
+              SELECT user_id, ts_sec, event_id,
+                     coalesce(props, '') AS text
+              FROM ({_EV_TS})
+            ),
+            u AS (
+              SELECT * FROM b
+              UNION ALL
+              SELECT user_id + 1000000, ts_sec, event_id, text
+              FROM b WHERE user_id % 10 = 0
+            ),
+            f AS (
+              SELECT user_id,
+                     md5(string_agg(text, chr(31)
+                         ORDER BY ts_sec, event_id)) AS fp,
+                     CAST(COUNT(*) AS BIGINT) AS n_turns
+              FROM u GROUP BY user_id
+            )
+            SELECT user_id, fp, n_turns,
+                   CAST(ROW_NUMBER() OVER (
+                     PARTITION BY fp ORDER BY user_id) AS INT) AS dup_rank,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY fp ORDER BY user_id) = 1 AS keep
+            FROM f
         """,
         # SFT packing manifest: char spans of "role: text" pieces in
         # the per-conversation rendering (sep "\n"), assistant-masked
