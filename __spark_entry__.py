@@ -161,6 +161,40 @@ def _q_conv_dedup(spark, sf_dir):
     )
 
 
+def _q_qa_pairs(spark, sf_dir):
+    """Prompt→response pair extraction (SFT/preference-data step):
+    every assistant turn paired with the nearest preceding user turn
+    in its conversation via last(ignorenulls) over one conversation
+    window — intervening tool/system turns are skipped over; orphan
+    responses drop.  Roles derive deterministically from event_id
+    (the shared-driver-data convention); latency_s = response minus
+    prompt epoch seconds."""
+    from sqlfeatureextraction_spark.operators.sessionize import (
+        pair_prompt_response,
+    )
+
+    ev = _events(spark, sf_dir)
+    roles = F.array(
+        F.lit("user"), F.lit("assistant"), F.lit("tool"), F.lit("system")
+    )
+    tx = ev.select(
+        "user_id",
+        "ts_sec",
+        "event_id",
+        "ts",
+        F.element_at(
+            roles, (F.pmod(F.col("event_id"), F.lit(4)) + 1).cast("int")
+        ).alias("role"),
+        F.col("props").alias("text"),
+    )
+    return pair_prompt_response(
+        tx,
+        conv_col="user_id",
+        order_cols=("ts_sec", "event_id"),
+        ts_col="ts",
+    )
+
+
 def _q_lag_lead(spark, sf_dir):
     """W10/P9 analog: lag gap + lead value per entity, stable order."""
     ev = _events(spark, sf_dir)
@@ -2589,6 +2623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "pack_transcripts": _q_pack_transcripts,
         "conv_dedup": _q_conv_dedup,
+        "qa_pairs": _q_qa_pairs,
         "lag_lead": _q_lag_lead,
         "topk_per_group": _q_topk_per_group,
         "asof_last_match": _q_asof_last_match,
@@ -3587,6 +3622,40 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_EV_TS})
             WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
                          RANGE BETWEEN 299 PRECEDING AND CURRENT ROW)
+        """,
+        # prompt→response pairing: nearest preceding user turn per
+        # assistant turn (last_value IGNORE NULLS over the preceding
+        # frame), roles derived from event_id, orphans dropped
+        "qa_pairs": f"""
+            WITH t AS (
+              SELECT user_id, ts_sec, event_id,
+                     (['user', 'assistant', 'tool', 'system'])
+                       [(event_id % 4) + 1] AS role,
+                     props AS text
+              FROM ({_EV_TS})
+            ),
+            p AS (
+              SELECT user_id, ts_sec, event_id, role,
+                     coalesce(text, '') AS rtext,
+                     LAST_VALUE(CASE WHEN role = 'user'
+                                     THEN ts_sec END IGNORE NULLS)
+                       OVER w AS prompt_idx,
+                     LAST_VALUE(CASE WHEN role = 'user'
+                                     THEN coalesce(text, '') END
+                                IGNORE NULLS)
+                       OVER w AS prompt_text,
+                     LAST_VALUE(CASE WHEN role = 'user'
+                                     THEN ts_sec END IGNORE NULLS)
+                       OVER w AS p_ts
+              FROM t
+              WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts_sec, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            )
+            SELECT user_id, ts_sec, event_id, prompt_idx, prompt_text,
+                   rtext AS response_text, ts_sec - p_ts AS latency_s
+            FROM p
+            WHERE role = 'assistant' AND prompt_idx IS NOT NULL
         """,
         # conversation-level exact dedup: ordered-text md5 fingerprint,
         # keep-one per fingerprint; id-shifted copies of every 10th

@@ -174,3 +174,67 @@ def pack_transcript_spans(
         (start + piece).cast("long").alias("end_char"),
         F.col(role_col).isin(*train_roles).alias("train_on"),
     )
+
+
+def pair_prompt_response(
+    tx: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: tuple = ("turn_idx",),
+    role_col: str = "role",
+    text_col: str = "text",
+    ts_col: str | None = None,
+    prompt_role: str = "user",
+    response_role: str = "assistant",
+) -> DataFrame:
+    """Prompt→response pair extraction: every ``response_role`` turn
+    paired with the NEAREST PRECEDING ``prompt_role`` turn in the same
+    conversation — the step that turns raw transcripts into SFT /
+    preference-tuning pairs (intervening tool/system turns are skipped
+    over, not broken on; a response with no preceding prompt in its
+    conversation is dropped).
+
+    Spark-first: one window spec (partitionBy conv, orderBy
+    order_cols) and ``last(..., ignorenulls=True)`` over a
+    role-gated projection — the conditional as-of lookup stays
+    whole-stage-codegen JVM, one shuffle on the conversation key,
+    per-task work bounded by conversation length.  If ``ts_col`` is
+    given, the prompt's timestamp is carried the same way and
+    ``latency_s`` (response ts − prompt ts, epoch seconds) is
+    emitted — the think-time feature.
+
+    Output: (conv_col, *order_cols, prompt_idx = the prompt's first
+    order col, prompt_text, response_text[, latency_s]).
+    """
+    w = Window.partitionBy(conv_col).orderBy(
+        *[F.asc(c) for c in order_cols]
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    is_prompt = F.col(role_col) == prompt_role
+    gate = lambda c: F.when(is_prompt, c)  # noqa: E731
+    idx0 = F.col(order_cols[0])
+    out = tx.withColumn(
+        "prompt_idx", F.last(gate(idx0), ignorenulls=True).over(w)
+    ).withColumn(
+        "prompt_text",
+        F.last(
+            gate(F.coalesce(F.col(text_col), F.lit(""))),
+            ignorenulls=True,
+        ).over(w),
+    )
+    if ts_col is not None:
+        out = out.withColumn(
+            "_p_ts",
+            F.last(gate(_epoch(ts_col)), ignorenulls=True).over(w),
+        ).withColumn("latency_s", _epoch(ts_col) - F.col("_p_ts"))
+    cols = [
+        conv_col,
+        *order_cols,
+        "prompt_idx",
+        "prompt_text",
+        F.coalesce(F.col(text_col), F.lit("")).alias("response_text"),
+    ]
+    if ts_col is not None:
+        cols.append("latency_s")
+    return out.where(
+        (F.col(role_col) == response_role)
+        & F.col("prompt_idx").isNotNull()
+    ).select(*cols)
