@@ -195,6 +195,37 @@ def _q_qa_pairs(spark, sf_dir):
     )
 
 
+def _q_context_budget(spark, sf_dir):
+    """Context-window assembly under a token budget (SFT history
+    builder): per turn, how many immediately preceding turns — and
+    their token total — fit in a 25-token budget; greedy backwards
+    truncation expressed as prefix sums + a RANGE frame (no
+    self-join, one conversation-key shuffle)."""
+    from sqlfeatureextraction_spark.operators.sessionize import (
+        assemble_context_budget,
+    )
+
+    ev = _events(spark, sf_dir)
+    tx = ev.select(
+        "user_id", "ts_sec", "event_id", F.col("props").alias("text")
+    )
+    out = assemble_context_budget(
+        tx,
+        budget_tokens=25,
+        conv_col="user_id",
+        order_cols=("ts_sec", "event_id"),
+    )
+    return out.select(
+        "user_id",
+        "ts_sec",
+        "event_id",
+        "n_tokens",
+        "ctx_turns",
+        "ctx_tokens",
+        F.coalesce("ctx_start_idx", F.lit(-1)).alias("ctx_start_idx"),
+    )
+
+
 def _q_lag_lead(spark, sf_dir):
     """W10/P9 analog: lag gap + lead value per entity, stable order."""
     ev = _events(spark, sf_dir)
@@ -2624,6 +2655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_transcripts": _q_pack_transcripts,
         "conv_dedup": _q_conv_dedup,
         "qa_pairs": _q_qa_pairs,
+        "context_budget": _q_context_budget,
         "lag_lead": _q_lag_lead,
         "topk_per_group": _q_topk_per_group,
         "asof_last_match": _q_asof_last_match,
@@ -3656,6 +3688,38 @@ def oracle_sql() -> dict[str, str]:
                    rtext AS response_text, ts_sec - p_ts AS latency_s
             FROM p
             WHERE role = 'assistant' AND prompt_idx IS NOT NULL
+        """,
+        # context-window assembly under a 25-token budget: greedy
+        # backwards truncation as prefix sums + RANGE frames; every
+        # turn charged max(1, whitespace tokens)
+        "context_budget": f"""
+            WITH t AS (
+              SELECT user_id, ts_sec, event_id,
+                     greatest(1,
+                       len(regexp_split_to_array(
+                             trim(coalesce(props, '')), '\\s+'))
+                       - CASE WHEN trim(coalesce(props, '')) = ''
+                              THEN 1 ELSE 0 END) AS n_tokens
+              FROM ({_EV_TS})
+            ),
+            c AS (
+              SELECT *,
+                     CAST(coalesce(SUM(n_tokens) OVER (
+                       PARTITION BY user_id ORDER BY ts_sec, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS BIGINT) AS p
+              FROM t
+            )
+            SELECT user_id, ts_sec, event_id,
+                   CAST(n_tokens AS INTEGER) AS n_tokens,
+                   COUNT(*) OVER w - 1 AS ctx_turns,
+                   CAST(p - MIN(p) OVER w AS BIGINT) AS ctx_tokens,
+                   coalesce(MIN(ts_sec) OVER wp, -1) AS ctx_start_idx
+            FROM c
+            WINDOW w AS (PARTITION BY user_id ORDER BY p
+                         RANGE BETWEEN 25 PRECEDING AND CURRENT ROW),
+                   wp AS (PARTITION BY user_id ORDER BY p
+                          RANGE BETWEEN 25 PRECEDING AND 1 PRECEDING)
         """,
         # conversation-level exact dedup: ordered-text md5 fingerprint,
         # keep-one per fingerprint; id-shifted copies of every 10th

@@ -238,3 +238,72 @@ def pair_prompt_response(
         (F.col(role_col) == response_role)
         & F.col("prompt_idx").isNotNull()
     ).select(*cols)
+
+
+def assemble_context_budget(
+    tx: DataFrame,
+    budget_tokens: int,
+    conv_col: str = "conv_id",
+    order_cols: tuple = ("turn_idx",),
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window assembly under a token budget: for every turn
+    (the anchor), how many IMMEDIATELY PRECEDING turns of the same
+    conversation fit in ``budget_tokens`` — the step that decides how
+    much history each SFT training example carries.  The included
+    context is the maximal contiguous suffix of prior turns whose
+    whitespace-token total is ≤ the budget (greedy-from-the-anchor
+    backwards, the standard truncation rule).
+
+    Spark-first, no self-join: with per-turn token counts t_k and the
+    exclusive running sum p_k = Σ_{m<k} t_m, turn k belongs to anchor
+    i's context iff p_k ≥ p_i − budget.  Every turn is charged
+    ``max(1, tokens)`` (the role header always costs something), so
+    p is STRICTLY increasing within a conversation and a window
+    ``ORDER BY p RANGE BETWEEN budget PRECEDING AND CURRENT ROW``
+    selects exactly the suffix {j..i}: count−1 = context turns,
+    p_i − min(p) = context tokens, min(idx) on the proper frame = the
+    first included turn.  Two window sorts over ONE hash exchange on
+    the conversation key; whole-stage codegen throughout (the same
+    backwards-budget scan a per-conversation Python loop would do,
+    expressed as prefix sums — O(n log n) in-partition, no
+    quadratic self-join, no single-task conversation pinning).
+
+    Output: (conv_col, *order_cols, n_tokens, ctx_turns, ctx_tokens,
+    ctx_start_idx) — ctx_start_idx is NULL when no prior turn fits.
+    """
+    idx0 = F.col(order_cols[0])
+    toks = F.greatest(
+        F.lit(1),
+        F.size(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+        )
+        - F.when(
+            F.trim(F.coalesce(F.col(text_col), F.lit(""))) == "", 1
+        ).otherwise(0),
+    )
+    w_ord = Window.partitionBy(conv_col).orderBy(
+        *[F.asc(c) for c in order_cols]
+    )
+    cum_excl = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    stepped = tx.withColumn("n_tokens", toks).withColumn(
+        "_p", F.coalesce(F.sum("n_tokens").over(cum_excl), F.lit(0))
+    )
+    w_rng = (
+        Window.partitionBy(conv_col)
+        .orderBy(F.col("_p").cast("long"))
+        .rangeBetween(-int(budget_tokens), 0)
+    )
+    w_prior = (
+        Window.partitionBy(conv_col)
+        .orderBy(F.col("_p").cast("long"))
+        .rangeBetween(-int(budget_tokens), -1)
+    )
+    return stepped.select(
+        conv_col,
+        *order_cols,
+        "n_tokens",
+        (F.count(F.lit(1)).over(w_rng) - F.lit(1)).alias("ctx_turns"),
+        (F.col("_p") - F.min("_p").over(w_rng)).alias("ctx_tokens"),
+        F.min(idx0).over(w_prior).alias("ctx_start_idx"),
+    )
