@@ -195,6 +195,49 @@ def _q_qa_pairs(spark, sf_dir):
     )
 
 
+def _q_preference_pairs(spark, sf_dir):
+    """DPO preference-pair construction: assistant regenerations
+    sharing the nearest preceding user prompt reduced to one
+    chosen/rejected pair per prompt by reward score (events.value),
+    strict-margin filter, deterministic tie-breaks — one window
+    lookup + one max_by/min_by groupBy, no self-join."""
+    from sqlfeatureextraction_spark.operators.sessionize import (
+        build_preference_pairs,
+    )
+
+    ev = _events(spark, sf_dir)
+    roles = F.array(
+        F.lit("user"), F.lit("assistant"), F.lit("tool"), F.lit("system")
+    )
+    tx = ev.select(
+        "user_id",
+        "ts_sec",
+        "event_id",
+        F.element_at(
+            roles, (F.pmod(F.col("event_id"), F.lit(4)) + 1).cast("int")
+        ).alias("role"),
+        F.col("props").alias("text"),
+        F.col("value").alias("score"),
+    )
+    out = build_preference_pairs(
+        tx,
+        conv_col="user_id",
+        order_cols=("ts_sec", "event_id"),
+    )
+    return out.select(
+        "user_id",
+        "prompt_idx",
+        "prompt_text",
+        "n_responses",
+        "chosen_idx",
+        "chosen_text",
+        F.round("chosen_score", 4).alias("chosen_score"),
+        "rejected_idx",
+        "rejected_text",
+        F.round("rejected_score", 4).alias("rejected_score"),
+    )
+
+
 def _q_context_budget(spark, sf_dir):
     """Context-window assembly under a token budget (SFT history
     builder): per turn, how many immediately preceding turns — and
@@ -2656,6 +2699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_dedup": _q_conv_dedup,
         "qa_pairs": _q_qa_pairs,
         "context_budget": _q_context_budget,
+        "preference_pairs": _q_preference_pairs,
         "lag_lead": _q_lag_lead,
         "topk_per_group": _q_topk_per_group,
         "asof_last_match": _q_asof_last_match,
@@ -3688,6 +3732,68 @@ def oracle_sql() -> dict[str, str]:
                    rtext AS response_text, ts_sec - p_ts AS latency_s
             FROM p
             WHERE role = 'assistant' AND prompt_idx IS NOT NULL
+        """,
+        # DPO preference pairs: assistant regenerations per nearest
+        # preceding user prompt -> chosen (max score, earlier wins
+        # ties) vs rejected (min score, later loses ties), strict
+        # margin, >=2 responses
+        "preference_pairs": f"""
+            WITH t AS (
+              SELECT user_id, ts_sec, event_id,
+                     (['user', 'assistant', 'tool', 'system'])
+                       [(event_id % 4) + 1] AS role,
+                     coalesce(props, '') AS text,
+                     value AS score
+              FROM ({_EV_TS})
+            ),
+            p AS (
+              SELECT user_id, ts_sec, event_id, role, text, score,
+                     LAST_VALUE(CASE WHEN role = 'user'
+                                     THEN ts_sec END IGNORE NULLS)
+                       OVER w AS prompt_idx,
+                     LAST_VALUE(CASE WHEN role = 'user'
+                                     THEN text END IGNORE NULLS)
+                       OVER w AS prompt_text
+              FROM t
+              WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts_sec, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ),
+            r AS (
+              SELECT * FROM p
+              WHERE role = 'assistant' AND prompt_idx IS NOT NULL
+            ),
+            rr AS (
+              SELECT *,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY user_id, prompt_idx
+                       ORDER BY score DESC, ts_sec ASC, event_id ASC
+                     ) AS rk_hi,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY user_id, prompt_idx
+                       ORDER BY score ASC, ts_sec DESC, event_id DESC
+                     ) AS rk_lo,
+                     COUNT(*) OVER (
+                       PARTITION BY user_id, prompt_idx
+                     ) AS n_responses,
+                     MAX(prompt_text) OVER (
+                       PARTITION BY user_id, prompt_idx
+                     ) AS g_prompt_text
+              FROM r
+            )
+            SELECT hi.user_id, hi.prompt_idx,
+                   hi.g_prompt_text AS prompt_text,
+                   hi.n_responses,
+                   hi.ts_sec AS chosen_idx, hi.text AS chosen_text,
+                   ROUND(hi.score, 4) AS chosen_score,
+                   lo.ts_sec AS rejected_idx, lo.text AS rejected_text,
+                   ROUND(lo.score, 4) AS rejected_score
+            FROM rr hi
+            JOIN rr lo
+              ON hi.user_id = lo.user_id
+             AND hi.prompt_idx = lo.prompt_idx
+            WHERE hi.rk_hi = 1 AND lo.rk_lo = 1
+              AND hi.n_responses >= 2 AND hi.score > lo.score
         """,
         # context-window assembly under a 25-token budget: greedy
         # backwards truncation as prefix sums + RANGE frames; every

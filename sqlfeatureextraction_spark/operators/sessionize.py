@@ -307,3 +307,97 @@ def assemble_context_budget(
         (F.col("_p") - F.min("_p").over(w_rng)).alias("ctx_tokens"),
         F.min(idx0).over(w_prior).alias("ctx_start_idx"),
     )
+
+
+def build_preference_pairs(
+    tx: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: tuple = ("turn_idx",),
+    role_col: str = "role",
+    text_col: str = "text",
+    score_col: str = "score",
+    prompt_role: str = "user",
+    response_role: str = "assistant",
+) -> DataFrame:
+    """Preference-pair (chosen/rejected) construction for DPO/RLHF:
+    assistant responses that answer the SAME prompt (regenerations /
+    retries — multiple ``response_role`` turns sharing the nearest
+    preceding ``prompt_role`` turn) are reduced to one training pair
+    per prompt: chosen = highest ``score_col``, rejected = lowest,
+    with the earlier turn (full numeric order-column tuple) winning
+    score ties on the chosen side and the later turn losing them on
+    the rejected side (deterministic, order-stable even when the
+    leading order column has duplicates).  Prompts with a single
+    response, or whose best and
+    worst scores are equal, yield no pair — the standard DPO margin
+    filter.
+
+    Spark-first: prompt attribution is the same one-window
+    last(ignorenulls) lookup as :func:`pair_prompt_response`; the
+    per-prompt reduction is ONE groupBy with ``max_by``/``min_by``
+    over lexicographic struct keys (score, −idx) — no self-join, no
+    row_number + filter + re-join, partial aggregation map-side.
+    Two narrow shuffles total (conversation key, then prompt key).
+
+    Output: (conv_col, prompt_idx, prompt_text, n_responses,
+    chosen_idx, chosen_text, chosen_score, rejected_idx,
+    rejected_text, rejected_score).
+    """
+    w = Window.partitionBy(conv_col).orderBy(
+        *[F.asc(c) for c in order_cols]
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    is_prompt = F.col(role_col) == prompt_role
+    idx0 = F.col(order_cols[0])
+    resp = (
+        tx.withColumn(
+            "prompt_idx",
+            F.last(F.when(is_prompt, idx0), ignorenulls=True).over(w),
+        )
+        .withColumn(
+            "prompt_text",
+            F.last(
+                F.when(is_prompt, F.coalesce(F.col(text_col), F.lit(""))),
+                ignorenulls=True,
+            ).over(w),
+        )
+        .where(
+            (F.col(role_col) == response_role)
+            & F.col("prompt_idx").isNotNull()
+        )
+    )
+    cand = F.struct(
+        idx0.alias("idx"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("text"),
+        F.col(score_col).cast("double").alias("score"),
+    )
+    hi_key = F.struct(
+        F.col(score_col).cast("double").alias("s"),
+        *[
+            (-F.col(c)).alias(f"i{k}")
+            for k, c in enumerate(order_cols)
+        ],
+    )
+    agg = resp.groupBy(conv_col, "prompt_idx").agg(
+        # max, not first: constant within a group except in the
+        # degenerate equal-prompt_idx collision case, where max keeps
+        # the reduction deterministic and cross-engine reproducible
+        F.max("prompt_text").alias("prompt_text"),
+        F.count(F.lit(1)).alias("n_responses"),
+        F.max_by(cand, hi_key).alias("_c"),
+        F.min_by(cand, hi_key).alias("_r"),
+    )
+    return agg.where(
+        (F.col("n_responses") >= 2)
+        & (F.col("_c.score") > F.col("_r.score"))
+    ).select(
+        conv_col,
+        "prompt_idx",
+        "prompt_text",
+        "n_responses",
+        F.col("_c.idx").alias("chosen_idx"),
+        F.col("_c.text").alias("chosen_text"),
+        F.col("_c.score").alias("chosen_score"),
+        F.col("_r.idx").alias("rejected_idx"),
+        F.col("_r.text").alias("rejected_text"),
+        F.col("_r.score").alias("rejected_score"),
+    )
