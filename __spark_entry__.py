@@ -195,6 +195,46 @@ def _q_qa_pairs(spark, sf_dir):
     )
 
 
+def _q_code_blocks(spark, sf_dir):
+    """Fenced code-block mining: markdown synthesized deterministically
+    from documents (0/1/2 fences per doc by doc_id%3), extracted with
+    regexp_extract_all x2 + arrays_zip + posexplode — pure per-row
+    flatMap, no shuffle, no Python."""
+    from sqlfeatureextraction_spark.operators.textstats import (
+        extract_code_blocks,
+    )
+
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    k = F.pmod(F.col("doc_id"), F.lit(3))
+    md = (
+        F.when(
+            k == 0,
+            F.concat(
+                F.lit("intro\n```python\n"),
+                F.substring(t, 1, 40),
+                F.lit("\n```\ntail"),
+            ),
+        )
+        .when(
+            k == 1,
+            F.concat(
+                F.lit("a\n```\n"),
+                F.substring(t, 1, 10),
+                F.lit("\n``` mid\n```js\n"),
+                F.substring(t, 11, 20),
+                F.lit("```"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("plain "), t))
+    )
+    return extract_code_blocks(
+        doc.select("doc_id", md.alias("md")),
+        text_col="md",
+        id_cols=("doc_id",),
+    )
+
+
 def _q_preference_pairs(spark, sf_dir):
     """DPO preference-pair construction: assistant regenerations
     sharing the nearest preceding user prompt reduced to one
@@ -2700,6 +2740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qa_pairs": _q_qa_pairs,
         "context_budget": _q_context_budget,
         "preference_pairs": _q_preference_pairs,
+        "code_blocks": _q_code_blocks,
         "lag_lead": _q_lag_lead,
         "topk_per_group": _q_topk_per_group,
         "asof_last_match": _q_asof_last_match,
@@ -3732,6 +3773,46 @@ def oracle_sql() -> dict[str, str]:
                    rtext AS response_text, ts_sec - p_ts AS latency_s
             FROM p
             WHERE role = 'assistant' AND prompt_idx IS NOT NULL
+        """,
+        # fenced code-block mining over synthesized markdown (same
+        # deterministic fence layout as the Spark side); RE2 lazy
+        # (?s) fences, one trailing newline stripped per CommonMark
+        "code_blocks": """
+            WITH synth AS (
+              SELECT doc_id,
+                     CASE doc_id % 3
+                       WHEN 0 THEN 'intro' || chr(10) || '```python'
+                         || chr(10) || substr(coalesce(text, ''), 1, 40)
+                         || chr(10) || '```' || chr(10) || 'tail'
+                       WHEN 1 THEN 'a' || chr(10) || '```' || chr(10)
+                         || substr(coalesce(text, ''), 1, 10)
+                         || chr(10) || '``` mid' || chr(10) || '```js'
+                         || chr(10) || substr(coalesce(text, ''), 11, 20)
+                         || '```'
+                       ELSE 'plain ' || coalesce(text, '')
+                     END AS md
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id,
+                     regexp_extract_all(md,
+                       '(?s)```([a-zA-Z0-9_+\\-]*)\\r?\\n(.*?)```',
+                       1) AS langs,
+                     regexp_extract_all(md,
+                       '(?s)```([a-zA-Z0-9_+\\-]*)\\r?\\n(.*?)```',
+                       2) AS bodies
+              FROM synth
+            ),
+            x AS (
+              SELECT doc_id, i - 1 AS block_idx, langs[i] AS lang,
+                     regexp_replace(bodies[i], '\\n$', '') AS code
+              FROM m
+              CROSS JOIN unnest(generate_series(1, len(langs))) AS g(i)
+            )
+            SELECT doc_id, block_idx, lang, code,
+                   length(code) AS code_chars,
+                   len(string_split(code, chr(10))) AS code_lines
+            FROM x
         """,
         # DPO preference pairs: assistant regenerations per nearest
         # preceding user prompt -> chosen (max score, earlier wins

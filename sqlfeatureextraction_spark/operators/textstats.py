@@ -246,3 +246,50 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
         out = out.withColumn(name, expr)
         passes = passes & F.col(name)
     return out.withColumn("passes_gopher", passes)
+
+
+CODE_FENCE_RE = r"(?s)```([a-zA-Z0-9_+\-]*)\r?\n(.*?)```"
+
+
+def extract_code_blocks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple = ("doc_id",),
+) -> DataFrame:
+    """Fenced code-block extraction from markdown-ish text — the step
+    that mines code training data out of transcripts/documents.  Each
+    ````` ```lang\\n body ``` ````` fence yields one output row with
+    its 0-based ``block_idx`` within the document, the (possibly
+    empty) info-string language tag, and the body with exactly one
+    trailing newline stripped (CommonMark: the closing fence's line
+    break belongs to the fence, not the code).
+
+    Spark-first: two ``regexp_extract_all`` calls (group 1 = lang,
+    group 2 = body) + ``arrays_zip`` + ``posexplode`` — all JVM
+    codegen, zero Python, zero shuffle (a pure per-row flatMap; the
+    explode preserves the upstream partitioning).  Non-greedy
+    ``(.*?)`` with ``(?s)`` keeps adjacent fences separate while
+    letting bodies span lines; an unclosed trailing fence matches
+    nothing, by construction.
+
+    Output: (*id_cols, block_idx, lang, code, code_chars, code_lines).
+    """
+    langs = F.regexp_extract_all(F.col(text_col), F.lit(CODE_FENCE_RE), 1)
+    bodies = F.regexp_extract_all(F.col(text_col), F.lit(CODE_FENCE_RE), 2)
+    code = F.regexp_replace(F.col("z.bodies"), r"\n$", "")
+    return (
+        df.select(
+            *id_cols,
+            F.posexplode(
+                F.arrays_zip(langs.alias("langs"), bodies.alias("bodies"))
+            ).alias("block_idx", "z"),
+        )
+        .select(
+            *id_cols,
+            "block_idx",
+            F.col("z.langs").alias("lang"),
+            code.alias("code"),
+            F.length(code).alias("code_chars"),
+            F.size(F.split(code, r"\n", -1)).alias("code_lines"),
+        )
+    )
