@@ -195,6 +195,24 @@ def _q_qa_pairs(spark, sf_dir):
     )
 
 
+def _q_pool_embeddings(spark, sf_dir):
+    """Per-label centroid pooling over the embeddings table: 64
+    plan-time sum aggregates -> ONE shuffle carrying groups x dim,
+    map-side partial agg, no explode; driver projection unnests the
+    centroid for the cross-engine compare."""
+    from sqlfeatureextraction_spark.operators.similarity import (
+        pool_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = pool_embeddings(emb, dim=64, group_col="label")
+    return out.select(
+        "label",
+        "n_vecs",
+        F.posexplode("centroid").alias("dim_idx", "centroid"),
+    )
+
+
 def _q_code_blocks(spark, sf_dir):
     """Fenced code-block mining: markdown synthesized deterministically
     from documents (0/1/2 fences per doc by doc_id%3), extracted with
@@ -2741,6 +2759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_budget": _q_context_budget,
         "preference_pairs": _q_preference_pairs,
         "code_blocks": _q_code_blocks,
+        "pool_embeddings": _q_pool_embeddings,
         "lag_lead": _q_lag_lead,
         "topk_per_group": _q_topk_per_group,
         "asof_last_match": _q_asof_last_match,
@@ -3773,6 +3792,18 @@ def oracle_sql() -> dict[str, str]:
                    rtext AS response_text, ts_sec - p_ts AS latency_s
             FROM p
             WHERE role = 'assistant' AND prompt_idx IS NOT NULL
+        """,
+        # per-label embedding centroids, exploded to (label, dim_idx,
+        # value): avg of double-cast elements, 6dp
+        "pool_embeddings": """
+            SELECT label, n_vecs, i - 1 AS dim_idx, v AS centroid
+            FROM (
+              SELECT label, i, COUNT(*) AS n_vecs,
+                     ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS v
+              FROM embeddings
+              CROSS JOIN unnest(generate_series(1, 64)) AS g(i)
+              GROUP BY label, i
+            )
         """,
         # fenced code-block mining over synthesized markdown (same
         # deterministic fence layout as the Spark side); RE2 lazy

@@ -624,3 +624,43 @@ def rrf_fuse(
         .orderBy(F.desc("rrf_score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def pool_embeddings(
+    df: DataFrame,
+    dim: int,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Element-wise mean pooling of embedding vectors per group — the
+    centroid step behind semantic clustering, class prototypes, and
+    conversation-level embeddings (mean of turn embeddings).
+
+    Spark-first with a KNOWN dim: the group reduction is ``dim``
+    scalar ``sum(vec[i])`` aggregates built at plan time — ONE
+    shuffle with map-side partial aggregation (shuffle volume =
+    groups × dim, never rows × dim), whole-stage codegen, no
+    explode and no Python.  Elements are cast to double BEFORE
+    summing and the mean is rounded to ``round_dp`` so the result is
+    reproducible across engines and partition orders to the emitted
+    precision.  (For unknown/ragged dim the posexplode → groupBy
+    (group, pos) → sort-assemble form is the fallback; fixed-dim
+    model embeddings never need it.)
+
+    Output: (group_col, n_vecs, centroid array<double>).
+    """
+    sums = [
+        F.sum(F.col(vec_col)[i].cast("double")).alias(f"_s{i}")
+        for i in range(dim)
+    ]
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_vecs"), *sums
+    )
+    centroid = F.array(
+        *[
+            F.round(F.col(f"_s{i}") / F.col("n_vecs"), round_dp)
+            for i in range(dim)
+        ]
+    )
+    return agg.select(group_col, "n_vecs", centroid.alias("centroid"))
