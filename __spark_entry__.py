@@ -195,6 +195,32 @@ def _q_qa_pairs(spark, sf_dir):
     )
 
 
+def _q_merge_turns(spark, sf_dir):
+    """Chat-template normalization: consecutive same-role turns
+    collapsed into one turn (run-id = running sum of role-change
+    flags; in-group sort makes the join deterministic)."""
+    from sqlfeatureextraction_spark.operators.sessionize import (
+        merge_consecutive_turns,
+    )
+
+    ev = _events(spark, sf_dir)
+    roles = F.array(
+        F.lit("user"), F.lit("assistant"), F.lit("tool"), F.lit("system")
+    )
+    tx = ev.select(
+        "user_id",
+        "ts_sec",
+        "event_id",
+        F.element_at(
+            roles, (F.pmod(F.col("event_id"), F.lit(4)) + 1).cast("int")
+        ).alias("role"),
+        F.col("props").alias("text"),
+    )
+    return merge_consecutive_turns(
+        tx, conv_col="user_id", order_cols=("ts_sec", "event_id")
+    )
+
+
 def _q_pool_embeddings(spark, sf_dir):
     """Per-label centroid pooling over the embeddings table: 64
     plan-time sum aggregates -> ONE shuffle carrying groups x dim,
@@ -2760,6 +2786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_pairs": _q_preference_pairs,
         "code_blocks": _q_code_blocks,
         "pool_embeddings": _q_pool_embeddings,
+        "merge_turns": _q_merge_turns,
         "lag_lead": _q_lag_lead,
         "topk_per_group": _q_topk_per_group,
         "asof_last_match": _q_asof_last_match,
@@ -3792,6 +3819,40 @@ def oracle_sql() -> dict[str, str]:
                    rtext AS response_text, ts_sec - p_ts AS latency_s
             FROM p
             WHERE role = 'assistant' AND prompt_idx IS NOT NULL
+        """,
+        # consecutive same-role run merging: run id = running sum of
+        # role-change flags; ordered string_agg join
+        "merge_turns": f"""
+            WITH t AS (
+              SELECT user_id, ts_sec, event_id,
+                     (['user', 'assistant', 'tool', 'system'])
+                       [(event_id % 4) + 1] AS role,
+                     coalesce(props, '') AS text
+              FROM ({_EV_TS})
+            ),
+            l AS (
+              SELECT *, LAG(role) OVER (
+                PARTITION BY user_id ORDER BY ts_sec, event_id
+              ) AS prev_role
+              FROM t
+            ),
+            s AS (
+              SELECT *, SUM(CASE WHEN prev_role IS NULL
+                                   OR prev_role <> role
+                                 THEN 1 ELSE 0 END) OVER (
+                PARTITION BY user_id ORDER BY ts_sec, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) - 1 AS seg_idx
+              FROM l
+            )
+            SELECT user_id, seg_idx, MAX(role) AS role,
+                   string_agg(text, chr(10)
+                              ORDER BY ts_sec, event_id) AS text,
+                   COUNT(*) AS n_merged,
+                   MIN(ts_sec) AS first_idx,
+                   MAX(ts_sec) AS last_idx
+            FROM s
+            GROUP BY user_id, seg_idx
         """,
         # per-label embedding centroids, exploded to (label, dim_idx,
         # value): avg of double-cast elements, 6dp

@@ -401,3 +401,62 @@ def build_preference_pairs(
         F.col("_r.text").alias("rejected_text"),
         F.col("_r.score").alias("rejected_score"),
     )
+
+
+def merge_consecutive_turns(
+    tx: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: tuple = ("turn_idx",),
+    role_col: str = "role",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Transcript normalization: collapse RUNS of consecutive turns
+    with the same role into one turn (double submissions, streamed
+    chunks, multi-message replies), concatenating texts in turn order
+    with ``sep`` — the canonicalization most chat-template renderers
+    require (strict role alternation).
+
+    Spark-first: the run id is a running sum of role-change flags
+    (lag over one conversation window — the same segmenting idiom as
+    :func:`sessionize`); the per-run reduction is a groupBy whose
+    text assembly is ``array_join(transform(array_sort(collect_list(
+    struct(order…, text)))))`` — sorted in-group, so the result is
+    deterministic regardless of shuffle arrival order, all JVM.
+    Per-task memory is bounded by the longest same-role run, not the
+    conversation.  Two narrow shuffles (conversation window, then the
+    run-key aggregation).
+
+    Output: (conv_col, seg_idx = 0-based run index, role_col, text =
+    joined run text, n_merged, first_idx, last_idx).
+    """
+    w = Window.partitionBy(conv_col).orderBy(
+        *[F.asc(c) for c in order_cols]
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    role = F.coalesce(F.col(role_col), F.lit(""))
+    changed = F.when(
+        F.lag(role).over(w).isNull() | (F.lag(role).over(w) != role),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    idx0 = F.col(order_cols[0])
+    seg = tx.withColumn("seg_idx", F.sum(changed).over(run) - F.lit(1))
+    item = F.struct(
+        *[F.col(c).alias(f"o{k}") for k, c in enumerate(order_cols)],
+        F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+    )
+    return (
+        seg.groupBy(conv_col, "seg_idx")
+        .agg(
+            F.max(role).alias(role_col),  # constant within a run
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(item)), lambda s: s["t"]
+                ),
+                sep,
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_merged"),
+            F.min(idx0).alias("first_idx"),
+            F.max(idx0).alias("last_idx"),
+        )
+    )
