@@ -195,6 +195,19 @@ def _q_qa_pairs(spark, sf_dir):
     )
 
 
+def _q_char_entropy(spark, sf_dir):
+    """Character-entropy quality signal per document — per-row
+    higher-order-function histogram, no explode, no shuffle."""
+    from sqlfeatureextraction_spark.operators.textstats import (
+        with_char_entropy,
+    )
+
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_char_entropy(doc.select("doc_id", "text")).select(
+        "doc_id", "char_entropy"
+    )
+
+
 def _q_merge_turns(spark, sf_dir):
     """Chat-template normalization: consecutive same-role turns
     collapsed into one turn (run-id = running sum of role-change
@@ -2787,6 +2800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_blocks": _q_code_blocks,
         "pool_embeddings": _q_pool_embeddings,
         "merge_turns": _q_merge_turns,
+        "char_entropy": _q_char_entropy,
         "lag_lead": _q_lag_lead,
         "topk_per_group": _q_topk_per_group,
         "asof_last_match": _q_asof_last_match,
@@ -3819,6 +3833,28 @@ def oracle_sql() -> dict[str, str]:
                    rtext AS response_text, ts_sec - p_ts AS latency_s
             FROM p
             WHERE role = 'assistant' AND prompt_idx IS NOT NULL
+        """,
+        # per-document character Shannon entropy (quality signal),
+        # 6dp; empty text scores 0
+        "char_entropy": """
+            WITH h AS (
+              SELECT doc_id, c, CAST(COUNT(*) AS DOUBLE) AS cnt,
+                     CAST(SUM(COUNT(*)) OVER (PARTITION BY doc_id)
+                          AS DOUBLE) AS tot
+              FROM (
+                SELECT doc_id,
+                       unnest(string_split(coalesce(text, ''), '')) AS c
+                FROM documents
+              )
+              GROUP BY doc_id, c
+            ),
+            e AS (
+              SELECT doc_id,
+                     ROUND(-SUM((cnt / tot) * log2(cnt / tot)), 6) AS ent
+              FROM h GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(e.ent, 0.0) AS char_entropy
+            FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
         """,
         # consecutive same-role run merging: run id = running sum of
         # role-change flags; ordered string_agg join

@@ -293,3 +293,38 @@ def extract_code_blocks(
             F.size(F.split(code, r"\n", -1)).alias("code_lines"),
         )
     )
+
+
+def with_char_entropy(
+    df: DataFrame, text_col: str = "text", round_dp: int = 6
+) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic
+    cheap gibberish/boilerplate detector (near-zero for repeated
+    characters, ~4.1 bits for ordinary English prose): H = −Σ p_c
+    log2 p_c over the document's character histogram.
+
+    Spark-first, per-row only: the histogram is built with
+    higher-order functions (``array_distinct`` + ``filter`` counts
+    over the char array — O(distinct × len) JVM work per row, no
+    explode, no shuffle, no Python), and the entropy reduction is one
+    ``F.aggregate``.  Empty/NULL text scores 0.  Rounded to
+    ``round_dp`` so the value is reproducible across engines and
+    summation orders.
+
+    Adds: char_entropy (double).
+    """
+    chars = F.split(F.coalesce(F.col(text_col), F.lit("")), "")
+    n = F.size(chars).cast("double")
+    dc = F.array_distinct(chars)
+    cnt = lambda c: F.size(  # noqa: E731
+        F.filter(chars, lambda x: x == c)
+    ).cast("double")
+    ent = F.aggregate(
+        dc,
+        F.lit(0.0),
+        lambda acc, c: acc - (cnt(c) / n) * F.log2(cnt(c) / n),
+    )
+    return df.withColumn(
+        "char_entropy",
+        F.when(n > 0, F.round(ent, round_dp)).otherwise(F.lit(0.0)),
+    )
