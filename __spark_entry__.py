@@ -195,6 +195,27 @@ def _q_qa_pairs(spark, sf_dir):
     )
 
 
+def _q_calibrate_threshold(spark, sf_dir):
+    """Per-group quantile threshold calibration: keep events whose
+    value clears their own event_type's 75th percentile (exact GK
+    sketch == DuckDB quantile_disc), broadcast join-back + filter."""
+    from sqlfeatureextraction_spark.operators.selection import (
+        calibrate_group_threshold,
+    )
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    out = calibrate_group_threshold(
+        ev, group_col="event_type", score_col="value", q=0.75
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.round("threshold", 4).alias("threshold"),
+        "n_group",
+    )
+
+
 def _q_char_entropy(spark, sf_dir):
     """Character-entropy quality signal per document — per-row
     higher-order-function histogram, no explode, no shuffle."""
@@ -2801,6 +2822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pool_embeddings": _q_pool_embeddings,
         "merge_turns": _q_merge_turns,
         "char_entropy": _q_char_entropy,
+        "calibrate_threshold": _q_calibrate_threshold,
         "lag_lead": _q_lag_lead,
         "topk_per_group": _q_topk_per_group,
         "asof_last_match": _q_asof_last_match,
@@ -3833,6 +3855,22 @@ def oracle_sql() -> dict[str, str]:
                    rtext AS response_text, ts_sec - p_ts AS latency_s
             FROM p
             WHERE role = 'assistant' AND prompt_idx IS NOT NULL
+        """,
+        # per-event_type 75th-percentile value cut: quantile_disc
+        # threshold, keep rows at or above it
+        "calibrate_threshold": """
+            WITH t AS (
+              SELECT event_type,
+                     quantile_disc(value, 0.75) AS threshold,
+                     COUNT(value) AS n_group
+              FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type,
+                   ROUND(e.value, 4) AS value,
+                   ROUND(t.threshold, 4) AS threshold,
+                   t.n_group
+            FROM events e JOIN t USING (event_type)
+            WHERE e.value >= t.threshold
         """,
         # per-document character Shannon entropy (quality signal),
         # 6dp; empty text scores 0

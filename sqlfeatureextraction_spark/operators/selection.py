@@ -234,3 +234,42 @@ def dsir_gumbel_sample(
         .orderBy(F.desc("gumbel_key"), F.asc(id_col))
         .limit(k)
     )
+
+
+def calibrate_group_threshold(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    q: float = 0.75,
+    accuracy: int = 1_000_000,
+    keep: bool = True,
+) -> DataFrame:
+    """Per-group quantile threshold calibration — the curation step
+    that turns a raw quality score into a per-domain/per-source KEEP
+    decision: each group's cut is its own ``q``-quantile, so a noisy
+    domain is filtered as aggressively as a clean one (absolute
+    global cuts over-prune whole domains; per-group calibration is
+    the standard fix).
+
+    Spark-first: the thresholds are ONE GK-sketch aggregation
+    (``percentile_approx`` — mergeable, map-side partial, one narrow
+    shuffle carrying sketch states; at ``accuracy`` ≥ group size the
+    sketch is EXACT and equals DuckDB's ``quantile_disc``, the same
+    exactness identity the doc_len_quantiles row pins), then a
+    BROADCAST join back (groups ≪ rows) and a codegen filter.  Rows
+    with a NULL score drop (no rank).  With ``keep=False`` the
+    filter is skipped and every row carries its group threshold —
+    the audit view.
+
+    Output: df's columns + (threshold, n_group).
+    """
+    thr = df.groupBy(group_col).agg(
+        F.percentile_approx(score_col, float(q), int(accuracy)).alias(
+            "threshold"
+        ),
+        F.count(score_col).alias("n_group"),
+    )
+    out = df.join(F.broadcast(thr), group_col)
+    if keep:
+        out = out.where(F.col(score_col) >= F.col("threshold"))
+    return out
