@@ -195,6 +195,20 @@ def _q_qa_pairs(spark, sf_dir):
     )
 
 
+def _q_session_window(spark, sf_dir):
+    """Spark-native F.session_window (batch mode, second-truncated
+    timestamps) pinned against the classic lag-flag gap-session SQL:
+    merge at diff <= gap, split at diff > gap, end = last + gap."""
+    from sqlfeatureextraction_spark.operators.windows import (
+        session_window_agg,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_window_agg(
+        ev, gap_s=300, entity_col="user_id", value_col="value"
+    )
+
+
 def _q_calibrate_threshold(spark, sf_dir):
     """Per-group quantile threshold calibration: keep events whose
     value clears their own event_type's 75th percentile (exact GK
@@ -2823,6 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_turns": _q_merge_turns,
         "char_entropy": _q_char_entropy,
         "calibrate_threshold": _q_calibrate_threshold,
+        "session_window_native": _q_session_window,
         "lag_lead": _q_lag_lead,
         "topk_per_group": _q_topk_per_group,
         "asof_last_match": _q_asof_last_match,
@@ -3855,6 +3870,33 @@ def oracle_sql() -> dict[str, str]:
                    rtext AS response_text, ts_sec - p_ts AS latency_s
             FROM p
             WHERE role = 'assistant' AND prompt_idx IS NOT NULL
+        """,
+        # native session_window equivalence: gap sessions split when
+        # the (second-floored) diff strictly exceeds 300s
+        "session_window_native": f"""
+            WITH o AS (
+              SELECT user_id, ts_sec, event_id, value,
+                     LAG(ts_sec) OVER (
+                       PARTITION BY user_id ORDER BY ts_sec, event_id
+                     ) AS prev
+              FROM ({_EV_TS})
+            ),
+            s AS (
+              SELECT *, SUM(CASE WHEN prev IS NULL
+                                   OR ts_sec - prev > 300
+                                 THEN 1 ELSE 0 END) OVER (
+                PARTITION BY user_id ORDER BY ts_sec, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) AS sid
+              FROM o
+            )
+            SELECT user_id,
+                   MIN(ts_sec) AS session_start,
+                   MAX(ts_sec) + 300 AS session_end,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS total
+            FROM s
+            GROUP BY user_id, sid
         """,
         # per-event_type 75th-percentile value cut: quantile_disc
         # threshold, keep rows at or above it

@@ -167,3 +167,50 @@ def backfill_zero_vectors(
     return joined.withColumn(
         "is_backfilled", F.col(vector_col).isNull()
     ).withColumn(vector_col, F.coalesce(F.col(vector_col), zero))
+
+
+def session_window_agg(
+    df: DataFrame,
+    gap_s: int,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Per-entity session aggregation via Spark's NATIVE
+    ``F.session_window`` (the same operator the streaming engine uses
+    for watermarked session windows — here exercised in batch, so the
+    batch and streaming paths share one definition of "session").
+    Semantics (verified against Spark 4.1): an event extends the
+    session while it starts AT OR before the current session end
+    (last_ts + gap) — an exact-gap arrival MERGES; the split happens
+    only when the gap is strictly exceeded.  Identical to the
+    lag-flag formulation in :func:`sessionize.sessionize` with a
+    ``> gap`` split, which is how the driver oracle replays it.
+
+    The timestamp is truncated to whole seconds BEFORE windowing so
+    gap arithmetic is integral and engine-exact.  One shuffle on the
+    entity key; the session merge is Spark's built-in sort-based
+    merging, no Python.
+
+    Output: (entity_col, session_start, session_end = last+gap,
+    n_events[, total = sum(value_col) rounded 4dp]).
+    """
+    sec_ts = (
+        F.col(ts_col).cast("timestamp").cast("long").cast("timestamp")
+    )
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 4).alias("total"))
+    out = df.groupBy(
+        entity_col, F.session_window(sec_ts, f"{int(gap_s)} seconds")
+    ).agg(*aggs)
+    return out.select(
+        entity_col,
+        F.col("session_window.start").cast("long").alias("session_start"),
+        F.col("session_window.end").cast("long").alias("session_end"),
+        *(
+            ["n_events", "total"]
+            if value_col is not None
+            else ["n_events"]
+        ),
+    )
