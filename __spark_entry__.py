@@ -195,6 +195,56 @@ def _q_qa_pairs(spark, sf_dir):
     )
 
 
+def _q_sft_pipeline(spark, sf_dir):
+    """End-to-end SFT data prep as ONE composed lineage: merge
+    consecutive same-role turns -> pair each assistant reply with its
+    nearest preceding user prompt -> exact-dedup identical
+    (prompt, response) pairs keeping the earliest -> quality-gate on
+    response token count.  Every stage is an engine operator; Catalyst
+    sees the whole plan (filters push through, the conversation-key
+    exchange is shared by the merge window and the pairing window)."""
+    from sqlfeatureextraction_spark.operators.sessionize import (
+        merge_consecutive_turns,
+        pair_prompt_response,
+    )
+
+    ev = _events(spark, sf_dir)
+    roles = F.array(
+        F.lit("user"), F.lit("assistant"), F.lit("tool"), F.lit("system")
+    )
+    tx = ev.select(
+        "user_id",
+        "ts_sec",
+        "event_id",
+        F.element_at(
+            roles, (F.pmod(F.col("event_id"), F.lit(4)) + 1).cast("int")
+        ).alias("role"),
+        F.col("props").alias("text"),
+    )
+    merged = merge_consecutive_turns(
+        tx, conv_col="user_id", order_cols=("ts_sec", "event_id")
+    )
+    pairs = pair_prompt_response(
+        merged, conv_col="user_id", order_cols=("seg_idx",)
+    )
+    n_tok = F.size(F.split(F.trim(F.col("response_text")), r"\s+"))
+    gated = pairs.where(n_tok >= 4).withColumn("n_resp_tokens", n_tok)
+    w = Window.partitionBy("prompt_text", "response_text").orderBy(
+        "user_id", "seg_idx"
+    )
+    return (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "prompt_idx",
+            "prompt_text",
+            "response_text",
+            "n_resp_tokens",
+        )
+    )
+
+
 def _q_session_window(spark, sf_dir):
     """Spark-native F.session_window (batch mode, second-truncated
     timestamps) pinned against the classic lag-flag gap-session SQL:
@@ -2838,6 +2888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": _q_char_entropy,
         "calibrate_threshold": _q_calibrate_threshold,
         "session_window_native": _q_session_window,
+        "sft_pipeline": _q_sft_pipeline,
         "lag_lead": _q_lag_lead,
         "topk_per_group": _q_topk_per_group,
         "asof_last_match": _q_asof_last_match,
@@ -3870,6 +3921,70 @@ def oracle_sql() -> dict[str, str]:
                    rtext AS response_text, ts_sec - p_ts AS latency_s
             FROM p
             WHERE role = 'assistant' AND prompt_idx IS NOT NULL
+        """,
+        # composed SFT prep: merge same-role runs -> prompt/response
+        # pairing -> exact pair dedup (earliest kept) -> >=4-token
+        # response gate
+        "sft_pipeline": f"""
+            WITH t AS (
+              SELECT user_id, ts_sec, event_id,
+                     (['user', 'assistant', 'tool', 'system'])
+                       [(event_id % 4) + 1] AS role,
+                     coalesce(props, '') AS text
+              FROM ({_EV_TS})
+            ),
+            l AS (
+              SELECT *, LAG(role) OVER (
+                PARTITION BY user_id ORDER BY ts_sec, event_id
+              ) AS prev_role
+              FROM t
+            ),
+            s AS (
+              SELECT *, SUM(CASE WHEN prev_role IS NULL
+                                   OR prev_role <> role
+                                 THEN 1 ELSE 0 END) OVER (
+                PARTITION BY user_id ORDER BY ts_sec, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) - 1 AS seg_idx
+              FROM l
+            ),
+            m AS (
+              SELECT user_id, seg_idx, MAX(role) AS role,
+                     string_agg(text, chr(10)
+                                ORDER BY ts_sec, event_id) AS text
+              FROM s GROUP BY user_id, seg_idx
+            ),
+            p AS (
+              SELECT user_id, seg_idx, role,
+                     coalesce(text, '') AS rtext,
+                     LAST_VALUE(CASE WHEN role = 'user'
+                                     THEN seg_idx END IGNORE NULLS)
+                       OVER w AS prompt_idx,
+                     LAST_VALUE(CASE WHEN role = 'user'
+                                     THEN coalesce(text, '') END
+                                IGNORE NULLS) OVER w AS prompt_text
+              FROM m
+              WINDOW w AS (
+                PARTITION BY user_id ORDER BY seg_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ),
+            q AS (
+              SELECT *,
+                     len(regexp_split_to_array(trim(rtext), '\\s+'))
+                       AS n_resp_tokens
+              FROM p
+              WHERE role = 'assistant' AND prompt_idx IS NOT NULL
+            ),
+            d AS (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY prompt_text, rtext
+                ORDER BY user_id, seg_idx
+              ) AS rn
+              FROM q WHERE n_resp_tokens >= 4
+            )
+            SELECT user_id, prompt_idx, prompt_text,
+                   rtext AS response_text, n_resp_tokens
+            FROM d WHERE rn = 1
         """,
         # native session_window equivalence: gap sessions split when
         # the (second-floored) diff strictly exceeds 300s
