@@ -195,6 +195,21 @@ def _q_qa_pairs(spark, sf_dir):
     )
 
 
+def _q_psi_drift(spark, sf_dir):
+    """PSI drift monitor: events.value in week 1 (reference) vs the
+    rest of the month (current) — ref-quantile bins from the exact
+    GK regime, codegen bin chain, two tiny aligned aggregates."""
+    from sqlfeatureextraction_spark.operators.stats import (
+        distribution_drift_psi,
+    )
+
+    ev = _events(spark, sf_dir).select("ts_sec", "value")
+    split = 1704672000  # 2024-01-08 UTC
+    ref = ev.where(F.col("ts_sec") < split)
+    cur = ev.where(F.col("ts_sec") >= split)
+    return distribution_drift_psi(ref, cur, "value", n_bins=10)
+
+
 def _q_sft_pipeline(spark, sf_dir):
     """End-to-end SFT data prep as ONE composed lineage: merge
     consecutive same-role turns -> pair each assistant reply with its
@@ -2889,6 +2904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibrate_threshold": _q_calibrate_threshold,
         "session_window_native": _q_session_window,
         "sft_pipeline": _q_sft_pipeline,
+        "psi_drift": _q_psi_drift,
         "lag_lead": _q_lag_lead,
         "topk_per_group": _q_topk_per_group,
         "asof_last_match": _q_asof_last_match,
@@ -3921,6 +3937,56 @@ def oracle_sql() -> dict[str, str]:
                    rtext AS response_text, ts_sec - p_ts AS latency_s
             FROM p
             WHERE role = 'assistant' AND prompt_idx IS NOT NULL
+        """,
+        # PSI drift: week-1 reference vs rest, ref-quantile_disc bins,
+        # strict > membership, 0.5-Laplace smoothing
+        "psi_drift": f"""
+            WITH ref AS (
+              SELECT value FROM ({_EV_TS})
+              WHERE ts_sec < 1704672000 AND value IS NOT NULL
+            ),
+            cur AS (
+              SELECT value FROM ({_EV_TS})
+              WHERE ts_sec >= 1704672000 AND value IS NOT NULL
+            ),
+            b AS (
+              SELECT quantile_disc(value,
+                [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS brks
+              FROM ref
+            ),
+            rn AS (
+              SELECT len(list_filter(b.brks, x -> value > x)) AS bin_idx,
+                     COUNT(*) AS ref_n
+              FROM ref, b GROUP BY 1
+            ),
+            cn AS (
+              SELECT len(list_filter(b.brks, x -> value > x)) AS bin_idx,
+                     COUNT(*) AS cur_n
+              FROM cur, b GROUP BY 1
+            ),
+            g AS (
+              SELECT i AS bin_idx
+              FROM unnest(generate_series(0, 9)) AS t(i)
+            ),
+            j AS (
+              SELECT g.bin_idx,
+                     coalesce(ref_n, 0) AS ref_n,
+                     coalesce(cur_n, 0) AS cur_n
+              FROM g LEFT JOIN rn USING (bin_idx)
+                     LEFT JOIN cn USING (bin_idx)
+            ),
+            terms AS (
+              SELECT bin_idx, ref_n, cur_n,
+                     (ref_n + 0.5) / (SUM(ref_n) OVER () + 5.0) AS p,
+                     (cur_n + 0.5) / (SUM(cur_n) OVER () + 5.0) AS q
+              FROM j
+            )
+            SELECT bin_idx, ref_n, cur_n,
+                   ROUND(p, 6) AS ref_share,
+                   ROUND(q, 6) AS cur_share,
+                   ROUND((q - p) * ln(q / p), 6) AS psi_term,
+                   ROUND(SUM((q - p) * ln(q / p)) OVER (), 6) AS psi
+            FROM terms
         """,
         # composed SFT prep: merge same-role runs -> prompt/response
         # pairing -> exact pair dedup (earliest kept) -> >=4-token

@@ -431,3 +431,85 @@ def token_topk(
         .where(F.col("rk") <= k)
         .select(*group_cols, "rk", "token", "cnt")
     )
+
+
+def distribution_drift_psi(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    accuracy: int = 1_000_000,
+    smooth: float = 0.5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Population Stability Index between a REFERENCE window and a
+    CURRENT window of the same feature — the standard training-data /
+    feature drift monitor (PSI < 0.1 stable, > 0.25 shifted).  Bins
+    are the reference's own ``n_bins`` quantile breaks (equal-mass on
+    ref), membership is ``count(breaks < value)`` with strict ``>``,
+    shares are Laplace-smoothed by ``smooth`` so empty bins stay
+    finite, and each bin's term is ``(q−p)·ln(q/p)``.
+
+    Spark-first: breaks come from ONE exact-regime GK sketch
+    aggregation (the quantile_disc identity) and are collected —
+    a bounded, bin-count-sized driver read, the same class as the
+    engine's bucket-count collects; binning is then a codegen
+    ``sum(value > lit(b))`` chain (no join, no UDF), and each side
+    reduces with one map-side-combinable groupBy.  The final
+    ref×cur alignment joins two ≤ n_bins-row frames.  NULL values
+    drop (no rank).
+
+    Output: one row per bin — (bin_idx, ref_n, cur_n, ref_share,
+    cur_share, psi_term) — plus the same total in ``psi`` on every
+    row (sum over bins), everything rounded to ``round_dp``.
+    """
+    probs = [i / n_bins for i in range(1, n_bins)]
+    brks = ref.where(F.col(value_col).isNotNull()).agg(
+        F.percentile_approx(value_col, probs, int(accuracy)).alias("b")
+    ).collect()[0]["b"]
+
+    def binned(df, name):
+        b = F.lit(0)
+        for x in brks:
+            b = b + (F.col(value_col) > F.lit(float(x))).cast("int")
+        return (
+            df.where(F.col(value_col).isNotNull())
+            .groupBy(b.alias("bin_idx"))
+            .agg(F.count(F.lit(1)).alias(f"{name}_n"))
+        )
+
+    bins = ref.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin_idx")
+    )
+    r = binned(ref, "ref")
+    c = binned(cur, "cur")
+    j = (
+        bins.join(r, "bin_idx", "left")
+        .join(c, "bin_idx", "left")
+        .select(
+            "bin_idx",
+            F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+            F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+        )
+    )
+    tot_r = F.sum("ref_n").over(Window.partitionBy())
+    tot_c = F.sum("cur_n").over(Window.partitionBy())
+    p = (F.col("ref_n") + F.lit(smooth)) / (
+        tot_r + F.lit(smooth * n_bins)
+    )
+    q = (F.col("cur_n") + F.lit(smooth)) / (
+        tot_c + F.lit(smooth * n_bins)
+    )
+    term = (q - p) * F.log(q / p)
+    out = j.select(
+        "bin_idx",
+        "ref_n",
+        "cur_n",
+        F.round(p, round_dp).alias("ref_share"),
+        F.round(q, round_dp).alias("cur_share"),
+        F.round(term, round_dp).alias("psi_term"),
+        F.round(
+            F.sum(term).over(Window.partitionBy()), round_dp
+        ).alias("psi"),
+    )
+    return out
