@@ -195,6 +195,36 @@ def _q_qa_pairs(spark, sf_dir):
     )
 
 
+def _q_conversation_features(spark, sf_dir):
+    """Per-conversation structural feature vector: role counts,
+    token totals, alternation ratio, mean inter-turn gap — one
+    window pass + one conditional-sum groupBy."""
+    from sqlfeatureextraction_spark.operators.sessionize import (
+        conversation_features,
+    )
+
+    ev = _events(spark, sf_dir)
+    roles = F.array(
+        F.lit("user"), F.lit("assistant"), F.lit("tool"), F.lit("system")
+    )
+    tx = ev.select(
+        "user_id",
+        "ts_sec",
+        "event_id",
+        "ts",
+        F.element_at(
+            roles, (F.pmod(F.col("event_id"), F.lit(4)) + 1).cast("int")
+        ).alias("role"),
+        F.col("props").alias("text"),
+    )
+    return conversation_features(
+        tx,
+        conv_col="user_id",
+        order_cols=("ts_sec", "event_id"),
+        ts_col="ts",
+    )
+
+
 def _q_psi_drift(spark, sf_dir):
     """PSI drift monitor: events.value in week 1 (reference) vs the
     rest of the month (current) — ref-quantile bins from the exact
@@ -2905,6 +2935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_native": _q_session_window,
         "sft_pipeline": _q_sft_pipeline,
         "psi_drift": _q_psi_drift,
+        "conversation_features": _q_conversation_features,
         "lag_lead": _q_lag_lead,
         "topk_per_group": _q_topk_per_group,
         "asof_last_match": _q_asof_last_match,
@@ -3937,6 +3968,46 @@ def oracle_sql() -> dict[str, str]:
                    rtext AS response_text, ts_sec - p_ts AS latency_s
             FROM p
             WHERE role = 'assistant' AND prompt_idx IS NOT NULL
+        """,
+        # per-conversation structural features: role counts, token
+        # totals, alternation ratio, mean gap
+        "conversation_features": f"""
+            WITH t AS (
+              SELECT user_id, ts_sec, event_id,
+                     (['user', 'assistant', 'tool', 'system'])
+                       [(event_id % 4) + 1] AS role,
+                     coalesce(props, '') AS text
+              FROM ({_EV_TS})
+            ),
+            l AS (
+              SELECT *,
+                     LAG(role) OVER w AS prev_role,
+                     ts_sec - LAG(ts_sec) OVER w AS gap,
+                     len(regexp_split_to_array(trim(text), '\\s+'))
+                       - CASE WHEN trim(text) = '' THEN 1 ELSE 0 END
+                       AS ntok
+              FROM t
+              WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts_sec, event_id)
+            )
+            SELECT user_id, COUNT(*) AS n_turns,
+                   SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                     AS n_user,
+                   SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                     AS n_assistant,
+                   SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)
+                     AS n_tool,
+                   SUM(CASE WHEN role = 'system' THEN 1 ELSE 0 END)
+                     AS n_system,
+                   SUM(ntok) AS n_tokens,
+                   ROUND(CAST(SUM(CASE WHEN prev_role IS NOT NULL
+                                        AND prev_role <> role
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / GREATEST(COUNT(*) - 1, 1), 6)
+                     AS alternation_ratio,
+                   ROUND(AVG(gap), 4) AS mean_gap_s
+            FROM l
+            GROUP BY user_id
         """,
         # PSI drift: week-1 reference vs rest, ref-quantile_disc bins,
         # strict > membership, 0.5-Laplace smoothing

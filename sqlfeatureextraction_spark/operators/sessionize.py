@@ -460,3 +460,72 @@ def merge_consecutive_turns(
             F.max(idx0).alias("last_idx"),
         )
     )
+
+
+def conversation_features(
+    tx: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: tuple = ("turn_idx",),
+    role_col: str = "role",
+    text_col: str = "text",
+    ts_col: str | None = None,
+    roles: tuple = ("user", "assistant", "tool", "system"),
+) -> DataFrame:
+    """Conversation-level structural feature vector — the per-dialog
+    signals agent-transcript curation filters on: per-role turn
+    counts, token totals, role-alternation ratio (how conversational
+    the dialog is vs one side monologuing), and mean inter-turn gap.
+
+    Spark-first: ONE window pass (lag over the conversation order for
+    the alternation flag and the gap) feeding ONE map-side-combinable
+    groupBy of conditional-sum aggregates — two narrow shuffles on
+    the conversation key, all codegen, per-task state O(1).
+
+    Output: (conv_col, n_turns, n_<role> per role, n_tokens,
+    alternation_ratio = role changes / (n_turns−1), 0.0 for
+    single-turn[, mean_gap_s rounded 4dp]).
+    """
+    w = Window.partitionBy(conv_col).orderBy(
+        *[F.asc(c) for c in order_cols]
+    )
+    role = F.coalesce(F.col(role_col), F.lit(""))
+    toks = F.size(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    ) - F.when(
+        F.trim(F.coalesce(F.col(text_col), F.lit(""))) == "", 1
+    ).otherwise(0)
+    prev_role = F.lag(role).over(w)
+    changed = F.when(
+        prev_role.isNotNull() & (prev_role != role), 1
+    ).otherwise(0)
+    stepped = tx.select(
+        conv_col,
+        role.alias("_role"),
+        toks.alias("_tok"),
+        changed.alias("_chg"),
+        *(
+            [
+                (
+                    _epoch(ts_col) - F.lag(_epoch(ts_col)).over(w)
+                ).alias("_gap")
+            ]
+            if ts_col is not None
+            else []
+        ),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_turns"),
+        *[
+            F.sum((F.col("_role") == r).cast("int")).alias(f"n_{r}")
+            for r in roles
+        ],
+        F.sum("_tok").alias("n_tokens"),
+        F.round(
+            F.sum("_chg")
+            / F.greatest(F.count(F.lit(1)) - F.lit(1), F.lit(1)),
+            6,
+        ).alias("alternation_ratio"),
+    ]
+    if ts_col is not None:
+        aggs.append(F.round(F.avg("_gap"), 4).alias("mean_gap_s"))
+    return stepped.groupBy(conv_col).agg(*aggs)
