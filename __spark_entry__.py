@@ -195,6 +195,27 @@ def _q_qa_pairs(spark, sf_dir):
     )
 
 
+def _q_mixture_weights(spark, sf_dir):
+    """Temperature mixture reweighting over documents per source
+    (size = whitespace tokens, alpha = 0.5): share^alpha normalized,
+    plus the oversampling factor."""
+    from sqlfeatureextraction_spark.operators.curation import (
+        mixture_temperature_weights,
+    )
+
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    n_tok = F.size(F.split(F.trim(t), r"\s+")) - F.when(
+        F.trim(t) == "", 1
+    ).otherwise(0)
+    return mixture_temperature_weights(
+        doc.select("source", n_tok.alias("n_tok")),
+        group_col="source",
+        size_col="n_tok",
+        alpha=0.5,
+    )
+
+
 def _q_conversation_features(spark, sf_dir):
     """Per-conversation structural feature vector: role counts,
     token totals, alternation ratio, mean inter-turn gap — one
@@ -2936,6 +2957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_pipeline": _q_sft_pipeline,
         "psi_drift": _q_psi_drift,
         "conversation_features": _q_conversation_features,
+        "mixture_weights": _q_mixture_weights,
         "lag_lead": _q_lag_lead,
         "topk_per_group": _q_topk_per_group,
         "asof_last_match": _q_asof_last_match,
@@ -3968,6 +3990,30 @@ def oracle_sql() -> dict[str, str]:
                    rtext AS response_text, ts_sec - p_ts AS latency_s
             FROM p
             WHERE role = 'assistant' AND prompt_idx IS NOT NULL
+        """,
+        # temperature mixture weights per source: share^0.5
+        # renormalized over token mass
+        "mixture_weights": """
+            WITH g AS (
+              SELECT source, COUNT(*) AS n_items,
+                     CAST(SUM(
+                       len(regexp_split_to_array(
+                             trim(coalesce(text, '')), '\\s+'))
+                       - CASE WHEN trim(coalesce(text, '')) = ''
+                              THEN 1 ELSE 0 END) AS DOUBLE) AS size
+              FROM documents GROUP BY source
+            ),
+            s AS (
+              SELECT *, size / SUM(size) OVER () AS share,
+                     POW(size / SUM(size) OVER (), 0.5) AS powed
+              FROM g
+            )
+            SELECT source, n_items, size,
+                   ROUND(share, 6) AS share,
+                   ROUND(powed / SUM(powed) OVER (), 6) AS weight,
+                   ROUND((powed / SUM(powed) OVER ()) / share, 6)
+                     AS oversample_factor
+            FROM s
         """,
         # per-conversation structural features: role counts, token
         # totals, alternation ratio, mean gap

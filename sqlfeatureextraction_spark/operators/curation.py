@@ -920,3 +920,50 @@ def with_repetition_stats(
             ),
         )
     )
+
+
+def mixture_temperature_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    size_col: str | None = None,
+    alpha: float = 0.5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Temperature-based mixture reweighting — the standard
+    domain/language balancing rule (multilingual pretraining's
+    p_s ∝ share_s^α): compute each group's corpus share (by row
+    count, or by ``size_col`` sum — e.g. tokens), raise it to
+    ``alpha`` ∈ [0, 1] (1 = proportional, 0 = uniform), renormalize,
+    and report both the sampling weight and the per-item oversampling
+    factor (weight / share — how many epochs of a small domain one
+    epoch of the mixture consumes).
+
+    Spark-first: ONE map-side-combinable groupBy to per-group sizes,
+    then the normalization terms as window sums over the ≤#groups-row
+    aggregate — nothing but the tiny group table ever crosses a
+    second shuffle.  Complements domain_mix_sample (which SAMPLES to
+    target shares); this op COMPUTES the shares to sample to.
+
+    Output: (group_col, n_items, size, share, weight,
+    oversample_factor), all shares/weights rounded to ``round_dp``.
+    """
+    size = (
+        F.sum(size_col) if size_col is not None else F.count(F.lit(1))
+    )
+    g = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        size.cast("double").alias("size"),
+    )
+    tot = F.sum("size").over(Window.partitionBy())
+    share = F.col("size") / tot
+    powed = F.pow(share, F.lit(float(alpha)))
+    z = F.sum(powed).over(Window.partitionBy())
+    weight = powed / z
+    return g.select(
+        group_col,
+        "n_items",
+        "size",
+        F.round(share, round_dp).alias("share"),
+        F.round(weight, round_dp).alias("weight"),
+        F.round(weight / share, round_dp).alias("oversample_factor"),
+    )
