@@ -195,6 +195,25 @@ def _q_qa_pairs(spark, sf_dir):
     )
 
 
+def _q_transitions(spark, sf_dir):
+    """Markov transition counts + conditional probabilities over
+    per-user event_type sequences (lag window -> pair groupBy ->
+    row-normalize over the pair aggregate)."""
+    from sqlfeatureextraction_spark.operators.sessionize import (
+        transition_counts,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts_sec", "event_id", "event_type"
+    )
+    return transition_counts(
+        ev,
+        conv_col="user_id",
+        order_cols=("ts_sec", "event_id"),
+        state_col="event_type",
+    )
+
+
 def _q_mixture_weights(spark, sf_dir):
     """Temperature mixture reweighting over documents per source
     (size = whitespace tokens, alpha = 0.5): share^alpha normalized,
@@ -2958,6 +2977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": _q_psi_drift,
         "conversation_features": _q_conversation_features,
         "mixture_weights": _q_mixture_weights,
+        "transition_counts": _q_transitions,
         "lag_lead": _q_lag_lead,
         "topk_per_group": _q_topk_per_group,
         "asof_last_match": _q_asof_last_match,
@@ -3990,6 +4010,26 @@ def oracle_sql() -> dict[str, str]:
                    rtext AS response_text, ts_sec - p_ts AS latency_s
             FROM p
             WHERE role = 'assistant' AND prompt_idx IS NOT NULL
+        """,
+        # per-user event_type transition matrix with conditional
+        # probabilities
+        "transition_counts": f"""
+            WITH l AS (
+              SELECT event_type AS state,
+                     LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts_sec, event_id
+                     ) AS prev_state
+              FROM ({_EV_TS})
+            ),
+            c AS (
+              SELECT prev_state, state, COUNT(*) AS n
+              FROM l WHERE prev_state IS NOT NULL
+              GROUP BY prev_state, state
+            )
+            SELECT prev_state, state, n,
+                   ROUND(CAST(n AS DOUBLE)
+                         / SUM(n) OVER (PARTITION BY prev_state), 6) AS p
+            FROM c
         """,
         # temperature mixture weights per source: share^0.5
         # renormalized over token mass

@@ -529,3 +529,45 @@ def conversation_features(
     if ts_col is not None:
         aggs.append(F.round(F.avg("_gap"), 4).alias("mean_gap_s"))
     return stepped.groupBy(conv_col).agg(*aggs)
+
+
+def transition_counts(
+    tx: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: tuple = ("turn_idx",),
+    state_col: str = "tool",
+    round_dp: int = 6,
+) -> DataFrame:
+    """First-order transition statistics over per-conversation state
+    sequences (tool→tool, role→role, …) — the Markov features agent-
+    behavior models and anomaly filters train on: for every observed
+    (prev_state, state) pair, its count and the conditional
+    probability P(state | prev_state).
+
+    Spark-first: one lag over the conversation window (transitions
+    never cross conversations), one map-side-combinable groupBy on
+    the pair, and the row-normalization as a window sum over the
+    pair-count aggregate partitioned by prev_state — the third
+    "shuffle" moves only the (distinct pairs)-row table.  NULL
+    states participate as the empty string; each conversation's
+    first turn contributes no transition.
+
+    Output: (prev_state, state, n, p = n / Σ_state' n rounded).
+    """
+    w = Window.partitionBy(conv_col).orderBy(
+        *[F.asc(c) for c in order_cols]
+    )
+    st = F.coalesce(F.col(state_col), F.lit(""))
+    pairs = (
+        tx.select(st.alias("state"), F.lag(st).over(w).alias("prev_state"))
+        .where(F.col("prev_state").isNotNull())
+        .groupBy("prev_state", "state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_tot = F.sum("n").over(Window.partitionBy("prev_state"))
+    return pairs.select(
+        "prev_state",
+        "state",
+        "n",
+        F.round(F.col("n") / row_tot, round_dp).alias("p"),
+    )
