@@ -195,6 +195,37 @@ def _q_qa_pairs(spark, sf_dir):
     )
 
 
+def _q_countmin(spark, sf_dir):
+    """Count-min sketch over document tokens in the wide (collision-
+    free) regime, where the estimate identity est == exact count
+    holds — the same exact-regime oracle trick as doc_len_quantiles;
+    sketch <= depth*width rows regardless of corpus size."""
+    from sqlfeatureextraction_spark.functions.text import (
+        TOKEN_SPLIT_RE,
+    )
+    from sqlfeatureextraction_spark.operators.stats import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = doc.select(
+        F.explode(
+            F.filter(
+                F.split(
+                    F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                    TOKEN_SPLIT_RE,
+                ),
+                lambda x: x != "",
+            )
+        ).alias("tok")
+    )
+    sk = countmin_build(toks, "tok", depth=4, width=1 << 16)
+    return countmin_estimate(
+        sk, toks.distinct(), "tok", depth=4, width=1 << 16
+    )
+
+
 def _q_transitions(spark, sf_dir):
     """Markov transition counts + conditional probabilities over
     per-user event_type sequences (lag window -> pair groupBy ->
@@ -2978,6 +3009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_features": _q_conversation_features,
         "mixture_weights": _q_mixture_weights,
         "transition_counts": _q_transitions,
+        "countmin_tokens": _q_countmin,
         "lag_lead": _q_lag_lead,
         "topk_per_group": _q_topk_per_group,
         "asof_last_match": _q_asof_last_match,
@@ -4010,6 +4042,14 @@ def oracle_sql() -> dict[str, str]:
                    rtext AS response_text, ts_sec - p_ts AS latency_s
             FROM p
             WHERE role = 'assistant' AND prompt_idx IS NOT NULL
+        """,
+        # count-min estimates in the wide regime == exact token counts
+        "countmin_tokens": f"""
+            SELECT tok, COUNT(*) AS est
+            FROM (
+              SELECT unnest({_TOK}) AS tok FROM documents
+            )
+            GROUP BY tok
         """,
         # per-user event_type transition matrix with conditional
         # probabilities

@@ -513,3 +513,71 @@ def distribution_drift_psi(
         ).alias("psi"),
     )
     return out
+
+
+def _cms_buckets(key_col: str, depth: int, width: int):
+    return F.array(
+        *[
+            F.pmod(
+                F.xxhash64(F.col(key_col), F.lit(i)), F.lit(width)
+            ).cast("int")
+            for i in range(depth)
+        ]
+    )
+
+
+def countmin_build(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 1 << 16
+) -> DataFrame:
+    """Build a count-min sketch over ``key_col`` occurrences: the
+    sublinear-memory frequency summary (Cormode & Muthukrishnan 2005)
+    — ``depth × width`` counters regardless of input size, mergeable
+    by cell-wise addition, estimates never UNDER-count.
+
+    Spark-first: each row scatters to ``depth`` (fn, bucket) cells
+    via seeded ``xxhash64`` (JVM, deterministic) + posexplode; ONE
+    map-side-combinable groupBy reduces to at most depth·width rows —
+    at 100 TB the shuffle carries the sketch, not the data.  The
+    sketch is itself a DataFrame (fn_idx, bucket, cnt), so merging
+    two corpora's sketches is a unionByName + re-aggregate.
+    """
+    return (
+        df.select(
+            F.posexplode(_cms_buckets(key_col, depth, width)).alias(
+                "fn_idx", "bucket"
+            )
+        )
+        .groupBy("fn_idx", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1 << 16,
+) -> DataFrame:
+    """Point-query the sketch for every row of ``keys``: est(k) =
+    min over the depth cells k hashes to — ≥ the true count always,
+    = it when any one of k's cells is collision-free (at width ≫
+    distinct keys the identity is exact, which is how the driver row
+    oracles this against plain exact counts; the narrow-width
+    over-count regime is pinned in pytest).
+
+    The probe explodes each key to its depth cells and joins the
+    (≤ depth·width-row) sketch — broadcast-sized by construction.
+    Output: (key_col, est).
+    """
+    probes = keys.select(
+        key_col,
+        F.posexplode(_cms_buckets(key_col, depth, width)).alias(
+            "fn_idx", "bucket"
+        ),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["fn_idx", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+    )
