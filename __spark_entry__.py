@@ -195,6 +195,40 @@ def _q_qa_pairs(spark, sf_dir):
     )
 
 
+def _q_ewma_decay(spark, sf_dir):
+    """Time-decayed running value per user (half-life 7 days over the
+    30-day window — well inside the prefix-sum rescaling range):
+    strictly causal recency feature, one window cumsum."""
+    from sqlfeatureextraction_spark.operators.pit_window import (
+        ewma_time_decay,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        # second-truncated so ordering AND decay use the same clock
+        # the oracle sees (raw micros would reorder same-second pairs)
+        F.col("ts_sec").cast("timestamp").alias("ts"),
+        "ts_sec",
+        "event_id",
+        "value",
+    )
+    out = ewma_time_decay(
+        ev,
+        half_life_s=604800,
+        entity_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        order_cols=("event_id",),
+    )
+    return out.select(
+        "user_id",
+        "ts_sec",
+        "event_id",
+        F.round("value", 4).alias("value"),
+        "ewma",
+    )
+
+
 def _q_countmin(spark, sf_dir):
     """Count-min sketch over document tokens in the wide (collision-
     free) regime, where the estimate identity est == exact count
@@ -3010,6 +3044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": _q_mixture_weights,
         "transition_counts": _q_transitions,
         "countmin_tokens": _q_countmin,
+        "ewma_decay": _q_ewma_decay,
         "lag_lead": _q_lag_lead,
         "topk_per_group": _q_topk_per_group,
         "asof_last_match": _q_asof_last_match,
@@ -4042,6 +4077,29 @@ def oracle_sql() -> dict[str, str]:
                    rtext AS response_text, ts_sec - p_ts AS latency_s
             FROM p
             WHERE role = 'assistant' AND prompt_idx IS NOT NULL
+        """,
+        # time-decayed running value (half-life 7d): prefix-sum
+        # rescaling, identical addition order via (ts_sec, event_id)
+        "ewma_decay": f"""
+            WITH b AS (
+              SELECT user_id, ts_sec, event_id, value,
+                     MIN(ts_sec) OVER (PARTITION BY user_id) AS t0
+              FROM ({_EV_TS})
+            ),
+            s AS (
+              SELECT *,
+                     SUM(value * exp((ln(2) / 604800.0)
+                                     * (ts_sec - t0))) OVER (
+                       PARTITION BY user_id ORDER BY ts_sec, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS run
+              FROM b
+            )
+            SELECT user_id, ts_sec, event_id,
+                   ROUND(value, 4) AS value,
+                   ROUND(exp(-(ln(2) / 604800.0) * (ts_sec - t0))
+                         * run, 6) AS ewma
+            FROM s
         """,
         # count-min estimates in the wide regime == exact token counts
         "countmin_tokens": f"""

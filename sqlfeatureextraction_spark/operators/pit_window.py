@@ -273,3 +273,54 @@ def window_features_builtin(
         "ts",
         assemble(F.col("slots")).alias("window_features"),
     )
+
+
+def ewma_time_decay(
+    df: DataFrame,
+    half_life_s: float,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple = (),
+    round_dp: int = 6,
+) -> DataFrame:
+    """Time-decayed running sum over irregular event times — the
+    classic point-in-time recency feature: at each row,
+    ``ewma = Σ_{j ≤ i} v_j · 2^{-(t_i − t_j)/half_life}`` (each past
+    observation halves in weight every ``half_life_s`` seconds;
+    strictly causal, uses only rows with t' ≤ t).
+
+    Spark-first, NO per-row loop: the linear recurrence folds into a
+    prefix sum via rescaling — with λ = ln2/half_life and t0 = the
+    entity's first timestamp (a window min),
+    ``ewma_i = exp(−λ(t_i−t0)) · Σ_{j≤i} v_j·exp(λ(t_j−t0))`` —
+    one conversation-key window computing the cumsum, whole-stage
+    codegen, identical arithmetic order in any SQL engine (so the
+    oracle matches to rounding).
+
+    Range constraint (documented, asserted): the rescaled exponent
+    λ·(t_max−t0) must stay under ~700 or exp overflows double — at
+    half-life h the window span must be ≲ 1000·h.  For longer spans
+    segment the timeline and carry the boundary value (the streaming
+    path's state-passing does exactly that); this operator targets
+    the windowed-feature regime where spans are session/window
+    sized.
+
+    Output: df's columns + ewma (rounded).
+    """
+    import math
+
+    lam = math.log(2.0) / float(half_life_s)
+    w_all = Window.partitionBy(entity_col)
+    w_ord = Window.partitionBy(entity_col).orderBy(
+        ts_col, *[F.asc(c) for c in order_cols]
+    )
+    t = F.col(ts_col).cast("timestamp").cast("long")
+    t0 = F.min(t).over(w_all)
+    scaled = F.col(value_col) * F.exp(F.lit(lam) * (t - t0))
+    run = F.sum(scaled).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(
+        "ewma", F.round(F.exp(-F.lit(lam) * (t - t0)) * run, round_dp)
+    )
