@@ -195,6 +195,50 @@ def _q_qa_pairs(spark, sf_dir):
     )
 
 
+def _q_linearize_tree(spark, sf_dir):
+    """Branching-conversation linearization: a deterministic tree per
+    user (event_id%3==0 turns attach to the grandparent -> real
+    branches), all root->leaf paths via bounded iterative ascent;
+    output exploded to (leaf, pos, node) for the cross-engine hash."""
+    from sqlfeatureextraction_spark.operators.reorganize import (
+        linearize_conversation_tree,
+    )
+
+    # every-5th event: keeps per-user tree height (= ascent rounds)
+    # around a dozen at sf0.01 while still exercising real branches
+    ev = _events(spark, sf_dir).where(
+        F.pmod(F.col("event_id"), F.lit(5)) == 0
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    t = ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.lag("event_id", 1).over(w).alias("p1"),
+        F.lag("event_id", 2).over(w).alias("p2"),
+    ).select(
+        "user_id",
+        F.col("event_id").alias("node_id"),
+        F.when(F.col("rn") == 1, F.lit(None).cast("long"))
+        .when(
+            (F.pmod(F.col("event_id"), F.lit(3)) == 0)
+            & (F.col("rn") >= 3),
+            F.col("p2"),
+        )
+        .otherwise(F.col("p1"))
+        .alias("parent_id"),
+    )
+    out = linearize_conversation_tree(
+        t, conv_col="user_id", max_depth=200
+    )
+    return out.select(
+        "user_id",
+        "leaf_id",
+        "depth",
+        F.posexplode("path").alias("pos", "node_id"),
+    )
+
+
 def _q_ewma_decay(spark, sf_dir):
     """Time-decayed running value per user (half-life 7 days over the
     30-day window — well inside the prefix-sum rescaling range):
@@ -3045,6 +3089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_counts": _q_transitions,
         "countmin_tokens": _q_countmin,
         "ewma_decay": _q_ewma_decay,
+        "linearize_tree": _q_linearize_tree,
         "lag_lead": _q_lag_lead,
         "topk_per_group": _q_topk_per_group,
         "asof_last_match": _q_asof_last_match,
@@ -4077,6 +4122,53 @@ def oracle_sql() -> dict[str, str]:
                    rtext AS response_text, ts_sec - p_ts AS latency_s
             FROM p
             WHERE role = 'assistant' AND prompt_idx IS NOT NULL
+        """,
+        # branching-tree linearization: recursive-CTE ascent from the
+        # leaves, paths root-first, exploded to (leaf, pos, node)
+        "linearize_tree": f"""
+            WITH RECURSIVE r AS (
+              SELECT user_id, event_id,
+                     ROW_NUMBER() OVER w AS rn,
+                     LAG(event_id, 1) OVER w AS p1,
+                     LAG(event_id, 2) OVER w AS p2
+              FROM ({_EV_TS})
+              WHERE event_id % 5 = 0
+              WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts_sec, event_id)
+            ),
+            t AS (
+              SELECT user_id, event_id AS node_id,
+                     CASE WHEN rn = 1 THEN NULL
+                          WHEN event_id % 3 = 0 AND rn >= 3 THEN p2
+                          ELSE p1 END AS parent_id
+              FROM r
+            ),
+            leaves AS (
+              SELECT t.user_id, t.node_id, t.parent_id
+              FROM t
+              LEFT JOIN (
+                SELECT DISTINCT user_id, parent_id FROM t
+                WHERE parent_id IS NOT NULL
+              ) k
+                ON t.user_id = k.user_id AND t.node_id = k.parent_id
+              WHERE k.parent_id IS NULL
+            ),
+            walk AS (
+              SELECT user_id, node_id AS leaf_id,
+                     parent_id AS pending, [node_id] AS path
+              FROM leaves
+              UNION ALL
+              SELECT w.user_id, w.leaf_id, t.parent_id,
+                     list_prepend(t.node_id, w.path)
+              FROM walk w
+              JOIN t ON t.user_id = w.user_id
+                    AND t.node_id = w.pending
+            )
+            SELECT user_id, leaf_id, len(path) AS depth,
+                   i - 1 AS pos, path[i] AS node_id
+            FROM walk
+            CROSS JOIN unnest(generate_series(1, len(path))) AS g(i)
+            WHERE pending IS NULL
         """,
         # time-decayed running value (half-life 7d): prefix-sum
         # rescaling, identical addition order via (ts_sec, event_id)

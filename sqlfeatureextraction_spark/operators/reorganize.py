@@ -402,3 +402,89 @@ def or_combine_window_features(
     return grouped.select(
         "conv_id", "ts", or_reduce(F.col("vecs")).alias("window_features_or")
     )
+
+
+def linearize_conversation_tree(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    node_col: str = "node_id",
+    parent_col: str = "parent_id",
+    max_depth: int = 64,
+) -> DataFrame:
+    """Branching-conversation linearization: chat transcripts with
+    edits/regenerations form a TREE (each turn points at its parent;
+    every root-to-leaf path is one linear conversation variant).
+    Emits one row per leaf with its full root→leaf path — the step
+    that turns a conversation tree into trainable linear transcripts.
+
+    Spark-first iterative ascent (Pregel-lite, no recursion in the
+    engine): the frontier starts at the LEAVES (left-anti join
+    against the parent set) carrying ``path = [node]``; each round
+    joins the frontier's pending parent pointer against the node
+    table and PREPENDS — every round is one equi-join on
+    (conv, node), broadcast-able when the remaining frontier is
+    small, and rounds are bounded by the tree height (≤ max_depth,
+    enforced: leftover pending pointers after max_depth rounds raise
+    rather than silently truncate).  Early exit when a round leaves
+    no pending rows — the driver-side loop does a bounded count per
+    round, the engine's accepted pattern for iterative closure
+    (reorganize_sessions' hop map, semdedup's Lloyd rounds).
+
+    Output: (conv_col, leaf_id, depth = path length, path
+    array<node> root-first).
+    """
+    nodes = df.select(
+        F.col(conv_col).alias("_c"),
+        F.col(node_col).alias("_n"),
+        F.col(parent_col).alias("_p"),
+    )
+    parents = nodes.where(F.col("_p").isNotNull()).select(
+        F.col("_c"), F.col("_p").alias("_n")
+    )
+    frontier = (
+        nodes.join(parents, ["_c", "_n"], "left_anti")
+        .select(
+            "_c",
+            F.col("_n").alias("leaf_id"),
+            F.array(F.col("_n")).alias("path"),
+            F.col("_p").alias("pending"),
+        )
+    )
+    done = frontier.where(F.col("pending").isNull())
+    todo = frontier.where(F.col("pending").isNotNull())
+    # renamed projection so the repeated ascent joins are never
+    # ambiguous self-joins against the frontier's own lineage
+    up = nodes.select(
+        F.col("_c").alias("_uc"),
+        F.col("_n").alias("_un"),
+        F.col("_p").alias("_up"),
+    )
+    for _ in range(int(max_depth)):
+        if not todo.take(1):
+            break
+        stepped = todo.join(
+            up,
+            (F.col("_c") == F.col("_uc"))
+            & (F.col("pending") == F.col("_un")),
+            "inner",
+        ).select(
+            "_c",
+            "leaf_id",
+            F.concat(F.array(F.col("_un")), F.col("path")).alias("path"),
+            F.col("_up").alias("pending"),
+        )
+        done = done.unionByName(stepped.where(F.col("pending").isNull()))
+        todo = stepped.where(F.col("pending").isNotNull()).localCheckpoint(
+            eager=True
+        )
+    if todo.take(1):
+        raise ValueError(
+            f"conversation tree deeper than max_depth={max_depth} "
+            "(or a parent pointer cycle)"
+        )
+    return done.select(
+        F.col("_c").alias(conv_col),
+        "leaf_id",
+        F.size("path").alias("depth"),
+        "path",
+    )
