@@ -195,6 +195,42 @@ def _q_qa_pairs(spark, sf_dir):
     )
 
 
+def _q_robust_outliers(spark, sf_dir):
+    """Median/MAD robust outlier flags on events.value per
+    event_type: two exact-regime GK medians + broadcast join-backs,
+    0.6745 consistency constant, k=3.5."""
+    from sqlfeatureextraction_spark.operators.stats import (
+        robust_outlier_flags,
+    )
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    out = robust_outlier_flags(ev, "event_type", "value", k=3.5)
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.round("med", 4).alias("med"),
+        F.round("mad", 4).alias("mad"),
+        "robust_z",
+        "is_outlier",
+    )
+
+
+def _q_normalize_text(spark, sf_dir):
+    """Pre-dedup canonicalization of documents.text (control strip ->
+    quote/dash mapping -> lower -> whitespace collapse -> trim) plus
+    the md5 canonical fingerprint — per-row codegen chain."""
+    from sqlfeatureextraction_spark.operators.textstats import (
+        with_normalized_text,
+    )
+
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = with_normalized_text(doc.select("doc_id", "text"))
+    return out.select(
+        "doc_id", "norm_text", F.md5("norm_text").alias("norm_fp")
+    )
+
+
 def _q_linearize_tree(spark, sf_dir):
     """Branching-conversation linearization: a deterministic tree per
     user (event_id%3==0 turns attach to the grandparent -> real
@@ -3090,6 +3126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_tokens": _q_countmin,
         "ewma_decay": _q_ewma_decay,
         "linearize_tree": _q_linearize_tree,
+        "normalize_text": _q_normalize_text,
+        "robust_outliers": _q_robust_outliers,
         "lag_lead": _q_lag_lead,
         "topk_per_group": _q_topk_per_group,
         "asof_last_match": _q_asof_last_match,
@@ -4122,6 +4160,52 @@ def oracle_sql() -> dict[str, str]:
                    rtext AS response_text, ts_sec - p_ts AS latency_s
             FROM p
             WHERE role = 'assistant' AND prompt_idx IS NOT NULL
+        """,
+        # median/MAD robust z per event_type, 0.6745 constant, k=3.5;
+        # MAD=0 groups: NULL z, flag iff value != median
+        "robust_outliers": """
+            WITH m AS (
+              SELECT event_type, quantile_disc(value, 0.5) AS med
+              FROM events GROUP BY event_type
+            ),
+            d AS (
+              SELECT e.event_id, e.event_type, e.value, m.med
+              FROM events e JOIN m USING (event_type)
+              WHERE e.value IS NOT NULL
+            ),
+            a AS (
+              SELECT event_type,
+                     quantile_disc(abs(value - med), 0.5) AS mad
+              FROM d GROUP BY event_type
+            )
+            SELECT d.event_id, d.event_type,
+                   ROUND(d.value, 4) AS value,
+                   ROUND(d.med, 4) AS med,
+                   ROUND(a.mad, 4) AS mad,
+                   CASE WHEN a.mad > 0
+                        THEN ROUND(0.6745 * (d.value - d.med) / a.mad, 6)
+                   END AS robust_z,
+                   CASE WHEN a.mad > 0
+                        THEN abs(ROUND(0.6745 * (d.value - d.med)
+                                       / a.mad, 6)) > 3.5
+                        ELSE d.value <> d.med
+                   END AS is_outlier
+            FROM d JOIN a USING (event_type)
+        """,
+        # canonicalization replayed step-for-step + md5 fingerprint
+        "normalize_text": """
+            SELECT doc_id, norm_text, md5(norm_text) AS norm_fp
+            FROM (
+              SELECT doc_id,
+                     trim(regexp_replace(
+                       lower(translate(
+                         regexp_replace(coalesce(text, ''),
+                           '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]',
+                           '', 'g'),
+                         '‘’“”–—', '''''""--')),
+                       '\\s+', ' ', 'g')) AS norm_text
+              FROM documents
+            )
         """,
         # branching-tree linearization: recursive-CTE ascent from the
         # leaves, paths root-first, exploded to (leaf, pos, node)

@@ -581,3 +581,52 @@ def countmin_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
     )
+
+
+def robust_outlier_flags(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.5,
+    accuracy: int = 1_000_000,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Median/MAD robust outlier detection per group — the curation
+    anomaly gate that, unlike mean/stddev z-scores, is not dragged by
+    the outliers it is looking for: robust_z = 0.6745·(x − median) /
+    MAD (the 0.6745 consistency constant makes it σ-comparable for
+    normal data), flagged when |robust_z| > ``k``.
+
+    Spark-first: TWO exact-regime GK medians (per-group median, then
+    median of absolute deviations — each a mergeable one-shuffle
+    sketch aggregation equal to DuckDB quantile_disc at accuracy ≥
+    group size) with broadcast join-backs; the fact table is never
+    re-shuffled.  Degenerate groups (MAD = 0, over half the mass at
+    the median) get a NULL z and are flagged iff the value differs
+    from the median at all — documented, deterministic, replayed in
+    the oracle.  NULL values drop.
+
+    Output: df's columns + (med, mad, robust_z, is_outlier).
+    """
+    med = df.groupBy(group_col).agg(
+        F.percentile_approx(value_col, 0.5, int(accuracy)).alias("med")
+    )
+    j = df.where(F.col(value_col).isNotNull()).join(
+        F.broadcast(med), group_col
+    )
+    dev = F.abs(F.col(value_col) - F.col("med"))
+    mad = j.groupBy(group_col).agg(
+        F.percentile_approx(dev, 0.5, int(accuracy)).alias("mad")
+    )
+    out = j.join(F.broadcast(mad), group_col)
+    z = F.round(
+        F.lit(0.6745) * (F.col(value_col) - F.col("med")) / F.col("mad"),
+        round_dp,
+    )
+    return out.select(
+        "*",
+        F.when(F.col("mad") > 0, z).alias("robust_z"),
+        F.when(F.col("mad") > 0, F.abs(z) > F.lit(float(k)))
+        .otherwise(F.col(value_col) != F.col("med"))
+        .alias("is_outlier"),
+    )

@@ -328,3 +328,26 @@ def with_char_entropy(
         "char_entropy",
         F.when(n > 0, F.round(ent, round_dp)).otherwise(F.lit(0.0)),
     )
+
+
+def with_normalized_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "norm_text"
+) -> DataFrame:
+    """Pre-dedup text canonicalization — the normalization applied
+    before exact/near-dup fingerprints so trivially different copies
+    (case, spacing, control chars, quote styles) collapse: strip
+    control characters, map curly quotes/dashes to ASCII, lowercase,
+    collapse all whitespace runs to single spaces, trim.  Order
+    matters and is fixed (strip → map → lower → collapse → trim).
+
+    Entirely per-row regexp_replace/translate chain — JVM codegen,
+    no UDF, no shuffle; rides the scan at any scale.  The same five
+    steps are replayed verbatim in the driver oracle, so the
+    canonical form is cross-engine pinned, not just "similar".
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    c = F.translate(c, "‘’“”–—", "''\"\"--")
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"\s+", " ")
+    return df.withColumn(out_col, F.trim(c))
