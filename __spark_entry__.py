@@ -195,6 +195,21 @@ def _q_qa_pairs(spark, sf_dir):
     )
 
 
+def _q_winnowing(spark, sf_dir):
+    """MOSS winnowing fingerprints over documents (k=5-token
+    shingles, w=4 windows, rightmost-min selection) with the
+    engine-portable polynomial shingle hash — per-row HOFs, no
+    shuffle; the oracle replays the identical arithmetic."""
+    from sqlfeatureextraction_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_fingerprints(
+        doc.select("doc_id", "text"), k=5, w=4
+    )
+
+
 def _q_robust_outliers(spark, sf_dir):
     """Median/MAD robust outlier flags on events.value per
     event_type: two exact-regime GK medians + broadcast join-backs,
@@ -3128,6 +3143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linearize_tree": _q_linearize_tree,
         "normalize_text": _q_normalize_text,
         "robust_outliers": _q_robust_outliers,
+        "winnowing": _q_winnowing,
         "lag_lead": _q_lag_lead,
         "topk_per_group": _q_topk_per_group,
         "asof_last_match": _q_asof_last_match,
@@ -4160,6 +4176,50 @@ def oracle_sql() -> dict[str, str]:
                    rtext AS response_text, ts_sec - p_ts AS latency_s
             FROM p
             WHERE role = 'assistant' AND prompt_idx IS NOT NULL
+        """,
+        # winnowing (k=5, w=4): polynomial shingle hashes, per-window
+        # min with rightmost tie, distinct (pos, hash) pairs
+        "winnowing": f"""
+            WITH d AS (
+              SELECT doc_id, {_TOK} AS toks FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(1, greatest(len(toks) - 4, 0) + 1),
+                       i -> list_reduce(
+                              list_prepend(CAST(0 AS BIGINT),
+                                list_transform(
+                                  string_split(
+                                    array_to_string(toks[i:i+4], ' '),
+                                    ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+                              (a, b) -> (a * 31 + b) % 2147483647)
+                     ) AS gh
+              FROM d
+            ),
+            wd AS (
+              SELECT doc_id, gh, least(4, len(gh)) AS win
+              FROM g WHERE len(gh) > 0
+            ),
+            sel AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, len(gh) - win + 2),
+                       i -> struct_pack(
+                         pos := list_aggregate(
+                           list_filter(range(i, i + win),
+                             j -> gh[j] = list_aggregate(
+                                    gh[i:i+win-1], 'min')),
+                           'max') - 1,
+                         gram_hash := list_aggregate(
+                           gh[i:i+win-1], 'min')))) AS s
+              FROM wd
+            )
+            SELECT DISTINCT doc_id,
+                   CAST(s.pos AS INTEGER) AS pos,
+                   s.gram_hash AS gram_hash
+            FROM sel
         """,
         # median/MAD robust z per event_type, 0.6745 constant, k=3.5;
         # MAD=0 groups: NULL z, flag iff value != median

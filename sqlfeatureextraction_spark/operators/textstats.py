@@ -351,3 +351,76 @@ def with_normalized_text(
     c = F.lower(c)
     c = F.regexp_replace(c, r"\s+", " ")
     return df.withColumn(out_col, F.trim(c))
+
+
+WINNOW_MOD = 2_147_483_647  # 2^31-1; 31*acc + 127 stays in int64
+
+
+def _poly_hash(col):
+    """Deterministic polynomial string hash both engines can compute
+    arithmetically: fold (acc*31 + ascii(char)) mod 2^31-1 over the
+    characters — NOT a crypto hash, but engine-portable (Spark
+    F.aggregate here == DuckDB list_reduce in the oracle), which a
+    builtin like xxhash64 is not across engines."""
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(WINNOW_MOD),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple = ("doc_id",),
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-token shingle, then
+    in every sliding window of ``w`` consecutive shingle hashes
+    select the minimum (RIGHTMOST position on ties); the distinct
+    selected (pos, hash) pairs are the document's fingerprint set.
+    Guarantee: any shared run of ≥ w+k−1 tokens between two documents
+    shares at least one fingerprint — the local selection the global
+    min (with_fingerprint's winnow_min) cannot give.  Documents with
+    fewer than w shingles winnow their single short window; documents
+    under k tokens emit nothing.
+
+    Entirely per-row higher-order functions (shingle hashes, window
+    minima, rightmost-argmin via max(filter(positions))) and one
+    posexplode — no shuffle, no UDF; the polynomial shingle hash is
+    engine-portable so the oracle replays it bit-for-bit.
+
+    Output: (*id_cols, pos = shingle index of the selected hash,
+    gram_hash), one row per distinct selected pair.
+    """
+    toks = tokenize_col(F.col(text_col))
+    m = F.size(toks)
+    n_gram = F.greatest(m - (k - 1), F.lit(0))
+    gh = F.transform(
+        F.sequence(F.lit(0), n_gram - 1),
+        lambda i: _poly_hash(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    )
+    win = F.least(F.lit(w), n_gram)
+    n_win = n_gram - win + 1
+    sel = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.struct(
+            F.array_max(
+                F.filter(
+                    F.sequence(i, i + win - 1),
+                    lambda j: F.element_at(gh, j + 1)
+                    == F.array_min(F.slice(gh, i + 1, win)),
+                )
+            ).alias("pos"),
+            F.array_min(F.slice(gh, i + 1, win)).alias("gram_hash"),
+        ),
+    )
+    picked = F.when(n_gram > 0, F.array_distinct(sel)).otherwise(
+        F.array().cast("array<struct<pos:int,gram_hash:bigint>>")
+    )
+    return df.select(
+        *id_cols, F.explode(picked).alias("_s")
+    ).select(*id_cols, F.col("_s.pos").alias("pos"),
+             F.col("_s.gram_hash").alias("gram_hash"))
