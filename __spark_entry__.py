@@ -195,6 +195,26 @@ def _q_qa_pairs(spark, sf_dir):
     )
 
 
+def _q_edit_distance(spark, sf_dir):
+    """Turn-over-turn Levenshtein features per user (builtin
+    levenshtein over one lag window — retry/self-correction
+    detection), normalized similarity in [0,1]."""
+    from sqlfeatureextraction_spark.operators.sessionize import (
+        with_edit_distance_features,
+    )
+
+    ev = _events(spark, sf_dir)
+    tx = ev.select(
+        "user_id", "ts_sec", "event_id", F.col("props").alias("text")
+    )
+    out = with_edit_distance_features(
+        tx, conv_col="user_id", order_cols=("ts_sec", "event_id")
+    )
+    return out.select(
+        "user_id", "ts_sec", "event_id", "prev_len", "edit_dist", "edit_sim"
+    )
+
+
 def _q_winnowing(spark, sf_dir):
     """MOSS winnowing fingerprints over documents (k=5-token
     shingles, w=4 windows, rightmost-min selection) with the
@@ -3144,6 +3164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": _q_normalize_text,
         "robust_outliers": _q_robust_outliers,
         "winnowing": _q_winnowing,
+        "edit_distance": _q_edit_distance,
         "lag_lead": _q_lag_lead,
         "topk_per_group": _q_topk_per_group,
         "asof_last_match": _q_asof_last_match,
@@ -4176,6 +4197,28 @@ def oracle_sql() -> dict[str, str]:
                    rtext AS response_text, ts_sec - p_ts AS latency_s
             FROM p
             WHERE role = 'assistant' AND prompt_idx IS NOT NULL
+        """,
+        # turn-over-turn Levenshtein + normalized similarity
+        "edit_distance": f"""
+            WITH t AS (
+              SELECT user_id, ts_sec, event_id,
+                     coalesce(props, '') AS text,
+                     LAG(coalesce(props, '')) OVER (
+                       PARTITION BY user_id ORDER BY ts_sec, event_id
+                     ) AS prev
+              FROM ({_EV_TS})
+            )
+            SELECT user_id, ts_sec, event_id,
+                   length(prev) AS prev_len,
+                   levenshtein(text, prev) AS edit_dist,
+                   CASE WHEN prev IS NULL THEN NULL
+                        WHEN greatest(length(text), length(prev)) = 0
+                        THEN 1.0
+                        ELSE ROUND(1 - CAST(levenshtein(text, prev)
+                                            AS DOUBLE)
+                             / greatest(length(text), length(prev)), 6)
+                   END AS edit_sim
+            FROM t
         """,
         # winnowing (k=5, w=4): polynomial shingle hashes, per-window
         # min with rightmost tie, distinct (pos, hash) pairs

@@ -571,3 +571,53 @@ def transition_counts(
         "n",
         F.round(F.col("n") / row_tot, round_dp).alias("p"),
     )
+
+
+def with_edit_distance_features(
+    tx: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: tuple = ("turn_idx",),
+    text_col: str = "text",
+    role_col: str | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Turn-over-turn edit-distance features — the retry/self-
+    correction detector: Levenshtein distance from each turn to the
+    PREVIOUS turn in its conversation (optionally the previous turn
+    of the same role, the natural "edited resubmission" comparison),
+    plus the normalized similarity 1 − d/max(len, len_prev) ∈ [0, 1]
+    (1 = identical, 0 = disjoint).  First turns get NULLs.
+
+    Spark-first: one lag over the conversation window feeding the
+    builtin ``levenshtein`` — JVM, no UDF, one shuffle; the
+    same-role variant gates the lag with the pair_prompt_response
+    conditional-window idiom instead of a self-join.
+
+    Output: tx's columns + (prev_len, edit_dist, edit_sim).
+    """
+    w = Window.partitionBy(conv_col).orderBy(
+        *[F.asc(c) for c in order_cols]
+    )
+    cur = F.coalesce(F.col(text_col), F.lit(""))
+    if role_col is None:
+        prev = F.lag(cur).over(w)
+    else:
+        # previous SAME-ROLE turn: lag over the (conv, role) window —
+        # no self-join needed
+        role = F.coalesce(F.col(role_col), F.lit(""))
+        w_role = Window.partitionBy(conv_col, role).orderBy(
+            *[F.asc(c) for c in order_cols]
+        )
+        prev = F.lag(cur).over(w_role)
+    d = F.levenshtein(cur, prev)
+    mx = F.greatest(F.length(cur), F.length(prev))
+    sim = F.when(mx > 0, F.round(1 - d / mx, round_dp)).otherwise(
+        F.lit(1.0)
+    )
+    return (
+        tx.withColumn("prev_len", F.length(prev))
+        .withColumn("edit_dist", d)
+        .withColumn(
+            "edit_sim", F.when(prev.isNotNull(), sim)
+        )
+    )
