@@ -195,6 +195,24 @@ def _q_qa_pairs(spark, sf_dir):
     )
 
 
+def _q_percent_rank(spark, sf_dir):
+    """Rank normalization of events.value per event_type:
+    percent_rank + empirical CDF, one window."""
+    from sqlfeatureextraction_spark.operators.stats import (
+        with_group_percent_rank,
+    )
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    out = with_group_percent_rank(ev, "event_type", "value")
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        "pct_rank",
+        "cdf",
+    )
+
+
 def _q_edit_distance(spark, sf_dir):
     """Turn-over-turn Levenshtein features per user (builtin
     levenshtein over one lag window — retry/self-correction
@@ -3165,6 +3183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers": _q_robust_outliers,
         "winnowing": _q_winnowing,
         "edit_distance": _q_edit_distance,
+        "percent_rank_norm": _q_percent_rank,
         "lag_lead": _q_lag_lead,
         "topk_per_group": _q_topk_per_group,
         "asof_last_match": _q_asof_last_match,
@@ -4197,6 +4216,16 @@ def oracle_sql() -> dict[str, str]:
                    rtext AS response_text, ts_sec - p_ts AS latency_s
             FROM p
             WHERE role = 'assistant' AND prompt_idx IS NOT NULL
+        """,
+        # SQL-standard percent_rank + cume_dist per event_type
+        "percent_rank_norm": """
+            SELECT event_id, event_type,
+                   ROUND(value, 4) AS value,
+                   ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+                   ROUND(CUME_DIST() OVER w, 6) AS cdf
+            FROM events
+            WHERE value IS NOT NULL
+            WINDOW w AS (PARTITION BY event_type ORDER BY value)
         """,
         # turn-over-turn Levenshtein + normalized similarity
         "edit_distance": f"""

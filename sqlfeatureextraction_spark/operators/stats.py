@@ -630,3 +630,34 @@ def robust_outlier_flags(
         .otherwise(F.col(value_col) != F.col("med"))
         .alias("is_outlier"),
     )
+
+
+def with_group_percent_rank(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Rank-based feature normalization per group — the
+    distribution-free transform (quantile-uniform / rank scaling)
+    model features use when raw magnitudes are incomparable across
+    domains: SQL-standard ``percent_rank`` ((rank−1)/(n−1), ties
+    share the rank, single-row groups get 0) plus ``cume_dist``
+    (P(X ≤ x), the empirical CDF value).
+
+    One window over the group key ordered by value — a single
+    shuffle, codegen; both functions are SQL-standard so the oracle
+    is definitionally identical.  NULL values sort first per Spark
+    default and are dropped here instead (no rank), keeping both
+    engines' NULL conventions out of the contract.
+
+    Output: df's non-NULL-value rows + (pct_rank, cdf).
+    """
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .withColumn(
+            "pct_rank", F.round(F.percent_rank().over(w), round_dp)
+        )
+        .withColumn("cdf", F.round(F.cume_dist().over(w), round_dp))
+    )
