@@ -195,6 +195,17 @@ def _q_qa_pairs(spark, sf_dir):
     )
 
 
+def _q_vocab_coverage(spark, sf_dir):
+    """Top-50 token coverage curve over documents: TakeOrdered top-k,
+    bounded-K window cumsum, broadcast scalar total."""
+    from sqlfeatureextraction_spark.operators.stats import (
+        vocab_coverage_curve,
+    )
+
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_coverage_curve(doc.select("text"), top_k=50)
+
+
 def _q_percent_rank(spark, sf_dir):
     """Rank normalization of events.value per event_type:
     percent_rank + empirical CDF, one window."""
@@ -3184,6 +3195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing": _q_winnowing,
         "edit_distance": _q_edit_distance,
         "percent_rank_norm": _q_percent_rank,
+        "vocab_coverage": _q_vocab_coverage,
         "lag_lead": _q_lag_lead,
         "topk_per_group": _q_topk_per_group,
         "asof_last_match": _q_asof_last_match,
@@ -4216,6 +4228,28 @@ def oracle_sql() -> dict[str, str]:
                    rtext AS response_text, ts_sec - p_ts AS latency_s
             FROM p
             WHERE role = 'assistant' AND prompt_idx IS NOT NULL
+        """,
+        # top-50 token coverage curve: share + cumulative share
+        "vocab_coverage": f"""
+            WITH c AS (
+              SELECT tok, COUNT(*) AS cnt
+              FROM (SELECT unnest({_TOK}) AS tok FROM documents)
+              GROUP BY tok
+            ),
+            t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM c),
+            k AS (
+              SELECT tok, cnt,
+                     ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC)
+                       AS rank
+              FROM c
+              ORDER BY cnt DESC, tok ASC LIMIT 50
+            )
+            SELECT rank, tok, cnt,
+                   ROUND(cnt / t.total, 6) AS share,
+                   ROUND(SUM(cnt) OVER (ORDER BY rank
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / t.total, 6) AS cum_share
+            FROM k, t
         """,
         # SQL-standard percent_rank + cume_dist per event_type
         "percent_rank_norm": """

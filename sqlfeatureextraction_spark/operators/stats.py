@@ -661,3 +661,51 @@ def with_group_percent_rank(
         )
         .withColumn("cdf", F.round(F.cume_dist().over(w), round_dp))
     )
+
+
+def vocab_coverage_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 100,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-budget diagnostic:
+    for the ``top_k`` most frequent tokens (count desc, token asc on
+    ties), each one's corpus share and the cumulative share a
+    vocabulary truncated at that rank would cover.
+
+    Spark-first: token counts are one explode + map-side-combinable
+    groupBy; the top-k cut is ``orderBy(...).limit(k)`` — Spark
+    plans TakeOrderedAndProject (per-partition heaps + driver-side
+    k-merge, never a global sort); the cumulative sum then runs on
+    the K-row result, where a single-partition window is bounded by
+    construction (K is a parameter, not the data) — the same
+    bounded-smallness argument as the engine's bucket-count
+    collects.  The corpus total joins in as a broadcast scalar.
+
+    Output: (rank 1-based, token, cnt, share, cum_share).
+    """
+    toks = df.select(
+        F.explode(tokens_col(F.col(text_col))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(int(top_k))
+    total = counts.agg(
+        F.sum("cnt").cast("double").alias("_total")
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "tok",
+            "cnt",
+            F.round(F.col("cnt") / F.col("_total"), round_dp).alias(
+                "share"
+            ),
+            F.round(
+                F.sum("cnt").over(run) / F.col("_total"), round_dp
+            ).alias("cum_share"),
+        )
+    )
