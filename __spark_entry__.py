@@ -244,6 +244,64 @@ def _q_edit_distance(spark, sf_dir):
     )
 
 
+def _q_rolling_quantile(spark, sf_dir):
+    """Exact rolling median of events.value over the trailing 8
+    observations per user — sort_array + element_at on a bounded
+    ROWS frame (the discrete-quantile convention DuckDB's
+    quantile_disc window aggregate uses)."""
+    from sqlfeatureextraction_spark.operators.stats import (
+        rolling_quantile,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts_sec", "event_id", "value"
+    )
+    out = rolling_quantile(
+        ev, "user_id", ("ts_sec", "event_id"), "value", q=0.5, n_rows=8
+    )
+    return out.select(
+        "user_id",
+        "ts_sec",
+        "event_id",
+        F.round("value", 4).alias("value"),
+        "roll_n",
+        "roll_q",
+    )
+
+
+def _q_cusum_changepoint(spark, sf_dir):
+    """Page's one-sided CUSUM per user over events.value, as the
+    closed prefix-sum form (running sum, then running min) — two
+    window functions on one partitioning, no recursion."""
+    from sqlfeatureextraction_spark.operators.stats import (
+        cusum_changepoint,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts_sec", "event_id", "value"
+    )
+    out = cusum_changepoint(
+        ev, "user_id", ("ts_sec", "event_id"), "value", h=2.0
+    )
+    return out.select(
+        "user_id",
+        "ts_sec",
+        "event_id",
+        F.round("value", 4).alias("value"),
+        "cusum",
+        "is_shift",
+    )
+
+
+def _q_zipf_slope(spark, sf_dir):
+    """Corpus Zipf rank-frequency fit (OLS of ln count on ln rank)
+    via builtin regr_* moment aggregates — one row out."""
+    from sqlfeatureextraction_spark.operators.stats import zipf_slope
+
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return zipf_slope(doc.select("text"), min_count=2)
+
+
 def _q_winnowing(spark, sf_dir):
     """MOSS winnowing fingerprints over documents (k=5-token
     shingles, w=4 windows, rightmost-min selection) with the
@@ -3196,6 +3254,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance": _q_edit_distance,
         "percent_rank_norm": _q_percent_rank,
         "vocab_coverage": _q_vocab_coverage,
+        "rolling_quantile": _q_rolling_quantile,
+        "cusum_changepoint": _q_cusum_changepoint,
+        "zipf_slope": _q_zipf_slope,
         "lag_lead": _q_lag_lead,
         "topk_per_group": _q_topk_per_group,
         "asof_last_match": _q_asof_last_match,
@@ -4282,6 +4343,77 @@ def oracle_sql() -> dict[str, str]:
                              / greatest(length(text), length(prev)), 6)
                    END AS edit_sim
             FROM t
+        """,
+        # exact rolling median: quantile_disc window aggregate over
+        # the same trailing-8 ROWS frame (discrete 1-based ceil(n*q))
+        "rolling_quantile": f"""
+            WITH e AS (
+              SELECT user_id, ts_sec, event_id, value
+              FROM ({_EV_TS}) WHERE value IS NOT NULL
+            )
+            SELECT user_id, ts_sec, event_id,
+                   ROUND(value, 4) AS value,
+                   COUNT(value) OVER w AS roll_n,
+                   ROUND(quantile_disc(value, 0.5) OVER w, 6) AS roll_q
+            FROM e
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts_sec, event_id
+                         ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+        """,
+        # CUSUM closed form: running sum of (x - mu) minus its running
+        # min; flag when the rounded statistic exceeds h * sigma_samp
+        "cusum_changepoint": f"""
+            WITH e AS (
+              SELECT user_id, ts_sec, event_id, value
+              FROM ({_EV_TS}) WHERE value IS NOT NULL
+            ),
+            g AS (
+              SELECT user_id, AVG(value) AS mu,
+                     STDDEV_SAMP(value) AS sigma
+              FROM e GROUP BY user_id
+            ),
+            p AS (
+              SELECT e.user_id, e.ts_sec, e.event_id, e.value, g.sigma,
+                     SUM(e.value - g.mu) OVER (
+                       PARTITION BY e.user_id
+                       ORDER BY e.ts_sec, e.event_id
+                       ROWS UNBOUNDED PRECEDING) AS pre
+              FROM e JOIN g USING (user_id)
+            ),
+            s AS (
+              SELECT user_id, ts_sec, event_id, value, sigma,
+                     ROUND(pre - MIN(pre) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts_sec, event_id
+                       ROWS UNBOUNDED PRECEDING), 6) AS cusum
+              FROM p
+            )
+            SELECT user_id, ts_sec, event_id,
+                   ROUND(value, 4) AS value, cusum,
+                   CASE WHEN coalesce(sigma, 0) > 0
+                        THEN cusum > 2.0 * sigma
+                        ELSE FALSE END AS is_shift
+            FROM s
+        """,
+        # Zipf fit: token counts >= 2, count-desc rank, OLS of
+        # ln(count) on ln(rank) via regr_* moment aggregates
+        "zipf_slope": f"""
+            WITH c AS (
+              SELECT tok, COUNT(*) AS cnt
+              FROM (SELECT unnest({_TOK}) AS tok FROM documents)
+              GROUP BY tok HAVING COUNT(*) >= 2
+            ),
+            r AS (
+              SELECT ln(CAST(ROW_NUMBER() OVER (
+                       ORDER BY cnt DESC, tok ASC) AS DOUBLE)) AS lr,
+                     ln(CAST(cnt AS DOUBLE)) AS lc
+              FROM c
+            )
+            SELECT COUNT(*) AS n_tokens,
+                   ROUND(regr_slope(lc, lr), 6) AS slope,
+                   ROUND(regr_intercept(lc, lr), 6) AS intercept,
+                   ROUND(regr_r2(lc, lr), 6) AS r2
+            FROM r
         """,
         # winnowing (k=5, w=4): polynomial shingle hashes, per-window
         # min with rightmost tie, distinct (pos, hash) pairs

@@ -709,3 +709,167 @@ def vocab_coverage_curve(
             ).alias("cum_share"),
         )
     )
+
+
+def rolling_quantile(
+    df: DataFrame,
+    group_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    q: float = 0.5,
+    n_rows: int = 10,
+    round_dp: int = 6,
+) -> DataFrame:
+    """EXACT rolling discrete quantile over the trailing ``n_rows``
+    observations per group — the windowed robust level estimate
+    (rolling median and friends) feature pipelines prefer over
+    rolling means when spikes are data, not noise.
+
+    Spark has no exact quantile window aggregate, so this builds it
+    from codegen HOFs on a bounded ROWS frame: ``collect_list`` over
+    ``ROWS BETWEEN n_rows-1 PRECEDING AND CURRENT ROW`` →
+    ``sort_array`` → ``element_at`` at the 1-based index
+    ``max(1, ceil(n*q))`` — the discrete-quantile convention DuckDB's
+    ``quantile_disc`` uses (pinned empirically: n=2,q=0.75→2nd
+    element; n=4,q=0.6→3rd), so the oracle is the straight window
+    aggregate.  Per-row state is bounded by the PARAMETER ``n_rows``
+    (never the group size), the frame sort is O(n_rows log n_rows)
+    inside whole-stage codegen, and the only exchange is the one
+    window shuffle on ``group_col`` — at 100 TB this scales exactly
+    like any lag feature.  NULL values are dropped before the window
+    (both engines' aggregates skip NULLs anyway, but dropping keeps
+    the frame's row count = observation count).
+
+    Output: df's non-NULL-value rows + (roll_n, roll_q).
+    """
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-(int(n_rows) - 1), 0)
+    )
+    vals = F.sort_array(F.collect_list(value_col).over(w))
+    n = F.size(vals)
+    idx = F.greatest(
+        F.lit(1), F.ceil(n * F.lit(float(q))).cast("int")
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .withColumn("_vals", vals)
+        .select(
+            *df.columns,
+            F.size("_vals").alias("roll_n"),
+            F.round(
+                F.element_at("_vals", idx).cast("double"), round_dp
+            ).alias("roll_q"),
+        )
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    h: float = 4.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """One-sided CUSUM level-shift statistic per group — the
+    sequential changepoint detector (Page 1954) a pipeline runs over
+    per-entity metric streams to flag upward drifts (cost blowups,
+    latency regressions, prompt-injection bursts) that pointwise
+    z-scores miss because each individual value stays in range.
+
+    The textbook recursion S_i = max(0, S_{i-1} + x_i - mu) looks
+    inherently sequential, but with zero slack it has a closed
+    prefix-sum form: S_i = P_i - min_{j<=i} P_j where
+    P_i = sum_{t<=i} (x_t - mu).  That turns the detector into TWO
+    window functions on ONE partitioning (running sum, then running
+    min of that sum) — no recursion, no UDF, one exchange, all
+    whole-stage codegen; the same trick the engine's context_budget
+    and ewma_decay operators use to de-sequentialize recurrences.
+    mu and sigma are the group's sample mean/stddev (one aggregate,
+    broadcast join-back); rows are flagged when S_i > h*sigma.
+    Degenerate groups (sigma = 0 or a single row) never flag.
+    NULL values drop.
+
+    Output: df's non-NULL-value rows + (cusum, is_shift).
+    """
+    gstats = df.where(F.col(value_col).isNotNull()).groupBy(
+        group_col
+    ).agg(
+        F.avg(value_col).alias("_mu"),
+        F.stddev_samp(value_col).alias("_sigma"),
+    )
+    j = (
+        df.where(F.col(value_col).isNotNull())
+        .join(F.broadcast(gstats), group_col)
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prefix = F.sum(F.col(value_col) - F.col("_mu")).over(w)
+    out = j.withColumn("_p", prefix).withColumn(
+        "cusum", F.round(F.col("_p") - F.min("_p").over(w), round_dp)
+    )
+    return out.select(
+        *df.columns,
+        "cusum",
+        F.when(
+            F.coalesce(F.col("_sigma"), F.lit(0.0)) > 0,
+            F.col("cusum") > F.lit(float(h)) * F.col("_sigma"),
+        )
+        .otherwise(F.lit(False))
+        .alias("is_shift"),
+    )
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus token distribution —
+    the one-number naturalness diagnostic (natural language sits near
+    slope -1; templated/synthetic corpora flatten, boilerplate-heavy
+    ones steepen): OLS slope/intercept/r^2 of ln(count) on ln(rank),
+    tokens ranked count-desc (token asc on ties).
+
+    Spark-first: token counts are one explode + map-side-combinable
+    groupBy; ranks come from one row_number window (the only global
+    ordering, over the DISTINCT-TOKEN table, vocabulary-sized not
+    corpus-sized — the same bounded-smallness argument as the
+    vocabulary fit); the fit itself is Spark's builtin
+    ``regr_slope/regr_intercept/regr_r2`` aggregates — mergeable
+    moment sums, so the regression never materializes anything.
+    ``min_count`` trims the hapax tail where Zipf fits are known to
+    break.  Both engines compute identical ln/moment arithmetic;
+    6dp rounding absorbs summation-order ulps.
+
+    Output: ONE row (n_tokens, slope, intercept, r2).
+    """
+    toks = df.select(
+        F.explode(tokens_col(F.col(text_col))).alias("tok")
+    )
+    counts = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= int(min_count))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    ranked = counts.select(
+        F.ln(F.row_number().over(w).cast("double")).alias("_lr"),
+        F.ln(F.col("cnt").cast("double")).alias("_lc"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.regr_slope("_lc", "_lr"), round_dp).alias("slope"),
+        F.round(F.regr_intercept("_lc", "_lr"), round_dp).alias(
+            "intercept"
+        ),
+        F.round(F.regr_r2("_lc", "_lr"), round_dp).alias("r2"),
+    )

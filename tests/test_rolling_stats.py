@@ -1,0 +1,120 @@
+"""Rolling quantile, CUSUM changepoint, Zipf slope (stats.py)."""
+
+import math
+
+
+def test_rolling_quantile_median_hand_computed(spark):
+    from sqlfeatureextraction_spark.operators.stats import rolling_quantile
+
+    rows = [("a", i + 1, v) for i, v in enumerate([3.0, 1.0, 2.0, 5.0, 4.0])]
+    df = spark.createDataFrame(rows, "grp string, i int, v double")
+    got = {
+        r.i: (r.roll_n, r.roll_q)
+        for r in rolling_quantile(
+            df, "grp", ("i",), "v", q=0.5, n_rows=3
+        ).collect()
+    }
+    # frames: [3] [3,1] [3,1,2] [1,2,5] [2,5,4]; idx = ceil(n*0.5)
+    assert got == {
+        1: (1, 3.0),
+        2: (2, 1.0),
+        3: (3, 2.0),
+        4: (3, 2.0),
+        5: (3, 4.0),
+    }
+
+
+def test_rolling_quantile_upper_q_and_nulls(spark):
+    from sqlfeatureextraction_spark.operators.stats import rolling_quantile
+
+    rows = [
+        ("a", 1, 10.0),
+        ("a", 2, None),  # dropped before the window
+        ("a", 3, 30.0),
+        ("a", 4, 20.0),
+    ]
+    df = spark.createDataFrame(rows, "grp string, i int, v double")
+    got = {
+        r.i: (r.roll_n, r.roll_q)
+        for r in rolling_quantile(
+            df, "grp", ("i",), "v", q=0.75, n_rows=2
+        ).collect()
+    }
+    # frames after null-drop: [10] [10,30] [30,20]; idx = ceil(n*0.75)
+    # n=2,q=0.75 -> 2nd element (the DuckDB quantile_disc pin)
+    assert got == {1: (1, 10.0), 3: (2, 30.0), 4: (2, 30.0)}
+
+
+def test_cusum_closed_form_equals_recursion(spark):
+    """S_i = P_i - min(P_j) must equal the textbook
+    max(0, S_{i-1} + x_i - mu) recursion."""
+    import random
+
+    from sqlfeatureextraction_spark.operators.stats import (
+        cusum_changepoint,
+    )
+
+    rng = random.Random(7)
+    vals = [rng.uniform(-5, 5) for _ in range(40)] + [
+        rng.uniform(5, 15) for _ in range(10)
+    ]
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "grp string, i int, v double")
+    out = {
+        r.i: r.cusum
+        for r in cusum_changepoint(df, "grp", ("i",), "v").collect()
+    }
+    mu = sum(vals) / len(vals)
+    s = 0.0
+    for i, v in enumerate(vals):
+        s = max(0.0, s + v - mu)
+        assert abs(out[i] - s) < 1e-6, (i, out[i], s)
+
+
+def test_cusum_flags_level_shift_not_before(spark):
+    from sqlfeatureextraction_spark.operators.stats import (
+        cusum_changepoint,
+    )
+
+    vals = [0.0, 0.0, 0.0, 10.0, 10.0, 10.0]
+    rows = [("g", i, v) for i, v in enumerate(vals)] + [("solo", 0, 1.0)]
+    df = spark.createDataFrame(rows, "grp string, i int, v double")
+    got = {
+        (r.grp, r.i): (r.cusum, r.is_shift)
+        for r in cusum_changepoint(
+            df, "grp", ("i",), "v", h=1.0
+        ).collect()
+    }
+    # mu=5, P=-5,-10,-15,-10,-5,0; S=0,0,0,5,10,15; sigma=sqrt(30)≈5.477
+    assert [got[("g", i)][0] for i in range(6)] == [
+        0.0, 0.0, 0.0, 5.0, 10.0, 15.0,
+    ]
+    assert [got[("g", i)][1] for i in range(6)] == [
+        False, False, False, False, True, True,
+    ]
+    # degenerate single-row group: sigma NULL -> never flags
+    assert got[("solo", 0)] == (0.0, False)
+
+
+def test_zipf_slope_matches_ols(spark):
+    from sqlfeatureextraction_spark.operators.stats import zipf_slope
+
+    # token counts: a=8, b=4, c=2, d=1 (hapax, trimmed by min_count=2)
+    rows = [
+        ("a a a a b b c",),
+        ("a a a a b b c d",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    r = zipf_slope(df, "text", min_count=2).collect()[0]
+    xs = [math.log(k) for k in (1, 2, 3)]
+    ys = [math.log(k) for k in (8, 4, 2)]
+    n = 3
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    assert r.n_tokens == 3
+    assert abs(r.slope - slope) < 1e-6
+    assert abs(r.intercept - intercept) < 1e-6
+    assert 0.9 < r.r2 <= 1.0
