@@ -302,6 +302,43 @@ def _q_zipf_slope(spark, sf_dir):
     return zipf_slope(doc.select("text"), min_count=2)
 
 
+def _q_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit over documents consumed in
+    doc_id order — both global-order passes (doc rank + running token
+    total, running new-type total) via the range-repartition
+    exact_rank_prefix primitive, never a single-task Window; the fit
+    is builtin regr_* moment aggregates of ln V on ln N."""
+    from sqlfeatureextraction_spark.operators.stats import heaps_law
+
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return heaps_law(doc.select("doc_id", "text"))
+
+
+def _q_pmi_collocations(spark, sf_dir):
+    """Top-50 adjacent-bigram collocations by PMI (Church & Hanks) —
+    bigrams zipped per-row from the token array (no self-join), type-
+    count joins pruned by min_count BEFORE shuffling, 6dp-rounded
+    order key so cross-engine ln ulps cannot reorder the cut."""
+    from sqlfeatureextraction_spark.operators.stats import (
+        pmi_collocations,
+    )
+
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pmi_collocations(doc.select("text"), min_count=5, top_k=50)
+
+
+def _q_kl_drift(spark, sf_dir):
+    """Per-source unigram KL(p_source || p_corpus) with Laplace-0.5
+    smoothing over the corpus vocabulary — the groups x |V| textbook
+    sum collapsed to observed-type joins plus a closed-form
+    absent-mass correction (one corpus scalar + two per-group
+    aggregates); nothing corpus-row-sized ever shuffles twice."""
+    from sqlfeatureextraction_spark.operators.stats import kl_drift
+
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return kl_drift(doc.select("source", "text"), "source", alpha=0.5)
+
+
 def _q_winnowing(spark, sf_dir):
     """MOSS winnowing fingerprints over documents (k=5-token
     shingles, w=4 windows, rightmost-min selection) with the
@@ -3257,6 +3294,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_quantile": _q_rolling_quantile,
         "cusum_changepoint": _q_cusum_changepoint,
         "zipf_slope": _q_zipf_slope,
+        "heaps_law": _q_heaps_law,
+        "pmi_collocations": _q_pmi_collocations,
+        "kl_drift": _q_kl_drift,
         "lag_lead": _q_lag_lead,
         "topk_per_group": _q_topk_per_group,
         "asof_last_match": _q_asof_last_match,
@@ -4414,6 +4454,124 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(regr_intercept(lc, lr), 6) AS intercept,
                    ROUND(regr_r2(lc, lr), 6) AS r2
             FROM r
+        """,
+        # Heaps' law: doc rank + running token total via window
+        # cumsums, V from per-type first-occurrence rank, OLS of
+        # ln V on ln N via regr_* (space-split tokenizer = tokens_col)
+        "heaps_law": f"""
+            WITH d AS (
+              SELECT doc_id, {_SPTOK} AS l FROM documents
+            ),
+            r AS (
+              SELECT doc_id, l,
+                     ROW_NUMBER() OVER (ORDER BY doc_id) AS rnk,
+                     SUM(len(l)) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS n
+              FROM d
+            ),
+            f AS (
+              SELECT tok, MIN(rnk) AS fr
+              FROM (SELECT rnk, unnest(l) AS tok FROM r)
+              GROUP BY tok
+            ),
+            nv AS (SELECT fr, COUNT(*) AS nv FROM f GROUP BY fr),
+            v AS (
+              SELECT r.rnk, r.n,
+                     SUM(coalesce(nv.nv, 0)) OVER (ORDER BY r.rnk
+                       ROWS UNBOUNDED PRECEDING) AS v
+              FROM r LEFT JOIN nv ON nv.fr = r.rnk
+            ),
+            pts AS (
+              SELECT ln(CAST(n AS DOUBLE)) AS ln_n,
+                     ln(CAST(v AS DOUBLE)) AS ln_v
+              FROM v WHERE n > 0 AND v > 0
+            )
+            SELECT COUNT(*) AS n_docs,
+                   ROUND(regr_slope(ln_v, ln_n), 6) AS beta,
+                   ROUND(regr_intercept(ln_v, ln_n), 6) AS ln_k,
+                   ROUND(regr_r2(ln_v, ln_n), 6) AS r2
+            FROM pts
+        """,
+        # PMI collocations: adjacent bigrams by zipping the token list
+        # with its shift (list_zip pads with NULL -> filtered; tokens
+        # are never NULL), min_count >= 5, top-50 by 6dp-rounded PMI
+        "pmi_collocations": f"""
+            WITH t AS (SELECT {_SPTOK} AS l FROM documents),
+            tot AS (
+              SELECT CAST(SUM(len(l)) AS DOUBLE) AS t1,
+                     CAST(SUM(greatest(len(l) - 1, 0)) AS DOUBLE) AS t2
+              FROM t
+            ),
+            uni AS (
+              SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c
+              FROM (SELECT unnest(l) AS tok FROM t) GROUP BY tok
+            ),
+            bi AS (
+              SELECT pr[1] AS w1, pr[2] AS w2, COUNT(*) AS pair_count
+              FROM (
+                SELECT unnest(list_zip(l, l[2:])) AS pr
+                FROM t WHERE len(l) >= 2
+              )
+              WHERE pr[2] IS NOT NULL
+              GROUP BY 1, 2
+              HAVING COUNT(*) >= 5
+            )
+            SELECT bi.w1, bi.w2, bi.pair_count,
+                   ROUND(ln((bi.pair_count / tot.t2)
+                            / ((ux.c / tot.t1) * (uy.c / tot.t1))),
+                         6) AS pmi
+            FROM bi
+            JOIN uni ux ON ux.tok = bi.w1
+            JOIN uni uy ON uy.tok = bi.w2
+            CROSS JOIN tot
+            ORDER BY pmi DESC, bi.w1 ASC, bi.w2 ASC
+            LIMIT 50
+        """,
+        # KL drift: same observed-join + closed-form absent-mass
+        # decomposition as the Spark plan (alpha = 0.5)
+        "kl_drift": f"""
+            WITH toks AS (
+              SELECT source AS g, unnest({_SPTOK}) AS tok
+              FROM documents
+            ),
+            corpus AS (
+              SELECT tok, CAST(COUNT(*) AS DOUBLE) AS ct
+              FROM toks GROUP BY tok
+            ),
+            scal AS (
+              SELECT SUM(ct) AS t, CAST(COUNT(*) AS DOUBLE) AS v
+              FROM corpus
+            ),
+            cq AS (
+              SELECT tok, ln(ct + 0.5) - ln(t + 0.5 * v) AS lnq
+              FROM corpus CROSS JOIN scal
+            ),
+            sq AS (SELECT SUM(lnq) AS sq FROM cq),
+            gc AS (
+              SELECT g, tok, CAST(COUNT(*) AS DOUBLE) AS cgt
+              FROM toks GROUP BY g, tok
+            ),
+            obs AS (
+              SELECT gc.g,
+                     SUM(gc.cgt) AS ng,
+                     CAST(COUNT(*) AS DOUBLE) AS vg,
+                     SUM(cq.lnq) AS sqg,
+                     SUM((gc.cgt + 0.5) * ln(gc.cgt + 0.5)) AS s_plnp,
+                     SUM((gc.cgt + 0.5) * cq.lnq) AS s_plnq
+              FROM gc JOIN cq USING (tok)
+              GROUP BY gc.g
+            )
+            SELECT g AS source,
+                   CAST(ng AS BIGINT) AS n_tokens,
+                   CAST(vg AS BIGINT) AS vocab_seen,
+                   ROUND(
+                     (s_plnp - (ng + 0.5 * vg) * ln(ng + 0.5 * v)
+                      - s_plnq) / (ng + 0.5 * v)
+                     + (0.5 / (ng + 0.5 * v))
+                       * ((v - vg) * (ln(0.5) - ln(ng + 0.5 * v))
+                          - (sq - sqg)),
+                     6) AS kl
+            FROM obs CROSS JOIN scal CROSS JOIN sq
         """,
         # winnowing (k=5, w=4): polynomial shingle hashes, per-window
         # min with rightmost tie, distinct (pos, hash) pairs

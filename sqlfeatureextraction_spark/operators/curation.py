@@ -49,6 +49,7 @@ __all__ = [
     "chunk_dup_fraction",
     "mix_threshold_hex",
     "exact_ntile",
+    "exact_rank_prefix",
     "shard_assign",
     "pack_sequences",
     "scrub_pii",
@@ -768,6 +769,93 @@ def exact_ntile(
             + 1
         )
     return ranked.withColumn(out_col, bucket).drop("_p", "_r")
+
+
+def exact_rank_prefix(
+    df: DataFrame,
+    order_cols: list[str],
+    value_cols: list[str] | None = None,
+    rank_col: str = "rank",
+    prefix: str = "cum_",
+) -> DataFrame:
+    """Scale-safe EXACT global ``row_number()`` AND inclusive running
+    ``sum()`` of each ``value_cols`` entry over one global order, in ONE
+    range pass — the two global-order primitives (rank, prefix sum)
+    that a naive plan buys with a single-task unpartitioned Window,
+    the canonical 100-TB failure mode.
+
+    Same pattern as exact_ntile (range-repartition → per-partition
+    local rank/cumsum → per-partition totals collected to the driver →
+    closed-form offsets), extended to carry per-partition VALUE sums
+    alongside row counts; driver traffic stays numPartitions-sized
+    regardless of data volume.  The ranked frame is localCheckpoint-ed
+    so the collected totals and the returned plan see the same
+    materialized partitioning.
+
+    ``order_cols`` must be a total order.  Output: df + ``rank_col``
+    (1-based long) + ``{prefix}{v}`` (double) per value column —
+    identical to SQL ``ROW_NUMBER() OVER (ORDER BY ...)`` and
+    ``SUM(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``.
+    """
+    value_cols = list(value_cols or [])
+    n_part = max(
+        2, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    )
+    cols = [F.col(c) for c in order_cols]
+    w = Window.partitionBy("_p").orderBy(*cols)
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    local = (
+        df.repartitionByRange(n_part, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_p", F.spark_partition_id())
+        .withColumn("_r", F.row_number().over(w) - 1)
+    )
+    for v in value_cols:
+        local = local.withColumn(
+            f"_s_{v}",
+            F.sum(F.coalesce(F.col(v).cast("double"), F.lit(0.0))).over(wsum),
+        )
+    local = local.localCheckpoint(eager=True)
+    totals = {
+        r["_p"]: r
+        for r in local.groupBy("_p")
+        .agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(F.coalesce(F.col(v).cast("double"), F.lit(0.0))).alias(
+                    f"t_{v}"
+                )
+                for v in value_cols
+            ],
+        )
+        .collect()
+    }
+    row_off, val_off = {}, {v: {} for v in value_cols}
+    acc_n = 0
+    acc_v = dict.fromkeys(value_cols, 0.0)
+    for p in sorted(totals):
+        row_off[p] = acc_n
+        acc_n += totals[p]["n"]
+        for v in value_cols:
+            val_off[v][p] = acc_v[v]
+            acc_v[v] += totals[p][f"t_{v}"] or 0.0
+
+    def _map(d, typ):
+        return F.element_at(
+            F.create_map(
+                *[F.lit(x) for p, o in d.items() for x in (p, o)]
+            ),
+            F.col("_p"),
+        ).cast(typ)
+
+    out = local.withColumn(
+        rank_col, (_map(row_off, "long") + F.col("_r") + 1)
+    )
+    for v in value_cols:
+        out = out.withColumn(
+            f"{prefix}{v}", _map(val_off[v], "double") + F.col(f"_s_{v}")
+        ).drop(f"_s_{v}")
+    return out.drop("_p", "_r")
 
 
 def shard_assign(

@@ -873,3 +873,275 @@ def zipf_slope(
         ),
         F.round(F.regr_r2("_lc", "_lr"), round_dp).alias("r2"),
     )
+
+
+def heaps_law(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit V(N) ~ K * N^beta over the
+    corpus consumed in ``id_col`` order — the companion diagnostic to
+    zipf_slope (natural text sits near beta 0.4-0.6; templated corpora
+    flatten because new documents stop contributing new types, heavy
+    boilerplate inflates K).  Both are one-number "is this corpus
+    shaped like language" monitors a curation pipeline tracks across
+    snapshots.
+
+    The curve needs two global-order quantities per document — its
+    ordinal ``rank`` and the running token total N(rank) — plus the
+    running distinct-type total V(rank).  A naive plan buys all three
+    with single-task unpartitioned Windows; here both passes use
+    curation.exact_rank_prefix (range-repartition rank + prefix sum,
+    driver traffic = one row per partition), and V comes from the
+    classic distributed rewrite of "cumulative distinct": each type's
+    FIRST-occurrence rank (one groupBy over the exploded corpus,
+    vocabulary-sized output), counts per rank, left-join back onto the
+    docs-sized rank spine, prefix-sum.  The corpus-sized explode feeds
+    a map-side-combinable min() aggregate; everything that crosses a
+    global order is docs-sized, never token-sized.  The fit itself is
+    the builtin regr_* moment aggregates over (ln N, ln V).
+
+    Output: ONE row (n_docs, beta, ln_k, r2).
+    """
+    from .curation import exact_rank_prefix, tokens_col
+
+    per_doc = df.select(
+        F.col(id_col).alias("_id"),
+        tokens_col(F.col(text_col)).alias("_toks"),
+    ).withColumn("_n_tok", F.size("_toks"))
+    spine = exact_rank_prefix(
+        per_doc, ["_id"], ["_n_tok"], rank_col="_rank", prefix="_N_"
+    )
+    firsts = (
+        spine.select("_rank", F.explode("_toks").alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.min("_rank").alias("_fr"))
+        .groupBy("_fr")
+        .agg(F.count(F.lit(1)).cast("double").alias("_nv"))
+    )
+    joined = (
+        spine.select("_rank", F.col("_N__n_tok").alias("_N"))
+        .join(firsts, spine["_rank"] == firsts["_fr"], "left")
+        .select(
+            "_rank", "_N", F.coalesce("_nv", F.lit(0.0)).alias("_nv")
+        )
+    )
+    curve = exact_rank_prefix(
+        joined, ["_rank"], ["_nv"], rank_col="_rank2", prefix="_V_"
+    ).select(
+        F.col("_N"), F.col("_V__nv").alias("_V")
+    ).where((F.col("_N") > 0) & (F.col("_V") > 0))
+    pts = curve.select(
+        F.ln("_N").alias("_ln_n"), F.ln("_V").alias("_ln_v")
+    )
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.regr_slope("_ln_v", "_ln_n"), round_dp).alias("beta"),
+        F.round(F.regr_intercept("_ln_v", "_ln_n"), round_dp).alias(
+            "ln_k"
+        ),
+        F.round(F.regr_r2("_ln_v", "_ln_n"), round_dp).alias("r2"),
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual
+    information — the classic multiword-expression miner (Church &
+    Hanks 1990): PMI(x,y) = ln( p(x,y) / (p(x) p(y)) ) with p(x,y)
+    over adjacent token pairs and p(x), p(y) over unigrams.  A
+    curation pipeline uses the top list to spot boilerplate phrases
+    and tokenizer-merge candidates; ``min_count`` prunes the
+    low-count tail where PMI is a noise amplifier.
+
+    Spark-first plan: bigrams come from zipping the token array with
+    itself shifted by one (slice + arrays_zip, pure per-row codegen —
+    no self-join, no positional explode-join); pair and unigram
+    counts are map-side-combinable groupBys whose outputs are
+    TYPE-counts (bigram-type / vocabulary-sized, never corpus-sized);
+    the ``min_count`` filter lands BEFORE the two token-keyed joins so
+    the long tail never shuffles twice; corpus totals ride in as one
+    broadcast 1-row aggregate.  Final top-k is orderBy+limit =
+    TakeOrderedAndProject (per-partition heaps, no global sort).  The
+    ORDER KEY is the 6dp-ROUNDED pmi (+ lexicographic tie-break) so
+    cross-engine ln ulps can never reorder the cut — the same
+    convention as bm25_topk/tfidf_topk.
+
+    Output: top_k rows (w1, w2, pair_count, pmi), pmi-desc.
+    """
+    from .curation import tokens_col
+
+    toks = df.select(tokens_col(F.col(text_col)).alias("_l"))
+    totals = toks.agg(
+        F.sum(F.size("_l")).cast("double").alias("_t1"),
+        F.sum(F.greatest(F.size("_l") - 1, F.lit(0)))
+        .cast("double")
+        .alias("_t2"),
+    )
+    uni = (
+        toks.select(F.explode("_l").alias("_tok"))
+        .groupBy("_tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("_c"))
+    )
+    pairs = (
+        toks.where(F.size("_l") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("_l"), 1, F.size("_l") - 1).alias("a"),
+                    F.slice(F.col("_l"), 2, F.size("_l") - 1).alias("b"),
+                )
+            ).alias("_pr")
+        )
+        .select(
+            F.col("_pr.a").alias("w1"), F.col("_pr.b").alias("w2")
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("pair_count"))
+        .where(F.col("pair_count") >= float(min_count))
+    )
+    scored = (
+        pairs.join(
+            uni.select(
+                F.col("_tok").alias("w1"), F.col("_c").alias("_cx")
+            ),
+            "w1",
+        )
+        .join(
+            uni.select(
+                F.col("_tok").alias("w2"), F.col("_c").alias("_cy")
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            F.col("pair_count").cast("long").alias("pair_count"),
+            F.round(
+                F.ln(
+                    (F.col("pair_count") / F.col("_t2"))
+                    / (
+                        (F.col("_cx") / F.col("_t1"))
+                        * (F.col("_cy") / F.col("_t1"))
+                    )
+                ),
+                round_dp,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2")
+    ).limit(int(top_k))
+
+
+def kl_drift(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    alpha: float = 0.5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-slice unigram KL divergence from the corpus — the
+    domain-shift monitor KL(p_g || q) with additive (Laplace-alpha)
+    smoothing over the CORPUS vocabulary V: p_g(t) = (c_gt + a) /
+    (n_g + a|V|), q(t) = (c_t + a) / (T + a|V|).  Complements
+    psi_drift (which bins a numeric column) by measuring drift in the
+    token distribution itself — the signal that flags a source whose
+    LANGUAGE changed even when its metadata didn't.
+
+    The textbook sum runs over every (group, vocab-type) pair —
+    groups x |V| terms, almost all of them the "token absent from the
+    slice" case.  Those absent terms collapse in closed form: with
+    p0_g = a / (n_g + a|V|) constant per group,
+
+      sum_absent = p0_g * [ (|V| - V_g) * ln p0_g - (Sq - Sq_g) ]
+
+    where Sq = sum over V of ln q(t) (ONE corpus scalar) and V_g /
+    Sq_g are per-group aggregates over the group's OBSERVED types.
+    So the only join is group-counts x corpus-counts on the observed
+    (group, token) pairs — type-counts, never corpus rows, never the
+    groups x vocab cross product.  Everything else is
+    map-side-combinable aggregates plus one broadcast 1-row scalar
+    frame.  DuckDB replays the identical decomposition.
+
+    Output: one row per group (group_col, n_tokens, vocab_seen, kl).
+    """
+    from .curation import tokens_col
+
+    a = float(alpha)
+    toks = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(tokens_col(F.col(text_col))).alias("_tok"),
+    )
+    corpus = toks.groupBy("_tok").agg(
+        F.count(F.lit(1)).cast("double").alias("_ct")
+    )
+    gcounts = toks.groupBy("_g", "_tok").agg(
+        F.count(F.lit(1)).cast("double").alias("_cgt")
+    )
+    scal = corpus.agg(
+        F.sum("_ct").alias("_T"),
+        F.count(F.lit(1)).cast("double").alias("_V"),
+    )
+    # ln q(t) needs the corpus scalars; Sq is then one more aggregate
+    cq = corpus.crossJoin(F.broadcast(scal)).select(
+        "_tok",
+        (F.ln(F.col("_ct") + F.lit(a)) - F.ln(F.col("_T") + a * F.col("_V"))).alias(
+            "_lnq"
+        ),
+    )
+    sq = cq.agg(F.sum("_lnq").alias("_Sq"))
+    obs = (
+        gcounts.join(cq, "_tok")
+        .groupBy("_g")
+        .agg(
+            F.sum("_cgt").alias("_ng"),
+            F.count(F.lit(1)).cast("double").alias("_Vg"),
+            F.sum("_lnq").alias("_Sqg"),
+            # observed part needs p_g which needs n_g -> two-phase:
+            # carry sufficient sums, finish after n_g is known
+            F.sum((F.col("_cgt") + F.lit(a)) * F.ln(F.col("_cgt") + F.lit(a))).alias(
+                "_s_plnp_num"
+            ),
+            F.sum((F.col("_cgt") + F.lit(a)) * F.col("_lnq")).alias(
+                "_s_plnq_num"
+            ),
+        )
+    )
+    out = (
+        obs.crossJoin(F.broadcast(scal))
+        .crossJoin(F.broadcast(sq))
+        .withColumn("_den", F.col("_ng") + a * F.col("_V"))
+        .withColumn("_lnp0", F.ln(F.lit(a)) - F.ln("_den"))
+        .withColumn(
+            "_kl_obs",
+            (
+                F.col("_s_plnp_num")
+                - (F.col("_ng") + a * F.col("_Vg")) * F.ln("_den")
+                - F.col("_s_plnq_num")
+            )
+            / F.col("_den"),
+        )
+        .withColumn(
+            "_kl_abs",
+            (F.lit(a) / F.col("_den"))
+            * (
+                (F.col("_V") - F.col("_Vg")) * F.col("_lnp0")
+                - (F.col("_Sq") - F.col("_Sqg"))
+            ),
+        )
+    )
+    return out.select(
+        F.col("_g").alias(group_col),
+        F.col("_ng").cast("long").alias("n_tokens"),
+        F.col("_Vg").cast("long").alias("vocab_seen"),
+        F.round(F.col("_kl_obs") + F.col("_kl_abs"), round_dp).alias("kl"),
+    )
