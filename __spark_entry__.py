@@ -339,6 +339,33 @@ def _q_kl_drift(spark, sf_dir):
     return kl_drift(doc.select("source", "text"), "source", alpha=0.5)
 
 
+def _q_welch_ttest(spark, sf_dir):
+    """Welch unequal-variance t-test of events.value between the
+    purchase and error slices — two moment aggregates + closed-form
+    scalar arithmetic on a 2-row frame."""
+    from sqlfeatureextraction_spark.operators.stats import welch_ttest
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return welch_ttest(
+        ev.select("event_type", "value"),
+        "event_type",
+        "value",
+        "purchase",
+        "error",
+    )
+
+
+def _q_spearman_trend(spark, sf_dir):
+    """Per-user Spearman rank correlation of (ts_sec, value) — the
+    monotonic-drift detector; fractional tie ranks from two windows
+    per axis, all four on the ONE user_id partitioning, then the
+    builtin corr aggregate over ranks."""
+    from sqlfeatureextraction_spark.operators.stats import spearman_corr
+
+    ev = _events(spark, sf_dir).select("user_id", "ts_sec", "value")
+    return spearman_corr(ev, "user_id", "ts_sec", "value")
+
+
 def _q_winnowing(spark, sf_dir):
     """MOSS winnowing fingerprints over documents (k=5-token
     shingles, w=4 windows, rightmost-min selection) with the
@@ -3297,6 +3324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_law": _q_heaps_law,
         "pmi_collocations": _q_pmi_collocations,
         "kl_drift": _q_kl_drift,
+        "welch_ttest": _q_welch_ttest,
+        "spearman_trend": _q_spearman_trend,
         "lag_lead": _q_lag_lead,
         "topk_per_group": _q_topk_per_group,
         "asof_last_match": _q_asof_last_match,
@@ -4572,6 +4601,57 @@ def oracle_sql() -> dict[str, str]:
                           - (sq - sqg)),
                      6) AS kl
             FROM obs CROSS JOIN scal CROSS JOIN sq
+        """,
+        # Welch t-test: per-slice moment aggregates + the closed-form
+        # t and Welch-Satterthwaite df
+        "welch_ttest": """
+            WITH g AS (
+              SELECT event_type,
+                     COUNT(value) AS n,
+                     AVG(value) AS m,
+                     VAR_SAMP(value) AS v
+              FROM events
+              WHERE event_type IN ('purchase', 'error')
+                AND value IS NOT NULL
+              GROUP BY event_type
+            ),
+            a AS (SELECT n AS n_a, m AS ma, v AS va FROM g
+                  WHERE event_type = 'purchase'),
+            b AS (SELECT n AS n_b, m AS mb, v AS vb FROM g
+                  WHERE event_type = 'error')
+            SELECT n_a, n_b,
+                   ROUND(ma, 6) AS mean_a,
+                   ROUND(mb, 6) AS mean_b,
+                   ROUND((ma - mb) / sqrt(va / n_a + vb / n_b), 6)
+                     AS t_stat,
+                   ROUND(
+                     ((va / n_a + vb / n_b) * (va / n_a + vb / n_b))
+                     / ((va / n_a) * (va / n_a) / (n_a - 1)
+                        + (vb / n_b) * (vb / n_b) / (n_b - 1)),
+                     6) AS df
+            FROM a CROSS JOIN b
+        """,
+        # Spearman: fractional tie ranks (rank + (tie_count-1)/2) per
+        # axis, Pearson corr of the ranks per user
+        "spearman_trend": f"""
+            WITH e AS (
+              SELECT user_id, ts_sec, value
+              FROM ({_EV_TS})
+              WHERE ts_sec IS NOT NULL AND value IS NOT NULL
+            ),
+            r AS (
+              SELECT user_id,
+                     RANK() OVER (PARTITION BY user_id ORDER BY ts_sec)
+                       + (COUNT(*) OVER (PARTITION BY user_id, ts_sec)
+                          - 1) / 2.0 AS rx,
+                     RANK() OVER (PARTITION BY user_id ORDER BY value)
+                       + (COUNT(*) OVER (PARTITION BY user_id, value)
+                          - 1) / 2.0 AS ry
+              FROM e
+            )
+            SELECT user_id, COUNT(*) AS n,
+                   ROUND(corr(rx, ry), 6) AS rho
+            FROM r GROUP BY user_id
         """,
         # winnowing (k=5, w=4): polynomial shingle hashes, per-window
         # min with rightmost tie, distinct (pos, hash) pairs

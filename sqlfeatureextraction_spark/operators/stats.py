@@ -1145,3 +1145,110 @@ def kl_drift(
         F.col("_Vg").cast("long").alias("vocab_seen"),
         F.round(F.col("_kl_obs") + F.col("_kl_abs"), round_dp).alias("kl"),
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test between two named
+    slices — the A/B gate a data pipeline runs before accepting a new
+    source/filter ("did the quality metric move, beyond noise?").
+    Welch (1947) rather than pooled-variance Student: corpus slices
+    never have equal variances.
+
+    Everything is two mergeable moment aggregates (count/mean/
+    var_samp per slice, one map-side-combinable groupBy over exactly
+    the two slices after a pushed-down filter) followed by closed-form
+    scalar arithmetic — t statistic and Welch-Satterthwaite degrees of
+    freedom — on a 2-row frame.  Nothing but the filtered slice rows
+    ever shuffles, and only as partial moment states.
+
+    Output: ONE row (n_a, n_b, mean_a, mean_b, t_stat, df).
+    NULL values drop; degenerate slices (n < 2) yield NULL t/df (the
+    oracle replays the same NULL algebra).
+    """
+    g = (
+        df.where(
+            F.col(group_col).isin([group_a, group_b])
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.avg(value_col).alias("_m"),
+            F.var_samp(value_col).alias("_v"),
+        )
+    )
+    a = g.where(F.col(group_col) == group_a).select(
+        F.col("_n").alias("n_a"),
+        F.col("_m").alias("_ma"),
+        F.col("_v").alias("_va"),
+    )
+    b = g.where(F.col(group_col) == group_b).select(
+        F.col("_n").alias("n_b"),
+        F.col("_m").alias("_mb"),
+        F.col("_v").alias("_vb"),
+    )
+    j = a.crossJoin(b)
+    sa = F.col("_va") / F.col("n_a")
+    sb = F.col("_vb") / F.col("n_b")
+    t = (F.col("_ma") - F.col("_mb")) / F.sqrt(sa + sb)
+    dof = ((sa + sb) * (sa + sb)) / (
+        (sa * sa) / (F.col("n_a") - 1) + (sb * sb) / (F.col("n_b") - 1)
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round("_ma", round_dp).alias("mean_a"),
+        F.round("_mb", round_dp).alias("mean_b"),
+        F.round(t, round_dp).alias("t_stat"),
+        F.round(dof, round_dp).alias("df"),
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group Spearman rank correlation of two numeric columns —
+    the monotonic-trend detector (robust to outliers and any monotone
+    transform) a pipeline runs per entity, e.g. "is this user's
+    metric drifting with time?".  Standard tie handling: fractional
+    (average) ranks, then Pearson on the ranks.
+
+    Spark-first: the average rank for ties is ``rank() + (tie_count -
+    1)/2`` — one ordering window plus one tie-count window per axis,
+    ALL FOUR on the same ``group_col`` partitioning (one exchange
+    total, no corpus-wide ordering anywhere); the correlation is the
+    builtin ``corr`` aggregate over the ranks.  Groups with < 2 rows
+    or a constant axis yield NULL (both engines' sample-corr
+    semantics).
+
+    Output: one row per group (group_col, n, rho).
+    """
+    d = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(group_col, x_col, y_col)
+
+    def frac_rank(c: str) -> F.Column:
+        wo = Window.partitionBy(group_col).orderBy(F.col(c))
+        wt = Window.partitionBy(group_col, c)
+        return F.rank().over(wo) + (F.count(F.lit(1)).over(wt) - 1) / 2.0
+
+    ranked = d.select(
+        F.col(group_col),
+        frac_rank(x_col).alias("_rx"),
+        frac_rank(y_col).alias("_ry"),
+    )
+    return ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("_rx", "_ry"), round_dp).alias("rho"),
+    )

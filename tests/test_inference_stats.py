@@ -1,0 +1,84 @@
+"""Welch t-test and Spearman rank correlation (stats.py)."""
+
+import math
+
+
+def test_welch_ttest_hand_formula(spark):
+    from sqlfeatureextraction_spark.operators.stats import welch_ttest
+
+    a = [1.0, 2.0, 3.0, 4.0, 10.0]
+    b = [2.0, 2.5, 3.0]
+    rows = [("A", v) for v in a] + [("B", v) for v in b] + [("C", 9.9)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = welch_ttest(df, "grp", "v", "A", "B").collect()[0]
+
+    def stats(xs):
+        n = len(xs)
+        m = sum(xs) / n
+        v = sum((x - m) ** 2 for x in xs) / (n - 1)
+        return n, m, v
+
+    na, ma, va = stats(a)
+    nb, mb, vb = stats(b)
+    sa, sb = va / na, vb / nb
+    t = (ma - mb) / math.sqrt(sa + sb)
+    dof = (sa + sb) ** 2 / (sa**2 / (na - 1) + sb**2 / (nb - 1))
+    assert (r.n_a, r.n_b) == (5, 3)
+    assert abs(r.mean_a - round(ma, 6)) < 1e-9
+    assert abs(r.t_stat - t) < 1e-6
+    assert abs(r.df - dof) < 1e-6
+
+
+def test_welch_ttest_degenerate_slice_null(spark):
+    from sqlfeatureextraction_spark.operators.stats import welch_ttest
+
+    rows = [("A", 1.0), ("A", 2.0), ("B", 5.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = welch_ttest(df, "grp", "v", "A", "B").collect()[0]
+    assert (r.n_a, r.n_b) == (2, 1)
+    assert r.t_stat is None and r.df is None
+
+
+def _spearman(xs, ys):
+    def frac_ranks(vs):
+        order = sorted(range(len(vs)), key=lambda i: vs[i])
+        ranks = [0.0] * len(vs)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vs[order[j]] == vs[order[i]]:
+                j += 1
+            avg = (i + 1 + j) / 2.0
+            for k in range(i, j):
+                ranks[order[k]] = avg
+            i = j
+        return ranks
+
+    rx, ry = frac_ranks(xs), frac_ranks(ys)
+    n = len(rx)
+    mx, my = sum(rx) / n, sum(ry) / n
+    cov = sum((a - mx) * (b - my) for a, b in zip(rx, ry)) / (n - 1)
+    vx = sum((a - mx) ** 2 for a in rx) / (n - 1)
+    vy = sum((b - my) ** 2 for b in ry) / (n - 1)
+    return cov / math.sqrt(vx * vy)
+
+
+def test_spearman_ties_and_monotone(spark):
+    from sqlfeatureextraction_spark.operators.stats import spearman_corr
+
+    # g1: y = exp(x) -> rho exactly 1 despite nonlinearity
+    g1 = [(float(x), math.exp(x)) for x in range(6)]
+    # g2: ties on both axes
+    g2 = [(1.0, 2.0), (1.0, 5.0), (2.0, 2.0), (3.0, 1.0), (3.0, 4.0)]
+    rows = [("m", x, y) for x, y in g1] + [("t", x, y) for x, y in g2]
+    rows += [("solo", 1.0, 2.0)]  # n=1 -> NULL rho
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    got = {
+        r.grp: (r.n, r.rho)
+        for r in spearman_corr(df, "grp", "x", "y").collect()
+    }
+    assert got["m"] == (6, 1.0)
+    exp = _spearman([x for x, _ in g2], [y for _, y in g2])
+    assert got["t"][0] == 5
+    assert abs(got["t"][1] - exp) < 1e-6
+    assert got["solo"] == (1, None)
