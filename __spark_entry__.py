@@ -339,6 +339,24 @@ def _q_kl_drift(spark, sf_dir):
     return kl_drift(doc.select("source", "text"), "source", alpha=0.5)
 
 
+def _q_logreg_quality(spark, sf_dir):
+    """Quality-classifier fit (is-English from length + type-token
+    ratio) by 4 IRLS/Newton steps — each step ONE mergeable 9-sum
+    aggregate + a driver-side 3x3 Cramer solve; the oracle replays
+    every iteration as a CTE chain with the same adjugate formulas."""
+    from sqlfeatureextraction_spark.operators.curation import tokens_col
+    from sqlfeatureextraction_spark.operators.fit import logreg_irls
+
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokens_col(F.col("text"))
+    d = doc.select(
+        (F.col("lang") == "en").cast("double").alias("y"),
+        F.ln(1 + F.size(toks)).alias("x1"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("x2"),
+    ).where(F.size(toks) > 0)
+    return logreg_irls(d, "x1", "x2", "y", n_iter=4, round_dp=4)
+
+
 def _q_welch_ttest(spark, sf_dir):
     """Welch unequal-variance t-test of events.value between the
     purchase and error slices — two moment aggregates + closed-form
@@ -3325,6 +3343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": _q_pmi_collocations,
         "kl_drift": _q_kl_drift,
         "welch_ttest": _q_welch_ttest,
+        "logreg_quality": _q_logreg_quality,
         "spearman_trend": _q_spearman_trend,
         "lag_lead": _q_lag_lead,
         "topk_per_group": _q_topk_per_group,
@@ -4294,7 +4313,20 @@ def _pii_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from sqlfeatureextraction_spark.operators.fit import logreg_sql_oracle
+
+    _logreg_data = f"""
+        SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               ln(1 + len(l)) AS x1,
+               len(list_distinct(l)) * 1.0 / len(l) AS x2
+        FROM (SELECT lang, {_SPTOK} AS l FROM documents)
+        WHERE len(l) > 0
+    """
     sql = {
+        # IRLS logistic regression: every Newton step replayed as a
+        # sums-CTE + Cramer-update CTE (formulas shared verbatim with
+        # the Spark driver solve via fit.CRAMER_EXPRS)
+        "logreg_quality": logreg_sql_oracle(_logreg_data, n_iter=4),
         "pit_window_sum": f"""
             SELECT event_id, user_id, ts_sec,
                    ROUND(SUM(value) OVER w, 4) AS w_sum,

@@ -1,0 +1,90 @@
+"""IRLS logistic regression (fit.py): Spark aggregates + driver Cramer
+solve vs the generated DuckDB CTE-chain oracle, plus a from-scratch
+numpy IRLS replay."""
+
+import math
+import random
+
+import duckdb
+import pytest
+
+
+def _make_data(n=400, seed=11):
+    rng = random.Random(seed)
+    rows = []
+    b0, b1, b2 = -1.0, 2.0, -1.5
+    for _ in range(n):
+        x1 = rng.uniform(-2, 2)
+        x2 = rng.uniform(-2, 2)
+        p = 1.0 / (1.0 + math.exp(-(b0 + b1 * x1 + b2 * x2)))
+        y = 1.0 if rng.random() < p else 0.0
+        rows.append((y, x1, x2))
+    return rows
+
+
+def _numpy_irls(rows, n_iter=4):
+    import numpy as np
+
+    y = np.array([r[0] for r in rows])
+    x = np.column_stack(
+        [np.ones(len(rows)), [r[1] for r in rows], [r[2] for r in rows]]
+    )
+    beta = np.zeros(3)
+    for _ in range(n_iter):
+        mu = 1.0 / (1.0 + np.exp(-x @ beta))
+        w = mu * (1 - mu)
+        h = x.T @ (x * w[:, None])
+        g = x.T @ (y - mu)
+        beta = beta + np.linalg.solve(h, g)
+    mu = 1.0 / (1.0 + np.exp(-x @ beta))
+    loss = float(np.mean(-(y * np.log(mu) + (1 - y) * np.log(1 - mu))))
+    return beta, loss
+
+
+def test_logreg_matches_numpy_irls(spark):
+    from sqlfeatureextraction_spark.operators.fit import logreg_irls
+
+    rows = _make_data()
+    df = spark.createDataFrame(rows, "y double, x1 double, x2 double")
+    got = logreg_irls(df, "x1", "x2", "y", n_iter=4, round_dp=4).collect()[0]
+    beta, loss = _numpy_irls(rows)
+    assert got.n == len(rows)
+    for b_got, b_exp in zip((got.b0, got.b1, got.b2), beta):
+        assert abs(b_got - b_exp) < 1e-3, (b_got, b_exp)
+    assert abs(got.log_loss - loss) < 1e-3
+    # recovered signs match the generating model (-1, 2, -1.5)
+    assert got.b0 < 0 < got.b1 and got.b2 < 0
+
+
+def test_logreg_oracle_sql_replays_identically(spark):
+    from sqlfeatureextraction_spark.operators.fit import (
+        logreg_irls,
+        logreg_sql_oracle,
+    )
+
+    rows = _make_data(n=300, seed=3)
+    df = spark.createDataFrame(rows, "y double, x1 double, x2 double")
+    got = logreg_irls(df, "x1", "x2", "y", n_iter=4, round_dp=4).collect()[0]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (y DOUBLE, x1 DOUBLE, x2 DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    sql = logreg_sql_oracle("SELECT y, x1, x2 FROM t", n_iter=4)
+    n, b0, b1, b2, loss = con.execute(sql).fetchone()
+    assert (n, b0, b1, b2, loss) == (
+        got.n,
+        got.b0,
+        got.b1,
+        got.b2,
+        got.log_loss,
+    )
+
+
+def test_logreg_singular_hessian_raises(spark):
+    from sqlfeatureextraction_spark.operators.fit import logreg_irls
+
+    # x2 = x1 -> collinear -> singular Hessian
+    rows = [(float(i % 2), float(i), float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "y double, x1 double, x2 double")
+    with pytest.raises(ValueError, match="singular"):
+        logreg_irls(df, "x1", "x2", "y").collect()
