@@ -357,6 +357,18 @@ def _q_logreg_quality(spark, sf_dir):
     return logreg_irls(d, "x1", "x2", "y", n_iter=4, round_dp=4)
 
 
+def _q_llr_keywords(spark, sf_dir):
+    """Per-source characteristic keywords by Dunning's G^2 — type-
+    count joins only, slice totals broadcast, per-slice top-10 via
+    row_number over the type-count table, 6dp-rounded order key."""
+    from sqlfeatureextraction_spark.operators.stats import llr_keywords
+
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return llr_keywords(
+        doc.select("source", "text"), "source", top_k=10, min_count=3
+    )
+
+
 def _q_welch_ttest(spark, sf_dir):
     """Welch unequal-variance t-test of events.value between the
     purchase and error slices — two moment aggregates + closed-form
@@ -3344,6 +3356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kl_drift": _q_kl_drift,
         "welch_ttest": _q_welch_ttest,
         "logreg_quality": _q_logreg_quality,
+        "llr_keywords": _q_llr_keywords,
         "spearman_trend": _q_spearman_trend,
         "lag_lead": _q_lag_lead,
         "topk_per_group": _q_topk_per_group,
@@ -4633,6 +4646,67 @@ def oracle_sql() -> dict[str, str]:
                           - (sq - sqg)),
                      6) AS kl
             FROM obs CROSS JOIN scal CROSS JOIN sq
+        """,
+        # Dunning G^2 keywords: 2x2 contingency per (source, token),
+        # 0*ln0=0 via CASE, overrepresented-only, top-10 per source by
+        # 6dp-rounded llr + token tie-break
+        "llr_keywords": f"""
+            WITH toks AS (
+              SELECT source AS g, unnest({_SPTOK}) AS tok
+              FROM documents
+            ),
+            gc AS (
+              SELECT g, tok, CAST(COUNT(*) AS DOUBLE) AS a
+              FROM toks GROUP BY g, tok
+            ),
+            corpus AS (
+              SELECT tok, CAST(COUNT(*) AS DOUBLE) AS ct
+              FROM toks GROUP BY tok
+            ),
+            gt AS (
+              SELECT g, CAST(COUNT(*) AS DOUBLE) AS ng
+              FROM toks GROUP BY g
+            ),
+            scal AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks),
+            cells AS (
+              SELECT gc.g, gc.tok, gc.a,
+                     corpus.ct - gc.a AS b,
+                     gt.ng - gc.a AS c,
+                     scal.n - gt.ng - (corpus.ct - gc.a) AS d,
+                     gt.ng, scal.n
+              FROM gc
+              JOIN corpus USING (tok)
+              JOIN gt USING (g)
+              CROSS JOIN scal
+            ),
+            scored AS (
+              SELECT g, tok, CAST(a AS BIGINT) AS cnt,
+                     ROUND(2.0 * (
+                       CASE WHEN a > 0 THEN a * ln(a) ELSE 0 END
+                       + CASE WHEN b > 0 THEN b * ln(b) ELSE 0 END
+                       + CASE WHEN c > 0 THEN c * ln(c) ELSE 0 END
+                       + CASE WHEN d > 0 THEN d * ln(d) ELSE 0 END
+                       - CASE WHEN a + b > 0
+                              THEN (a + b) * ln(a + b) ELSE 0 END
+                       - CASE WHEN c + d > 0
+                              THEN (c + d) * ln(c + d) ELSE 0 END
+                       - CASE WHEN a + c > 0
+                              THEN (a + c) * ln(a + c) ELSE 0 END
+                       - CASE WHEN b + d > 0
+                              THEN (b + d) * ln(b + d) ELSE 0 END
+                       + CASE WHEN n > 0 THEN n * ln(n) ELSE 0 END
+                     ), 6) AS llr
+              FROM cells
+              WHERE a >= 3 AND a / ng > b / (n - ng)
+            )
+            SELECT g AS source, token, cnt, llr
+            FROM (
+              SELECT g, tok AS token, cnt, llr,
+                     ROW_NUMBER() OVER (PARTITION BY g
+                       ORDER BY llr DESC, tok ASC) AS rn
+              FROM scored
+            )
+            WHERE rn <= 10
         """,
         # Welch t-test: per-slice moment aggregates + the closed-form
         # t and Welch-Satterthwaite df

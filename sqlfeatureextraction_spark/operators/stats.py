@@ -1252,3 +1252,94 @@ def spearman_corr(
         F.count(F.lit(1)).alias("n"),
         F.round(F.corr("_rx", "_ry"), round_dp).alias("rho"),
     )
+
+
+def llr_keywords(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    top_k: int = 10,
+    min_count: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-slice characteristic keywords by Dunning's log-likelihood
+    ratio (Dunning 1993) — the slice-vs-rest token-association G^2
+    statistic over the 2x2 contingency (token in slice, token in rest,
+    other tokens in slice, other tokens in rest).  The corpus-level
+    complement of per-document tfidf_topk: "which tokens DEFINE source
+    X" — the domain-signature / contamination-forensics pass.  Only
+    OVERREPRESENTED tokens are kept (a/n_g > b/(N-n_g)); G^2 is robust
+    at low counts where chi-square breaks, and ``min_count`` prunes
+    the singleton tail.
+
+    Scale shape: per-(slice, token) and per-token counts are map-side
+    combinable groupBys whose outputs are TYPE-counts; the one join is
+    type-keyed; slice totals (#groups rows) and the corpus scalar ride
+    in broadcast; final per-slice top-k is a row_number window over
+    the type-count table partitioned by slice.  ``0 * ln 0 = 0`` via
+    CASE, identical in the oracle; the order key is the 6dp-ROUNDED
+    llr + token tie-break so cross-engine ln ulps cannot reorder the
+    cut.
+
+    Output: top_k rows per group (group_col, token, cnt, llr).
+    """
+    toks = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(tokens_col(F.col(text_col))).alias("_tok"),
+    )
+    gcounts = toks.groupBy("_g", "_tok").agg(
+        F.count(F.lit(1)).cast("double").alias("_a")
+    )
+    corpus = toks.groupBy("_tok").agg(
+        F.count(F.lit(1)).cast("double").alias("_ct")
+    )
+    gtot = toks.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("double").alias("_ng")
+    )
+    scal = corpus.agg(F.sum("_ct").alias("_N"))
+
+    def xlx(c):
+        return F.when(c > 0, c * F.ln(c)).otherwise(F.lit(0.0))
+
+    j = (
+        gcounts.join(corpus, "_tok")
+        .join(F.broadcast(gtot), "_g")
+        .crossJoin(F.broadcast(scal))
+        .withColumn("_b", F.col("_ct") - F.col("_a"))
+        .withColumn("_c", F.col("_ng") - F.col("_a"))
+        .withColumn(
+            "_d", F.col("_N") - F.col("_ng") - F.col("_b")
+        )
+    )
+    a, b, c, d, n = (F.col(x) for x in ("_a", "_b", "_c", "_d", "_N"))
+    llr = 2.0 * (
+        xlx(a)
+        + xlx(b)
+        + xlx(c)
+        + xlx(d)
+        - xlx(a + b)
+        - xlx(c + d)
+        - xlx(a + c)
+        - xlx(b + d)
+        + xlx(n)
+    )
+    scored = (
+        j.where(
+            (a >= float(min_count))
+            & (a / F.col("_ng") > b / (n - F.col("_ng")))
+        )
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_tok").alias("token"),
+            a.cast("long").alias("cnt"),
+            F.round(llr, round_dp).alias("llr"),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("llr"), F.asc("token")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= int(top_k))
+        .drop("_rn")
+    )
