@@ -369,6 +369,40 @@ def _q_llr_keywords(spark, sf_dir):
     )
 
 
+def _q_mann_whitney(spark, sf_dir):
+    """Tie-corrected Mann-Whitney U between the purchase and error
+    slices — rank sums from the DISTINCT-VALUE table via the
+    range-repartition prefix-sum primitive, never a row-level global
+    rank; z from the closed-form tie-corrected variance."""
+    from sqlfeatureextraction_spark.operators.stats import mann_whitney_u
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return mann_whitney_u(
+        ev.select("event_type", "value"),
+        "event_type",
+        "value",
+        "purchase",
+        "error",
+    )
+
+
+def _q_ols_fit(spark, sf_dir):
+    """Closed-form two-feature OLS (n_chars ~ token count + distinct
+    token count) — nine moment sums in ONE aggregate + the shared
+    Cramer adjugate solve; oracle replays the identical formulas."""
+    from sqlfeatureextraction_spark.operators.curation import tokens_col
+    from sqlfeatureextraction_spark.operators.fit import ols_fit
+
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokens_col(F.col("text"))
+    d = doc.select(
+        F.col("n_chars").cast("double").alias("y"),
+        F.size(toks).cast("double").alias("x1"),
+        F.size(F.array_distinct(toks)).cast("double").alias("x2"),
+    )
+    return ols_fit(d, "x1", "x2", "y")
+
+
 def _q_welch_ttest(spark, sf_dir):
     """Welch unequal-variance t-test of events.value between the
     purchase and error slices — two moment aggregates + closed-form
@@ -3357,6 +3391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_ttest": _q_welch_ttest,
         "logreg_quality": _q_logreg_quality,
         "llr_keywords": _q_llr_keywords,
+        "mann_whitney": _q_mann_whitney,
+        "ols_fit": _q_ols_fit,
         "spearman_trend": _q_spearman_trend,
         "lag_lead": _q_lag_lead,
         "topk_per_group": _q_topk_per_group,
@@ -4335,11 +4371,67 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT lang, {_SPTOK} AS l FROM documents)
         WHERE len(l) > 0
     """
+    from sqlfeatureextraction_spark.operators.fit import ols_sql_oracle
+
+    _ols_data = f"""
+        SELECT CAST(n_chars AS DOUBLE) AS y,
+               CAST(len(l) AS DOUBLE) AS x1,
+               CAST(len(list_distinct(l)) AS DOUBLE) AS x2
+        FROM (SELECT n_chars, {_SPTOK} AS l FROM documents)
+        WHERE n_chars IS NOT NULL
+    """
     sql = {
         # IRLS logistic regression: every Newton step replayed as a
         # sums-CTE + Cramer-update CTE (formulas shared verbatim with
         # the Spark driver solve via fit.CRAMER_EXPRS)
         "logreg_quality": logreg_sql_oracle(_logreg_data, n_iter=4),
+        # closed-form 2-feature OLS: same nine moment sums, same
+        # Cramer formulas, normal-equation R^2
+        "ols_fit": ols_sql_oracle(_ols_data),
+        # Mann-Whitney U with tie correction: fractional ranks from
+        # the distinct-value cumsum, closed-form z
+        "mann_whitney": """
+            WITH e AS (
+              SELECT value AS v,
+                     CASE WHEN event_type = 'purchase'
+                          THEN 1.0 ELSE 0.0 END AS ia
+              FROM events
+              WHERE event_type IN ('purchase', 'error')
+                AND value IS NOT NULL
+            ),
+            vc AS (
+              SELECT v, CAST(COUNT(*) AS DOUBLE) AS t, SUM(ia) AS ca
+              FROM e GROUP BY v
+            ),
+            r AS (
+              SELECT t, ca,
+                     SUM(t) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) - t
+                       + (t + 1) / 2.0 AS avg_rank
+              FROM vc
+            ),
+            s AS (
+              SELECT SUM(ca) AS na, SUM(t - ca) AS nb,
+                     SUM(ca * avg_rank) AS ra,
+                     SUM(t * t * t - t) AS ties
+              FROM r
+            )
+            SELECT CAST(na AS BIGINT) AS n_a,
+                   CAST(nb AS BIGINT) AS n_b,
+                   ROUND(ra - na * (na + 1) / 2.0, 6) AS u_stat,
+                   ROUND(
+                     CASE WHEN na > 0 AND nb > 0
+                       AND (na * nb / 12.0)
+                           * ((na + nb + 1)
+                              - ties / ((na + nb) * (na + nb - 1))) > 0
+                     THEN (ra - na * (na + 1) / 2.0 - na * nb / 2.0)
+                          / sqrt((na * nb / 12.0)
+                                 * ((na + nb + 1)
+                                    - ties / ((na + nb)
+                                              * (na + nb - 1))))
+                     END, 6) AS z
+            FROM s
+        """,
         "pit_window_sum": f"""
             SELECT event_id, user_id, ts_sec,
                    ROUND(SUM(value) OVER w, 4) AS w_sum,

@@ -35,7 +35,13 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["logreg_irls", "logreg_sql_oracle", "CRAMER_EXPRS"]
+__all__ = [
+    "logreg_irls",
+    "logreg_sql_oracle",
+    "ols_fit",
+    "ols_sql_oracle",
+    "CRAMER_EXPRS",
+]
 
 # det(H) and det(H with column j := g), 3x3 symmetric H, first-row
 # cofactor expansion.  ONE source of truth for both engines: Python
@@ -206,4 +212,97 @@ def logreg_sql_oracle(
                            + (1.0 - y) * ln(1.0 - ({mu})))),
                      {round_dp}) AS log_loss
         FROM d CROSS JOIN {last}
+    """
+
+
+def ols_fit(
+    df: DataFrame,
+    x1_col: str,
+    x2_col: str,
+    label_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Closed-form OLS of y ~ b0 + b1*x1 + b2*x2 — the two-feature
+    completion of the regr_* single-feature fits (zipf_slope,
+    heaps_law): the normal equations X^T X beta = X^T y are NINE
+    mergeable moment sums (one map-side-combinable aggregate over df)
+    and the solve is the same 3x3 Cramer adjugate as logreg_irls,
+    sharing CRAMER_EXPRS so the DuckDB oracle interpolates the
+    identical formulas.  One scan, no iteration; R^2 from the same
+    pass's y moments.
+
+    Output: ONE row (n, b0, b1, b2, r2).  NULL rows drop; collinear
+    features raise (singular normal matrix).
+    """
+    d = df.where(
+        F.col(x1_col).isNotNull()
+        & F.col(x2_col).isNotNull()
+        & F.col(label_col).isNotNull()
+    ).select(
+        F.col(label_col).cast("double").alias("_y"),
+        F.col(x1_col).cast("double").alias("_x1"),
+        F.col(x2_col).cast("double").alias("_x2"),
+    )
+    one = F.lit(1.0)
+    xs = {"x0": one, "x1": F.col("_x1"), "x2": F.col("_x2")}
+    aggs = []
+    for i, a in enumerate(("x0", "x1", "x2")):
+        for j, b in enumerate(("x0", "x1", "x2")):
+            if j >= i:
+                aggs.append(F.sum(xs[a] * xs[b]).alias(f"h{i}{j}"))
+    for j, a in enumerate(("x0", "x1", "x2")):
+        aggs.append(F.sum(F.col("_y") * xs[a]).alias(f"g{j}"))
+    aggs += [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    ]
+    row = d.agg(*aggs).collect()[0]
+    beta = _solve3(
+        {k: float(row[k]) for k in row.asDict() if k[0] in "hg"}
+    )
+    n = int(row["n"])
+    # R^2 = 1 - SSE/SST, SSE = y'y - beta' X'y (normal-equation form)
+    sse = float(row["_syy"]) - sum(
+        b * float(row[f"g{j}"]) for j, b in enumerate(beta)
+    )
+    sst = float(row["_syy"]) - float(row["g0"]) ** 2 / n
+    r2 = 1.0 - sse / sst if sst > 0 else float("nan")
+    out = [
+        (
+            n,
+            round(beta[0], round_dp),
+            round(beta[1], round_dp),
+            round(beta[2], round_dp),
+            round(r2, round_dp),
+        )
+    ]
+    return df.sparkSession.createDataFrame(
+        out, "n bigint, b0 double, b1 double, b2 double, r2 double"
+    )
+
+
+def ols_sql_oracle(data_cte: str, round_dp: int = 6) -> str:
+    """DuckDB replay of ols_fit: the same nine moment sums, the same
+    CRAMER_EXPRS solve, the same normal-equation R^2."""
+    det = CRAMER_EXPRS["det"]
+    betas = ", ".join(
+        f"({CRAMER_EXPRS[f'det{j}']}) / ({det}) AS b{j}" for j in range(3)
+    )
+    return f"""
+        WITH d AS ({data_cte}),
+        s AS (
+          SELECT SUM(1.0*1.0) h00, SUM(1.0*x1) h01, SUM(1.0*x2) h02,
+                 SUM(x1*x1) h11, SUM(x1*x2) h12, SUM(x2*x2) h22,
+                 SUM(y*1.0) g0, SUM(y*x1) g1, SUM(y*x2) g2,
+                 COUNT(*) AS n, SUM(y*y) AS syy
+          FROM d
+        ),
+        b AS (SELECT {betas}, n, syy, g0, g1, g2 FROM s)
+        SELECT n,
+               ROUND(b0, {round_dp}) AS b0,
+               ROUND(b1, {round_dp}) AS b1,
+               ROUND(b2, {round_dp}) AS b2,
+               ROUND(1.0 - (syy - (b0*g0 + b1*g1 + b2*g2))
+                         / (syy - g0*g0 / n), {round_dp}) AS r2
+        FROM b
     """

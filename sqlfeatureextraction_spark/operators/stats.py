@@ -1343,3 +1343,78 @@ def llr_keywords(
         .where(F.col("_rn") <= int(top_k))
         .drop("_rn")
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test between two named slices — the
+    nonparametric partner of welch_ttest (no normality assumption;
+    the right A/B gate for heavy-tailed metrics like latency or
+    document length), with the standard tie correction and normal
+    approximation: U_a = R_a - n_a(n_a+1)/2,
+    z = (U_a - n_a n_b / 2) / sigma,
+    sigma^2 = (n_a n_b / 12) * ((n+1) - sum(t^3 - t) / (n (n-1))).
+
+    Rank sums never rank ROWS: ties make every row of a value share
+    the average rank, so R_a = sum_v count_a(v) * avg_rank(v) needs
+    only the DISTINCT-VALUE table — per-value (total, slice-a) counts
+    from one map-side-combinable groupBy, then avg_rank(v) =
+    cum_before(v) + (t_v + 1)/2 from ONE range-repartition prefix sum
+    over that distinct table (curation.exact_rank_prefix — no
+    single-task Window even when the value domain is large).  The tie
+    term sum(t^3 - t) rides the same table; everything after is a
+    1-row closed form.
+
+    Output: ONE row (n_a, n_b, u_stat, z).  NULL values drop;
+    degenerate inputs (a slice empty, or all values tied so sigma = 0)
+    yield NULL z.
+    """
+    from .curation import exact_rank_prefix
+
+    d = df.where(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(value_col).cast("double").alias("_v"),
+        (F.col(group_col) == group_a).cast("double").alias("_ia"),
+    )
+    vc = d.groupBy("_v").agg(
+        F.count(F.lit(1)).cast("double").alias("_t"),
+        F.sum("_ia").alias("_ca"),
+    )
+    ranked = exact_rank_prefix(
+        vc, ["_v"], ["_t"], rank_col="_vr", prefix="_cum_"
+    ).withColumn(
+        "_avg_rank",
+        F.col("_cum__t") - F.col("_t") + (F.col("_t") + 1) / 2.0,
+    )
+    s = ranked.agg(
+        F.sum("_ca").alias("_na"),
+        F.sum(F.col("_t") - F.col("_ca")).alias("_nb"),
+        F.sum(F.col("_ca") * F.col("_avg_rank")).alias("_ra"),
+        F.sum(
+            F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+        ).alias("_ties"),
+    )
+    na, nb = F.col("_na"), F.col("_nb")
+    n = na + nb
+    u = F.col("_ra") - na * (na + 1) / 2.0
+    sig2 = (na * nb / 12.0) * (
+        (n + 1) - F.col("_ties") / (n * (n - 1))
+    )
+    z = F.when(
+        (na > 0) & (nb > 0) & (sig2 > 0),
+        (u - na * nb / 2.0) / F.sqrt(sig2),
+    )
+    return s.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(u, round_dp).alias("u_stat"),
+        F.round(z, round_dp).alias("z"),
+    )

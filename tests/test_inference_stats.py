@@ -82,3 +82,91 @@ def test_spearman_ties_and_monotone(spark):
     assert got["t"][0] == 5
     assert abs(got["t"][1] - exp) < 1e-6
     assert got["solo"] == (1, None)
+
+
+def test_mann_whitney_u_brute_force(spark):
+    from sqlfeatureextraction_spark.operators.stats import mann_whitney_u
+
+    a = [1.2, 3.4, 3.4, 5.0, 7.7, 2.0]
+    b = [2.0, 2.0, 4.1, 6.3]
+    rows = [("A", v) for v in a] + [("B", v) for v in b] + [("C", 0.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = mann_whitney_u(df, "grp", "v", "A", "B").collect()[0]
+
+    vals = sorted(a + b)
+    # fractional ranks with ties
+    ranks = {}
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        for _ in range(i, j):
+            ranks.setdefault(vals[i], (i + 1 + j) / 2.0)
+        i = j
+    ra = sum(ranks[v] for v in a)
+    na, nb = len(a), len(b)
+    n = na + nb
+    u = ra - na * (na + 1) / 2.0
+    from collections import Counter
+
+    ties = sum(t**3 - t for t in Counter(vals).values())
+    sig2 = (na * nb / 12.0) * ((n + 1) - ties / (n * (n - 1)))
+    z = (u - na * nb / 2.0) / math.sqrt(sig2)
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert abs(r.u_stat - u) < 1e-9
+    assert abs(r.z - z) < 1e-6
+
+
+def test_mann_whitney_all_tied_null_z(spark):
+    from sqlfeatureextraction_spark.operators.stats import mann_whitney_u
+
+    rows = [("A", 2.0), ("A", 2.0), ("B", 2.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = mann_whitney_u(df, "grp", "v", "A", "B").collect()[0]
+    assert r.z is None
+    # every row shares rank 2 -> R_a = 4 -> U = 1
+    assert r.u_stat == 1.0
+
+
+def test_ols_fit_matches_numpy_and_oracle(spark):
+    import duckdb
+    import numpy as np
+
+    from sqlfeatureextraction_spark.operators.fit import (
+        ols_fit,
+        ols_sql_oracle,
+    )
+
+    rng = __import__("random").Random(5)
+    rows = [
+        (
+            2.0 + 1.5 * x1 - 0.7 * x2 + rng.gauss(0, 0.3),
+            x1,
+            x2,
+        )
+        for x1, x2 in (
+            (rng.uniform(-3, 3), rng.uniform(-3, 3)) for _ in range(200)
+        )
+    ]
+    df = spark.createDataFrame(rows, "y double, x1 double, x2 double")
+    got = ols_fit(df, "x1", "x2", "y").collect()[0]
+
+    y = np.array([r[0] for r in rows])
+    x = np.column_stack(
+        [np.ones(len(rows)), [r[1] for r in rows], [r[2] for r in rows]]
+    )
+    beta = np.linalg.lstsq(x, y, rcond=None)[0]
+    pred = x @ beta
+    r2 = 1 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+    for b_got, b_exp in zip((got.b0, got.b1, got.b2), beta):
+        assert abs(b_got - b_exp) < 1e-4
+    assert abs(got.r2 - r2) < 1e-4
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (y DOUBLE, x1 DOUBLE, x2 DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    o = con.execute(
+        ols_sql_oracle("SELECT y, x1, x2 FROM t")
+    ).fetchone()
+    assert o == (got.n, got.b0, got.b1, got.b2, got.r2)
