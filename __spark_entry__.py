@@ -4588,10 +4588,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             s AS (
               SELECT user_id, ts_sec, event_id, value, sigma,
-                     ROUND(pre - MIN(pre) OVER (
+                     ROUND(pre - LEAST(0, MIN(pre) OVER (
                        PARTITION BY user_id
                        ORDER BY ts_sec, event_id
-                       ROWS UNBOUNDED PRECEDING), 6) AS cusum
+                       ROWS UNBOUNDED PRECEDING)), 6) AS cusum
               FROM p
             )
             SELECT user_id, ts_sec, event_id,

@@ -783,7 +783,9 @@ def cusum_changepoint(
 
     The textbook recursion S_i = max(0, S_{i-1} + x_i - mu) looks
     inherently sequential, but with zero slack it has a closed
-    prefix-sum form: S_i = P_i - min_{j<=i} P_j where
+    prefix-sum form: S_i = P_i - min_{0<=j<=i} P_j (P_0 = 0 — the
+    empty prefix MUST participate in the min, via least(0, ...),
+    or a series starting above mu underreports) where
     P_i = sum_{t<=i} (x_t - mu).  That turns the detector into TWO
     window functions on ONE partitioning (running sum, then running
     min of that sum) — no recursion, no UDF, one exchange, all
@@ -813,7 +815,15 @@ def cusum_changepoint(
     )
     prefix = F.sum(F.col(value_col) - F.col("_mu")).over(w)
     out = j.withColumn("_p", prefix).withColumn(
-        "cusum", F.round(F.col("_p") - F.min("_p").over(w), round_dp)
+        # min over prefixes INCLUDING the empty prefix P_0 = 0 (least
+        # with 0) — without it a series that starts above mu
+        # underreports until the prefix first dips negative
+        "cusum",
+        F.round(
+            F.col("_p")
+            - F.least(F.lit(0.0), F.min("_p").over(w)),
+            round_dp,
+        ),
     )
     return out.select(
         *df.columns,

@@ -58,17 +58,23 @@ def test_cusum_closed_form_equals_recursion(spark):
     vals = [rng.uniform(-5, 5) for _ in range(40)] + [
         rng.uniform(5, 15) for _ in range(10)
     ]
+    # adversarial group: STARTS above its mean, so the prefix sum is
+    # positive from row 1 — the empty prefix (P_0 = 0) must
+    # participate in the min or the statistic underreports
+    above = [10.0, 8.0, 9.0, -10.0, -8.0, -9.0]
     rows = [("g", i, v) for i, v in enumerate(vals)]
+    rows += [("above", i, v) for i, v in enumerate(above)]
     df = spark.createDataFrame(rows, "grp string, i int, v double")
-    out = {
-        r.i: r.cusum
+    got = {
+        (r.grp, r.i): r.cusum
         for r in cusum_changepoint(df, "grp", ("i",), "v").collect()
     }
-    mu = sum(vals) / len(vals)
-    s = 0.0
-    for i, v in enumerate(vals):
-        s = max(0.0, s + v - mu)
-        assert abs(out[i] - s) < 1e-6, (i, out[i], s)
+    for grp, series in (("g", vals), ("above", above)):
+        mu = sum(series) / len(series)
+        s = 0.0
+        for i, v in enumerate(series):
+            s = max(0.0, s + v - mu)
+            assert abs(got[(grp, i)] - s) < 1e-6, (grp, i, got[(grp, i)], s)
 
 
 def test_cusum_flags_level_shift_not_before(spark):
