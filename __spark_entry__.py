@@ -2416,6 +2416,49 @@ def _q_stream_stateful_counter(spark, sf_dir):
     )
 
 
+def _q_stream_cusum(spark, sf_dir):
+    """§2.9 streaming CUSUM monitor: the closed prefix-sum form makes
+    the statistic incremental with TWO scalars of per-entity state
+    (running prefix + its running min, seeded at the empty prefix);
+    each emitted row equals the batch closed form over full history —
+    so unlike most streaming rows this one has a FULL SQL oracle."""
+    import tempfile
+    import uuid
+
+    from sqlfeatureextraction_spark.streaming.stream import (
+        stateful_cusum,
+    )
+
+    src = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id"),
+        F.col("value"),
+    )
+    sdir = tempfile.mkdtemp(prefix="stream_cusum_src_")
+    src.write.mode("overwrite").parquet(sdir)
+    stream = spark.readStream.schema(src.schema).parquet(sdir)
+    out = stateful_cusum(
+        stream, entity_col="conv_id", mu=100.0, sigma=60.0, h=2.0
+    )
+    name = f"stream_cusum_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        "event_id",
+        "ts_sec",
+        "cusum",
+        "is_shift",
+    )
+
+
 def _q_checkpoint_resume(spark, sf_dir):
     """Checkpoint/resume E2E: partial run (injected failure after 2
     buckets) → run_all resumes the pending buckets in ONE job
@@ -3393,6 +3436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llr_keywords": _q_llr_keywords,
         "mann_whitney": _q_mann_whitney,
         "ols_fit": _q_ols_fit,
+        "stream_cusum": _q_stream_cusum,
         "spearman_trend": _q_spearman_trend,
         "lag_lead": _q_lag_lead,
         "topk_per_group": _q_topk_per_group,
@@ -4388,6 +4432,33 @@ def oracle_sql() -> dict[str, str]:
         # closed-form 2-feature OLS: same nine moment sums, same
         # Cramer formulas, normal-equation R^2
         "ols_fit": ols_sql_oracle(_ols_data),
+        # streaming CUSUM == batch closed form over full history with
+        # the same fixed (mu, sigma, h) — P - least(0, running min P)
+        "stream_cusum": f"""
+            WITH e AS (
+              SELECT user_id, event_id, ts_sec, value
+              FROM ({_EV_TS})
+            ),
+            p AS (
+              SELECT user_id, event_id, ts_sec,
+                     SUM(value - 100.0) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts_sec, event_id
+                       ROWS UNBOUNDED PRECEDING) AS pre
+              FROM e
+            )
+            SELECT user_id, event_id, ts_sec,
+                   ROUND(pre - LEAST(0, MIN(pre) OVER (
+                     PARTITION BY user_id
+                     ORDER BY ts_sec, event_id
+                     ROWS UNBOUNDED PRECEDING)), 6) AS cusum,
+                   ROUND(pre - LEAST(0, MIN(pre) OVER (
+                     PARTITION BY user_id
+                     ORDER BY ts_sec, event_id
+                     ROWS UNBOUNDED PRECEDING)), 6) > 2.0 * 60.0
+                     AS is_shift
+            FROM p
+        """,
         # Mann-Whitney U with tie correction: fractional ranks from
         # the distinct-value cumsum, closed-form z
         "mann_whitney": """

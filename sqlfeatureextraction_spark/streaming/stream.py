@@ -344,3 +344,90 @@ def run_stream_to_memory(
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def stateful_cusum(
+    stream: DataFrame,
+    entity_col: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    mu: float = 0.0,
+    sigma: float = 1.0,
+    h: float = 4.0,
+    round_dp: int = 6,
+):
+    """Streaming Page CUSUM level-shift monitor — the incremental twin
+    of operators/stats.cusum_changepoint, against a FIXED reference
+    (mu, sigma) as live monitoring does (the batch op estimates them
+    from the group; a monitor pins them from a calibration window).
+
+    The closed prefix-sum form is what makes the statistic
+    incremental: S_i = P_i - min(0, min_{j<=i} P_j) needs only TWO
+    scalars of state per entity — the running prefix P and its
+    running min M (seeded at 0 = the empty prefix) — regardless of
+    how much history flowed by.  Per micro-batch the update is one
+    vectorized cumsum + minimum.accumulate, no per-row Python; each
+    emitted row carries the exact same statistic the batch operator
+    would compute over the full history.  Same per-entity event-time
+    ordering contract as stateful_pit_window (append-only log);
+    violations raise rather than emit wrong statistics.
+
+    Output per row: entity, id, ts_sec, cusum (rounded), is_shift
+    (cusum > h * sigma).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{entity_col} {_col_ddl(stream, entity_col)}, {id_col} long, "
+        "ts_sec long, cusum double, is_shift boolean"
+    )
+    state_schema = "p double, m double, last_ts long"
+
+    def fn(key, pdfs, state):
+        p, m, last_ts = (
+            state.get if state.exists else (0.0, 0.0, None)
+        )
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            state.update((p, m, last_ts))
+            return
+        pdf = pd.concat(frames, ignore_index=True).sort_values(
+            [ts_col, id_col], kind="mergesort"
+        )
+        b_ts = (
+            pdf[ts_col].astype("datetime64[s]").astype("int64").to_numpy()
+        )
+        if last_ts is not None and len(b_ts) and b_ts[0] < last_ts:
+            raise ValueError(
+                f"stateful_cusum: batch for key {key[0]!r} contains "
+                f"ts {b_ts[0]} older than already-consumed {last_ts}; "
+                "micro-batches must arrive in per-entity event-time "
+                "order"
+            )
+        v = pdf[val_col].to_numpy(dtype=np.float64)
+        p_arr = p + np.cumsum(v - float(mu))
+        m_arr = np.minimum(np.minimum.accumulate(p_arr), m)
+        cusum = np.round(p_arr - m_arr, round_dp)
+        state.update(
+            (float(p_arr[-1]), float(m_arr[-1]), int(b_ts[-1]))
+        )
+        yield pd.DataFrame(
+            {
+                entity_col: key[0],
+                id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                "ts_sec": b_ts,
+                "cusum": cusum,
+                "is_shift": cusum > float(h) * float(sigma),
+            }
+        )
+
+    return stream.groupBy(entity_col).applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -570,3 +570,105 @@ def test_exact_dedup_stream_cross_batch(tmp_path, spark):
         r["k"] for r in spark.sql("SELECT k FROM dedup_ww").collect()
     )
     assert got == ["a", "a", "b", "x", "y"]
+
+
+def test_stateful_cusum_matches_batch_across_batches(tmp_path, spark):
+    """Streaming CUSUM (two scalars of state) == the batch closed
+    form with the same fixed mu, rows split across two micro-batches
+    at a time threshold."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    from sqlfeatureextraction_spark.streaming.stream import stateful_cusum
+
+    rows = []
+    rng = __import__("random").Random(13)
+    for conv in ("a", "b"):
+        base = 1_700_000_000
+        for i in range(60):
+            if conv == "a":
+                # level shift upward halfway through conv 'a'
+                v = rng.uniform(0, 10) + (8.0 if i >= 30 else 0.0)
+            else:
+                # control pinned at mu: cusum stays 0, never flags
+                v = 5.0
+            rows.append((conv, i, base + i * 7, v))
+    df = spark.createDataFrame(
+        rows, "conv_id string, event_id long, ts_sec long, value double"
+    ).select(
+        "conv_id",
+        "event_id",
+        F.col("ts_sec").cast("timestamp").alias("ts"),
+        "value",
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    split = 1_700_000_000 + 35 * 7
+    df.where(F.col("ts").cast("long") < split).coalesce(1).write.parquet(
+        str(src / "a")
+    )
+    df.where(F.col("ts").cast("long") >= split).coalesce(1).write.parquet(
+        str(src / "b")
+    )
+    a = next((src / "a").glob("part-*.parquet"))
+    b = next((src / "b").glob("part-*.parquet"))
+    (src / "f1.parquet").write_bytes(a.read_bytes())
+    (src / "f2.parquet").write_bytes(b.read_bytes())
+    os.utime(src / "f1.parquet", (1_000_000, 1_000_000))
+    os.utime(src / "f2.parquet", (2_000_000, 2_000_000))
+
+    mu, sigma, h = 5.0, 3.0, 4.0
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*.parquet"))
+    )
+    out = stateful_cusum(
+        stream, entity_col="conv_id", mu=mu, sigma=sigma, h=h
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cusumstream")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.sql("SELECT * FROM cusumstream")
+        .toPandas()
+        .sort_values(["conv_id", "event_id"])
+        .reset_index(drop=True)
+    )
+
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("ts_sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = F.sum(F.col("value") - F.lit(mu)).over(w)
+    exp = (
+        df.select(
+            "conv_id",
+            "event_id",
+            F.col("ts").cast("long").alias("ts_sec"),
+            "value",
+        )
+        .withColumn("_p", pre)
+        .withColumn(
+            "cusum",
+            F.round(
+                F.col("_p") - F.least(F.lit(0.0), F.min("_p").over(w)), 6
+            ),
+        )
+        .withColumn("is_shift", F.col("cusum") > h * sigma)
+        .toPandas()
+        .sort_values(["conv_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == 120
+    assert np.allclose(got["cusum"], exp["cusum"], atol=1e-6)
+    assert (got["is_shift"] == exp["is_shift"]).all()
+    # the injected level shift in conv 'a' is flagged, conv 'b' never
+    assert got[got.conv_id == "a"]["is_shift"].any()
+    assert not got[got.conv_id == "b"]["is_shift"].any()
