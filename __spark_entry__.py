@@ -403,6 +403,23 @@ def _q_ols_fit(spark, sf_dir):
     return ols_fit(d, "x1", "x2", "y")
 
 
+def _q_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov D between the purchase and error
+    value distributions — ECDFs as per-slice cumulative counts over
+    the DISTINCT-VALUE table (exact_rank_prefix again), then one
+    scalar max; the shape-change leg of the A/B family."""
+    from sqlfeatureextraction_spark.operators.stats import ks_test
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ks_test(
+        ev.select("event_type", "value"),
+        "event_type",
+        "value",
+        "purchase",
+        "error",
+    )
+
+
 def _q_welch_ttest(spark, sf_dir):
     """Welch unequal-variance t-test of events.value between the
     purchase and error slices — two moment aggregates + closed-form
@@ -3437,6 +3454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney": _q_mann_whitney,
         "ols_fit": _q_ols_fit,
         "stream_cusum": _q_stream_cusum,
+        "ks_test": _q_ks_test,
         "spearman_trend": _q_spearman_trend,
         "lag_lead": _q_lag_lead,
         "topk_per_group": _q_topk_per_group,
@@ -4458,6 +4476,41 @@ def oracle_sql() -> dict[str, str]:
                      ROWS UNBOUNDED PRECEDING)), 6) > 2.0 * 60.0
                      AS is_shift
             FROM p
+        """,
+        # KS two-sample: per-slice ECDF cumsums over distinct values,
+        # max |F_a - F_b|, scaled K statistic
+        "ks_test": """
+            WITH e AS (
+              SELECT value AS v,
+                     CASE WHEN event_type = 'purchase'
+                          THEN 1.0 ELSE 0.0 END AS ia
+              FROM events
+              WHERE event_type IN ('purchase', 'error')
+                AND value IS NOT NULL
+            ),
+            vc AS (
+              SELECT v, SUM(ia) AS ca, SUM(1 - ia) AS cb
+              FROM e GROUP BY v
+            ),
+            r AS (
+              SELECT SUM(ca) OVER w AS cum_a, SUM(cb) OVER w AS cum_b
+              FROM vc
+              WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+            ),
+            tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM vc),
+            s AS (
+              SELECT MAX(abs(cum_a / na - cum_b / nb)) AS d,
+                     MAX(na) AS na, MAX(nb) AS nb
+              FROM r CROSS JOIN tot
+            )
+            SELECT CAST(na AS BIGINT) AS n_a,
+                   CAST(nb AS BIGINT) AS n_b,
+                   ROUND(CASE WHEN na > 0 AND nb > 0 THEN d END, 6)
+                     AS d_stat,
+                   ROUND(CASE WHEN na > 0 AND nb > 0
+                         THEN sqrt(na * nb / (na + nb)) * d END, 6)
+                     AS k_stat
+            FROM s
         """,
         # Mann-Whitney U with tie correction: fractional ranks from
         # the distinct-value cumsum, closed-form z

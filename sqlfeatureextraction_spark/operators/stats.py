@@ -1428,3 +1428,75 @@ def mann_whitney_u(
         F.round(u, round_dp).alias("u_stat"),
         F.round(z, round_dp).alias("z"),
     )
+
+
+def ks_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between two named
+    slices — the distribution-equality gate that catches SHAPE changes
+    (bimodality, tail thickening) the mean-based welch_ttest and the
+    rank-location mann_whitney_u both miss; the third leg of the A/B
+    inference family.  D = sup_v |F_a(v) - F_b(v)| evaluated at the
+    observed distinct values (where a right-continuous step ECDF
+    attains its sup), plus the scaled statistic
+    K = sqrt(n_a n_b / (n_a + n_b)) * D that the asymptotic
+    Kolmogorov distribution consumes.
+
+    The ECDFs need cumulative per-slice counts over the value order —
+    the same DISTINCT-VALUE prefix-sum shape as mann_whitney_u: one
+    map-side-combinable groupBy to per-value (slice-a, slice-b)
+    counts, ONE range-repartition prefix pass over that distinct
+    table (curation.exact_rank_prefix), then a scalar max aggregate.
+    Nothing row-global anywhere.
+
+    Output: ONE row (n_a, n_b, d_stat, k_stat); NULL values drop;
+    an empty slice yields NULL d_stat/k_stat.
+    """
+    from .curation import exact_rank_prefix
+
+    d = df.where(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(value_col).cast("double").alias("_v"),
+        (F.col(group_col) == group_a).cast("double").alias("_ia"),
+    )
+    vc = d.groupBy("_v").agg(
+        F.sum("_ia").alias("_ca"),
+        F.sum(1 - F.col("_ia")).alias("_cb"),
+    )
+    ranked = exact_rank_prefix(
+        vc, ["_v"], ["_ca", "_cb"], rank_col="_vr", prefix="_cum_"
+    )
+    tot = vc.agg(
+        F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
+    )
+    s = (
+        ranked.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("_na").alias("_na"),
+            F.max("_nb").alias("_nb"),
+            F.max(
+                F.abs(
+                    F.col("_cum__ca") / F.col("_na")
+                    - F.col("_cum__cb") / F.col("_nb")
+                )
+            ).alias("_d"),
+        )
+    )
+    na, nb = F.col("_na"), F.col("_nb")
+    dstat = F.when((na > 0) & (nb > 0), F.col("_d"))
+    return s.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(dstat, round_dp).alias("d_stat"),
+        F.round(
+            F.sqrt(na * nb / (na + nb)) * dstat, round_dp
+        ).alias("k_stat"),
+    )

@@ -170,3 +170,37 @@ def test_ols_fit_matches_numpy_and_oracle(spark):
         ols_sql_oracle("SELECT y, x1, x2 FROM t")
     ).fetchone()
     assert o == (got.n, got.b0, got.b1, got.b2, got.r2)
+
+
+def test_ks_test_brute_force(spark):
+    from sqlfeatureextraction_spark.operators.stats import ks_test
+
+    a = [1.0, 2.0, 2.0, 3.5, 6.0, 8.0]
+    b = [2.0, 4.0, 4.0, 5.0]
+    rows = [("A", v) for v in a] + [("B", v) for v in b] + [("C", 1.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = ks_test(df, "grp", "v", "A", "B").collect()[0]
+
+    vals = sorted(set(a + b))
+    d = max(
+        abs(
+            sum(x <= v for x in a) / len(a)
+            - sum(x <= v for x in b) / len(b)
+        )
+        for v in vals
+    )
+    k = math.sqrt(len(a) * len(b) / (len(a) + len(b))) * d
+    assert (r.n_a, r.n_b) == (len(a), len(b))
+    assert abs(r.d_stat - d) < 1e-6
+    assert abs(r.k_stat - k) < 1e-6
+
+
+def test_ks_identical_distributions_zero(spark):
+    from sqlfeatureextraction_spark.operators.stats import ks_test
+
+    rows = [("A", float(v)) for v in (1, 2, 3)] + [
+        ("B", float(v)) for v in (1, 2, 3)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = ks_test(df, "grp", "v", "A", "B").collect()[0]
+    assert r.d_stat == 0.0 and r.k_stat == 0.0
