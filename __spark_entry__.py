@@ -403,6 +403,34 @@ def _q_ols_fit(spark, sf_dir):
     return ols_fit(d, "x1", "x2", "y")
 
 
+def _q_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention triangle — per-user first-week
+    aggregate + distinct (user, week) activity on the SAME user-key
+    exchange, cohort sizes broadcast back onto the cells."""
+    from sqlfeatureextraction_spark.operators.behavior import (
+        retention_cohorts,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_cohorts(ev.select("user_id", "ts"))
+
+
+def _q_funnel(spark, sf_dir):
+    """Strictly-ordered signup -> view -> purchase funnel — per-user
+    sorted per-step ts arrays from ONE groupBy, the sequential walk
+    as array_min/filter higher-order functions (codegen, no Python,
+    no joins, no window)."""
+    from sqlfeatureextraction_spark.operators.behavior import (
+        funnel_conversion,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_conversion(
+        ev.select("user_id", "event_type", "ts"),
+        ["signup", "view", "purchase"],
+    )
+
+
 def _q_ks_test(spark, sf_dir):
     """Two-sample Kolmogorov-Smirnov D between the purchase and error
     value distributions — ECDFs as per-slice cumulative counts over
@@ -3455,6 +3483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_fit": _q_ols_fit,
         "stream_cusum": _q_stream_cusum,
         "ks_test": _q_ks_test,
+        "retention_cohorts": _q_retention_cohorts,
+        "funnel": _q_funnel,
         "spearman_trend": _q_spearman_trend,
         "lag_lead": _q_lag_lead,
         "topk_per_group": _q_topk_per_group,
@@ -4476,6 +4506,72 @@ def oracle_sql() -> dict[str, str]:
                      ROWS UNBOUNDED PRECEDING)), 6) > 2.0 * 60.0
                      AS is_shift
             FROM p
+        """,
+        # weekly cohort retention: epoch-aligned week floors, per-user
+        # min week = cohort, distinct (user, week) activity
+        "retention_cohorts": """
+            WITH ev AS (
+              SELECT user_id AS u,
+                     CAST(floor(floor(epoch(ts)) / 604800.0) AS BIGINT)
+                       AS w
+              FROM events WHERE ts IS NOT NULL
+            ),
+            cohorts AS (SELECT u, MIN(w) AS cw FROM ev GROUP BY u),
+            active AS (SELECT DISTINCT u, w FROM ev),
+            cells AS (
+              SELECT c.cw AS cohort_week, a.w - c.cw AS week_offset,
+                     COUNT(*) AS n_active
+              FROM active a JOIN cohorts c USING (u)
+              GROUP BY 1, 2
+            ),
+            sizes AS (
+              SELECT cw AS cohort_week, COUNT(*) AS sz
+              FROM cohorts GROUP BY cw
+            )
+            SELECT cohort_week, week_offset, n_active,
+                   ROUND(n_active * 1.0 / sz, 6) AS retention
+            FROM cells JOIN sizes USING (cohort_week)
+        """,
+        # ordered funnel: per-user sorted per-step ts lists, fold
+        # t_k = first ts(step k) >= t_{k-1}; list_filter on a NULL
+        # bound drops everything (same semantics as Spark F.filter)
+        "funnel": """
+            WITH ev AS (
+              SELECT user_id AS u, event_type AS t,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS s
+              FROM events
+              WHERE event_type IN ('signup', 'view', 'purchase')
+            ),
+            pu AS (
+              SELECT u,
+                     list_sort(list(s) FILTER (t = 'signup')) AS ts0,
+                     list_sort(list(s) FILTER (t = 'view')) AS ts1,
+                     list_sort(list(s) FILTER (t = 'purchase')) AS ts2
+              FROM ev GROUP BY u
+            ),
+            r AS (
+              SELECT u, r0,
+                     list_min(list_filter(ts1, x -> x >= r0)) AS r1
+              FROM (SELECT u, ts1, ts2, list_min(ts0) AS r0 FROM pu)
+            ),
+            r2_ AS (
+              SELECT r.u, r.r0, r.r1,
+                     list_min(list_filter(pu.ts2, x -> x >= r.r1)) AS r2
+              FROM r JOIN pu USING (u)
+            ),
+            c AS (
+              SELECT COUNT(r0) AS n0, COUNT(r1) AS n1, COUNT(r2) AS n2
+              FROM r2_
+            )
+            SELECT 1 AS step_idx, 'signup' AS step, n0 AS n_users,
+                   ROUND(n0 * 1.0 / greatest(n0, 1), 6) AS conversion
+            FROM c
+            UNION ALL
+            SELECT 2, 'view', n1,
+                   ROUND(n1 * 1.0 / greatest(n0, 1), 6) FROM c
+            UNION ALL
+            SELECT 3, 'purchase', n2,
+                   ROUND(n2 * 1.0 / greatest(n0, 1), 6) FROM c
         """,
         # KS two-sample: per-slice ECDF cumsums over distinct values,
         # max |F_a - F_b|, scaled K statistic
