@@ -403,6 +403,21 @@ def _q_ols_fit(spark, sf_dir):
     return ols_fit(d, "x1", "x2", "y")
 
 
+def _q_textrank(spark, sf_dir):
+    """TextRank keywords (Mihalcea & Tarau 2004): weighted PageRank
+    power iteration over the symmetrized adjacent-token co-occurrence
+    graph — 10 iterations, each ONE vocab-sized join+groupBy; the
+    oracle replays every iteration as a CTE chain."""
+    from sqlfeatureextraction_spark.operators.graphrank import (
+        textrank_keywords,
+    )
+
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textrank_keywords(
+        doc.select("text"), top_k=20, n_iter=10
+    )
+
+
 def _q_retention_cohorts(spark, sf_dir):
     """Weekly cohort retention triangle — per-user first-week
     aggregate + distinct (user, week) activity on the SAME user-key
@@ -3483,6 +3498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_fit": _q_ols_fit,
         "stream_cusum": _q_stream_cusum,
         "ks_test": _q_ks_test,
+        "textrank": _q_textrank,
         "retention_cohorts": _q_retention_cohorts,
         "funnel": _q_funnel,
         "spearman_trend": _q_spearman_trend,
@@ -4472,7 +4488,13 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT n_chars, {_SPTOK} AS l FROM documents)
         WHERE n_chars IS NOT NULL
     """
+    from sqlfeatureextraction_spark.operators.graphrank import (
+        textrank_sql_oracle,
+    )
+
     sql = {
+        # TextRank: same edge construction + 10 power-iteration CTEs
+        "textrank": textrank_sql_oracle(_SPTOK, top_k=20, n_iter=10),
         # IRLS logistic regression: every Newton step replayed as a
         # sums-CTE + Cramer-update CTE (formulas shared verbatim with
         # the Spark driver solve via fit.CRAMER_EXPRS)
