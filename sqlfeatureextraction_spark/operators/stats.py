@@ -1091,11 +1091,14 @@ def kl_drift(
         F.col(group_col).alias("_g"),
         F.explode(tokens_col(F.col(text_col))).alias("_tok"),
     )
-    corpus = toks.groupBy("_tok").agg(
-        F.count(F.lit(1)).cast("double").alias("_ct")
-    )
+    # ONE corpus-sized shuffle: (group, token) counts; corpus counts
+    # derive from it (type-count-sized re-aggregation, never a second
+    # explode of the corpus)
     gcounts = toks.groupBy("_g", "_tok").agg(
         F.count(F.lit(1)).cast("double").alias("_cgt")
+    )
+    corpus = gcounts.groupBy("_tok").agg(
+        F.sum("_cgt").alias("_ct")
     )
     scal = corpus.agg(
         F.sum("_ct").alias("_T"),
@@ -1297,15 +1300,13 @@ def llr_keywords(
         F.col(group_col).alias("_g"),
         F.explode(tokens_col(F.col(text_col))).alias("_tok"),
     )
+    # ONE corpus-sized shuffle: (group, token) counts; corpus and
+    # per-group totals both derive from it (type-count-sized)
     gcounts = toks.groupBy("_g", "_tok").agg(
         F.count(F.lit(1)).cast("double").alias("_a")
     )
-    corpus = toks.groupBy("_tok").agg(
-        F.count(F.lit(1)).cast("double").alias("_ct")
-    )
-    gtot = toks.groupBy("_g").agg(
-        F.count(F.lit(1)).cast("double").alias("_ng")
-    )
+    corpus = gcounts.groupBy("_tok").agg(F.sum("_a").alias("_ct"))
+    gtot = gcounts.groupBy("_g").agg(F.sum("_a").alias("_ng"))
     scal = corpus.agg(F.sum("_ct").alias("_N"))
 
     def xlx(c):
