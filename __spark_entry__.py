@@ -403,6 +403,18 @@ def _q_ols_fit(spark, sf_dir):
     return ols_fit(d, "x1", "x2", "y")
 
 
+def _q_bpe_learn(spark, sf_dir):
+    """BPE merge learning (Sennrich ACL'16) on-cluster: the corpus
+    touches one word-count aggregate; all 16 merge iterations run on
+    the vocabulary-sized symbol table (pair-count -> deterministic
+    argmax -> literal left-to-right replace), replayed CTE-for-CTE by
+    the oracle — no floats, cross-engine exact."""
+    from sqlfeatureextraction_spark.operators.bpe import bpe_learn
+
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_learn(doc.select("text"), n_merges=16)
+
+
 def _q_textrank(spark, sf_dir):
     """TextRank keywords (Mihalcea & Tarau 2004): weighted PageRank
     power iteration over the symmetrized adjacent-token co-occurrence
@@ -3498,6 +3510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_fit": _q_ols_fit,
         "stream_cusum": _q_stream_cusum,
         "ks_test": _q_ks_test,
+        "bpe_learn": _q_bpe_learn,
         "textrank": _q_textrank,
         "retention_cohorts": _q_retention_cohorts,
         "funnel": _q_funnel,
@@ -4492,7 +4505,12 @@ def oracle_sql() -> dict[str, str]:
         textrank_sql_oracle,
     )
 
+    from sqlfeatureextraction_spark.operators.bpe import bpe_sql_oracle
+
     sql = {
+        # BPE: word-type seeding + per-merge pair-count/argmax/replace
+        # CTE triples, integer-exact
+        "bpe_learn": bpe_sql_oracle(_SPTOK, n_merges=16),
         # TextRank: same edge construction + 10 power-iteration CTEs
         "textrank": textrank_sql_oracle(_SPTOK, top_k=20, n_iter=10),
         # IRLS logistic regression: every Newton step replayed as a
