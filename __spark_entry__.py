@@ -415,6 +415,20 @@ def _q_bpe_learn(spark, sf_dir):
     return bpe_learn(doc.select("text"), n_merges=16)
 
 
+def _q_bpe_fertility(spark, sf_dir):
+    """Apply the learned 16-merge BPE tokenizer (a chain of 16 literal
+    codegen replaces — zero joins over the corpus) and report per-doc
+    tokenizer fertility (subwords per word)."""
+    from sqlfeatureextraction_spark.operators.bpe import (
+        bpe_encode_fertility,
+    )
+
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_encode_fertility(
+        doc.select("doc_id", "text"), n_merges=16
+    )
+
+
 def _q_textrank(spark, sf_dir):
     """TextRank keywords (Mihalcea & Tarau 2004): weighted PageRank
     power iteration over the symmetrized adjacent-token co-occurrence
@@ -3511,6 +3525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cusum": _q_stream_cusum,
         "ks_test": _q_ks_test,
         "bpe_learn": _q_bpe_learn,
+        "bpe_fertility": _q_bpe_fertility,
         "textrank": _q_textrank,
         "retention_cohorts": _q_retention_cohorts,
         "funnel": _q_funnel,
@@ -4505,12 +4520,18 @@ def oracle_sql() -> dict[str, str]:
         textrank_sql_oracle,
     )
 
-    from sqlfeatureextraction_spark.operators.bpe import bpe_sql_oracle
+    from sqlfeatureextraction_spark.operators.bpe import (
+        bpe_encode_sql_oracle,
+        bpe_sql_oracle,
+    )
 
     sql = {
         # BPE: word-type seeding + per-merge pair-count/argmax/replace
         # CTE triples, integer-exact
         "bpe_learn": bpe_sql_oracle(_SPTOK, n_merges=16),
+        # BPE applied: the same learned chain, then one replace CTE
+        # per merge over (doc, word) occurrences; fertility per doc
+        "bpe_fertility": bpe_encode_sql_oracle(_SPTOK, n_merges=16),
         # TextRank: same edge construction + 10 power-iteration CTEs
         "textrank": textrank_sql_oracle(_SPTOK, top_k=20, n_iter=10),
         # IRLS logistic regression: every Newton step replayed as a

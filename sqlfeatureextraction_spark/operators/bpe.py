@@ -31,7 +31,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bpe_learn", "bpe_sql_oracle"]
+__all__ = [
+    "bpe_learn",
+    "bpe_sql_oracle",
+    "bpe_encode_fertility",
+    "bpe_encode_sql_oracle",
+]
 
 
 def bpe_learn(
@@ -101,13 +106,10 @@ def bpe_learn(
     )
 
 
-def bpe_sql_oracle(
-    tok_expr: str,
-    table: str = "documents",
-    n_merges: int = 20,
-) -> str:
-    """DuckDB replay of bpe_learn: the same word-type seeding, the
-    same per-iteration pair-count/argmax/replace CTE triple."""
+def _bpe_chain(tok_expr: str, table: str, n_merges: int):
+    """The shared merge-learning CTE chain (MATERIALIZED — a plain CTE
+    chain re-inlines w{k-1} once per reference and the parquet scan
+    count goes exponential in n_merges) + the per-merge final selects."""
     parts = [
         f"""w0 AS MATERIALIZED (
           SELECT ' ' || regexp_replace(tok, '(.)', '\\1 ', 'g')
@@ -148,6 +150,17 @@ def bpe_sql_oracle(
         finals.append(
             f"SELECT {k} AS merge_idx, a AS left_, b, c FROM b{k}"
         )
+    return parts, finals
+
+
+def bpe_sql_oracle(
+    tok_expr: str,
+    table: str = "documents",
+    n_merges: int = 20,
+) -> str:
+    """DuckDB replay of bpe_learn: the same word-type seeding, the
+    same per-iteration pair-count/argmax/replace CTE triple."""
+    parts, finals = _bpe_chain(tok_expr, table, int(n_merges))
     chain = ",\n".join(parts)
     union = "\nUNION ALL\n".join(finals)
     return f"""
@@ -156,4 +169,102 @@ def bpe_sql_oracle(
                left_ || b AS merged, CAST(c AS BIGINT) AS pair_count
         FROM ({union})
         ORDER BY merge_idx
+    """
+
+
+def bpe_encode_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 16,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Apply BPE merges learned from this corpus (bpe_learn) and report
+    per-document tokenizer FERTILITY — subword tokens per word, the
+    metric that tells a pipeline how expensive each document is to
+    tokenize under a budgeted vocabulary (high fertility = rare/noisy
+    words fragmenting into many units).
+
+    The application is the part that must scale: each learned merge
+    becomes ONE literal string ``replace`` on the space-joined symbol
+    string, so the whole 16-merge tokenizer is a chain of 16 codegen'd
+    per-row expressions — zero joins, zero extra shuffles over the
+    corpus; the only exchanges are bpe_learn's vocab-table iterations
+    and the final per-doc aggregate.  A subword unit = one
+    space-separated symbol after all merges (the trailing ``</w>``
+    counts when unmerged — documented convention, replayed exactly).
+
+    Output: (id, n_words, n_subtokens, fertility); empty docs drop.
+    """
+    from .curation import tokens_col
+
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_learn(df, text_col, n_merges).collect()
+    ]
+    sym = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.col("_w"), "(.)", "$1 "),
+        F.lit("</w> "),
+    )
+    for a, b in merges:
+        sym = F.replace(sym, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    per_word = df.select(
+        F.col(id_col),
+        F.explode(tokens_col(F.col(text_col))).alias("_w"),
+    ).select(
+        F.col(id_col),
+        F.size(F.split(F.trim(sym), " ")).alias("_n_sub"),
+    )
+    return per_word.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("_n_sub").cast("long").alias("n_subtokens"),
+        F.round(
+            F.sum("_n_sub") / F.count(F.lit(1)), round_dp
+        ).alias("fertility"),
+    )
+
+
+def bpe_encode_sql_oracle(
+    tok_expr: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    n_merges: int = 16,
+    round_dp: int = 6,
+) -> str:
+    """DuckDB replay of bpe_encode_fertility: the bpe_sql_oracle merge
+    chain, then the same replace chain applied to every (doc, word)
+    occurrence (one MATERIALIZED CTE per merge)."""
+    learn_parts, _ = _bpe_chain(tok_expr, table, int(n_merges))
+    chain = ",\n".join(learn_parts)
+    parts = [
+        f"""d0 AS MATERIALIZED (
+          SELECT {id_col},
+                 ' ' || regexp_replace(tok, '(.)', '\\1 ', 'g')
+                 || '</w> ' AS sym
+          FROM (SELECT {id_col}, unnest({tok_expr}) AS tok
+                FROM {table})
+        )"""
+    ]
+    for k in range(1, int(n_merges) + 1):
+        parts.append(
+            f"""d{k} AS MATERIALIZED (
+              SELECT {id_col},
+                     replace(sym, ' ' || a || ' ' || b || ' ',
+                             ' ' || a || b || ' ') AS sym
+              FROM d{k - 1} CROSS JOIN b{k}
+            )"""
+        )
+    applied = ",\n".join(parts)
+    return f"""
+        WITH {chain},
+        {applied}
+        SELECT {id_col},
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(len(string_split(trim(sym), ' '))) AS BIGINT)
+                 AS n_subtokens,
+               ROUND(SUM(len(string_split(trim(sym), ' '))) * 1.0
+                     / COUNT(*), {round_dp}) AS fertility
+        FROM d{int(n_merges)}
+        GROUP BY {id_col}
     """

@@ -83,3 +83,40 @@ def test_bpe_oracle_sql_replays_identically(spark):
     )
     exp = con.execute(bpe_sql_oracle(tok, n_merges=6)).fetchall()
     assert got == exp
+
+
+def test_bpe_encode_fertility_matches_oracle(spark):
+    from sqlfeatureextraction_spark.operators.bpe import (
+        bpe_encode_fertility,
+        bpe_encode_sql_oracle,
+    )
+
+    docs = [
+        (1, "low low low lower lowest"),
+        (2, "new newer newest low"),
+        (3, "wide wider widest newer"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = sorted(
+        tuple(r)
+        for r in bpe_encode_fertility(df, n_merges=6).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    tok = (
+        "list_filter(string_split(lower(coalesce(text, '')), ' '),"
+        " x -> x <> '')"
+    )
+    exp = sorted(
+        con.execute(bpe_encode_sql_oracle(tok, n_merges=6)).fetchall()
+    )
+    assert got == exp
+    # more merges can only reduce (or keep) every doc's subtoken count
+    few = {
+        r.doc_id: r.n_subtokens
+        for r in bpe_encode_fertility(df, n_merges=2).collect()
+    }
+    many = dict((r.doc_id, r.n_subtokens) for r in
+                bpe_encode_fertility(df, n_merges=6).collect())
+    assert all(many[k] <= few[k] for k in few)
