@@ -403,6 +403,17 @@ def _q_ols_fit(spark, sf_dir):
     return ols_fit(d, "x1", "x2", "y")
 
 
+def _q_pca_power(spark, sf_dir):
+    """Top principal component of the embedding corpus by centered
+    power iteration — d mean sums + one d-sum aggregate per step, no
+    dxd matrix ever materialized; every step replayed as CTEs over
+    the (vec, dim, centered-x) triple table."""
+    from sqlfeatureextraction_spark.operators.fit import pca_power
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pca_power(emb.select("embedding"), n_iter=8)
+
+
 def _q_bpe_learn(spark, sf_dir):
     """BPE merge learning (Sennrich ACL'16) on-cluster: the corpus
     touches one word-count aggregate; all 16 merge iterations run on
@@ -3524,6 +3535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_fit": _q_ols_fit,
         "stream_cusum": _q_stream_cusum,
         "ks_test": _q_ks_test,
+        "pca_power": _q_pca_power,
         "bpe_learn": _q_bpe_learn,
         "bpe_fertility": _q_bpe_fertility,
         "textrank": _q_textrank,
@@ -4524,10 +4536,14 @@ def oracle_sql() -> dict[str, str]:
         bpe_encode_sql_oracle,
         bpe_sql_oracle,
     )
+    from sqlfeatureextraction_spark.operators.fit import pca_sql_oracle
 
     sql = {
         # BPE: word-type seeding + per-merge pair-count/argmax/replace
         # CTE triples, integer-exact
+        # PCA power iteration: per-step dot/d-sums/normalize CTEs
+        # over the unnested centered triple table
+        "pca_power": pca_sql_oracle(n_iter=8),
         "bpe_learn": bpe_sql_oracle(_SPTOK, n_merges=16),
         # BPE applied: the same learned chain, then one replace CTE
         # per merge over (doc, word) occurrences; fertility per doc

@@ -40,6 +40,8 @@ __all__ = [
     "logreg_sql_oracle",
     "ols_fit",
     "ols_sql_oracle",
+    "pca_power",
+    "pca_sql_oracle",
     "CRAMER_EXPRS",
 ]
 
@@ -305,4 +307,188 @@ def ols_sql_oracle(data_cte: str, round_dp: int = 6) -> str:
                ROUND(1.0 - (syy - (b0*g0 + b1*g1 + b2*g2))
                          / (syy - g0*g0 / n), {round_dp}) AS r2
         FROM b
+    """
+
+
+def pca_power(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    n_iter: int = 8,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Top principal component of an embedding column by centered
+    power iteration — the embedding-drift / whitening diagnostic (how
+    much of the corpus's variance lives on one axis; an embedding
+    space collapsing toward rank-1 is a known failure smell).
+
+    The same aggregates-only design as logreg_irls: one pass computes
+    the d mean sums; each of the ``n_iter`` power steps is ONE
+    aggregate over the centered rows collecting d sums
+    (s = sum_x (x-m) * ((x-m) . v) = C'v up to scale), then the
+    driver normalizes (d floats collected per step).  No d x d matrix
+    is ever materialized — the Gram-vector product folds into the row
+    pass, which is what makes this the 100-TB shape (MLlib's
+    RowMatrix.computePrincipalComponents materializes the d x d
+    covariance the same aggregate way).  Fixed iteration count +
+    all-positive uniform init make the result (including the sign)
+    deterministic, so the DuckDB oracle replays every step as CTEs
+    over an (vec, dim, centered-x) triple table and the outputs
+    hash-match at ``round_dp``.
+
+    Output: one row PER DIMENSION (dim_idx 1-based, loading, n, dim,
+    eigenvalue, explained_var — scalars repeated) — row-per-dim
+    rather than an array column so the result is plainly sortable/
+    hashable by any comparator; eigenvalue is the top COVARIANCE
+    eigenvalue (||C'v|| / (n-1)), explained_var its share of total
+    variance, loading the unit-vector entry (rounded).
+    """
+    import math as _math
+
+    emb = F.col(emb_col)
+    first = df.select(F.size(emb).alias("_d")).first()
+    if first is None:
+        raise ValueError("pca_power: empty input")
+    d = int(first["_d"])
+    base = df.select(emb.cast("array<double>").alias("_e")).where(
+        F.size("_e") == d
+    )
+    m_row = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.element_at("_e", i + 1)).alias(f"m{i}")
+            for i in range(d)
+        ],
+    ).collect()[0]
+    n = int(m_row["n"])
+    if n < 2:
+        raise ValueError("pca_power: need >= 2 rows")
+    means = [float(m_row[f"m{i}"]) / n for i in range(d)]
+    mean_lit = F.array(*[F.lit(m) for m in means])
+    cx = base.select(
+        F.zip_with("_e", mean_lit, lambda x, m: x - m).alias("_c")
+    )
+    v = [1.0 / _math.sqrt(d)] * d
+    nrm = 0.0
+    for _ in range(int(n_iter)):
+        v_lit = F.array(*[F.lit(x) for x in v])
+        dot = F.aggregate(
+            F.zip_with("_c", v_lit, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        row = cx.agg(
+            *[
+                F.sum(F.element_at("_c", i + 1) * dot).alias(f"s{i}")
+                for i in range(d)
+            ],
+            F.sum(
+                F.aggregate(
+                    F.transform("_c", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("ss"),
+        ).collect()[0]
+        s = [float(row[f"s{i}"]) for i in range(d)]
+        nrm = _math.sqrt(sum(x * x for x in s))
+        if nrm == 0.0:
+            raise ValueError("pca_power: zero-variance input")
+        v = [x / nrm for x in s]
+        total_ss = float(row["ss"])
+    eigenvalue = nrm / (n - 1)
+    explained = eigenvalue / (total_ss / (n - 1))
+    out = [
+        (
+            i + 1,
+            round(v[i], round_dp),
+            n,
+            d,
+            round(eigenvalue, round_dp),
+            round(explained, round_dp),
+        )
+        for i in range(d)
+    ]
+    return df.sparkSession.createDataFrame(
+        out,
+        "dim_idx int, loading double, n bigint, dim int,"
+        " eigenvalue double, explained_var double",
+    )
+
+
+def pca_sql_oracle(
+    table: str = "embeddings",
+    emb_col: str = "embedding",
+    n_iter: int = 8,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB replay of pca_power over the (vec, dim, centered-x)
+    triple table: the same mean pass, the same per-step
+    dot -> d-sums -> normalize CTEs (MATERIALIZED — the chain is
+    self-referencing)."""
+    parts = [
+        f"""ex AS MATERIALIZED (
+          SELECT vec_id, generate_subscripts({emb_col}, 1) AS i,
+                 CAST(unnest({emb_col}) AS DOUBLE) AS x
+          FROM {table}
+        )""",
+        """mn AS MATERIALIZED (
+          SELECT i, SUM(x) / MAX(nn.n) AS m
+          FROM ex CROSS JOIN (
+            SELECT CAST(COUNT(DISTINCT vec_id) AS DOUBLE) AS n FROM ex
+          ) nn
+          GROUP BY i
+        )""",
+        """cx AS MATERIALIZED (
+          SELECT ex.vec_id, ex.i, ex.x - mn.m AS x
+          FROM ex JOIN mn USING (i)
+        )""",
+        """dims AS (SELECT CAST(COUNT(*) AS DOUBLE) AS d FROM mn)""",
+        """b0 AS MATERIALIZED (
+          SELECT i, 1.0 / sqrt(dims.d) AS v
+          FROM mn CROSS JOIN dims
+        )""",
+    ]
+    for k in range(1, int(n_iter) + 1):
+        parts.append(
+            f"""u{k} AS MATERIALIZED (
+              SELECT cx.vec_id, SUM(cx.x * b.v) AS dt
+              FROM cx JOIN b{k - 1} b USING (i)
+              GROUP BY cx.vec_id
+            )"""
+        )
+        parts.append(
+            f"""s{k} AS MATERIALIZED (
+              SELECT cx.i, SUM(cx.x * u.dt) AS s
+              FROM cx JOIN u{k} u USING (vec_id)
+              GROUP BY cx.i
+            )"""
+        )
+        parts.append(
+            f"""b{k} AS MATERIALIZED (
+              SELECT i, s / nrm.nr AS v
+              FROM s{k} CROSS JOIN
+                (SELECT sqrt(SUM(s * s)) AS nr FROM s{k}) nrm
+            )"""
+        )
+    last = int(n_iter)
+    chain = ",\n".join(parts)
+    return f"""
+        WITH {chain},
+        scal AS (
+          SELECT CAST(COUNT(DISTINCT vec_id) AS DOUBLE) AS n,
+                 SUM(x * x) AS ss
+          FROM cx
+        ),
+        lam AS (
+          SELECT (SELECT sqrt(SUM(s * s)) FROM s{last}) AS nr
+        )
+        SELECT CAST(b.i AS INT) AS dim_idx,
+               ROUND(b.v, {round_dp}) AS loading,
+               CAST(scal.n AS BIGINT) AS n,
+               CAST(dims.d AS INT) AS dim,
+               ROUND(lam.nr / (scal.n - 1), {round_dp}) AS eigenvalue,
+               ROUND((lam.nr / (scal.n - 1))
+                     / (scal.ss / (scal.n - 1)), {round_dp})
+                 AS explained_var
+        FROM b{last} b CROSS JOIN scal CROSS JOIN dims CROSS JOIN lam
     """

@@ -88,3 +88,56 @@ def test_logreg_singular_hessian_raises(spark):
     df = spark.createDataFrame(rows, "y double, x1 double, x2 double")
     with pytest.raises(ValueError, match="singular"):
         logreg_irls(df, "x1", "x2", "y").collect()
+
+
+def test_pca_power_matches_numpy_top_component(spark):
+    import numpy as np
+
+    from sqlfeatureextraction_spark.operators.fit import pca_power
+
+    rng = np.random.default_rng(21)
+    # anisotropic cloud: dominant axis along (3, 1, 0.5, ...)
+    d = 6
+    axis = np.array([3.0, 1.0, 0.5, 0.2, 0.1, 0.05])
+    x = rng.normal(size=(300, d)) * axis + 5.0
+    rows = [(i, [float(v) for v in r]) for i, r in enumerate(x)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    rows_out = sorted(pca_power(df, n_iter=12).collect(),
+                      key=lambda r: r.dim_idx)
+    got = rows_out[0]
+
+    c = np.cov(x, rowvar=False)
+    w, v = np.linalg.eigh(c)
+    top_val, top_vec = w[-1], v[:, -1]
+    if top_vec[int(np.argmax(np.abs(top_vec)))] < 0:
+        top_vec = -top_vec
+    assert len(rows_out) == d
+    assert got.n == 300 and got.dim == d
+    assert abs(got.eigenvalue - top_val) < 1e-2 * top_val
+    assert abs(got.explained_var - top_val / w.sum()) < 1e-3
+    comp = np.array([r.loading for r in rows_out])
+    if comp[int(np.argmax(np.abs(comp)))] < 0:
+        comp = -comp
+    assert np.allclose(comp, top_vec, atol=5e-3)
+
+
+def test_pca_oracle_sql_replays_identically(spark):
+    import duckdb
+    import numpy as np
+
+    from sqlfeatureextraction_spark.operators.fit import (
+        pca_power,
+        pca_sql_oracle,
+    )
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(120, 5)) * np.array([2.0, 1.0, 0.7, 0.3, 0.1])
+    rows = [(i, [float(v) for v in r]) for i, r in enumerate(x)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(tuple(r) for r in pca_power(df, n_iter=8).collect())
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings (vec_id BIGINT, embedding DOUBLE[])")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?)", rows)
+    exp = sorted(con.execute(pca_sql_oracle(n_iter=8)).fetchall())
+    assert got == exp
