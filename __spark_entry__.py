@@ -483,6 +483,21 @@ def _q_funnel(spark, sf_dir):
     )
 
 
+def _q_weighted_quantiles(spark, sf_dir):
+    """Exact weighted quantiles of events.value with the weight parsed
+    from the JSON props column — distinct-value weight cumsum via
+    exact_rank_prefix, min-clearing value per prob."""
+    from sqlfeatureextraction_spark.operators.stats import (
+        weighted_quantiles,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "value",
+        F.get_json_object("props", "$.k").cast("double").alias("w"),
+    )
+    return weighted_quantiles(ev, "value", "w", (0.25, 0.5, 0.75, 0.95))
+
+
 def _q_ks_test(spark, sf_dir):
     """Two-sample Kolmogorov-Smirnov D between the purchase and error
     value distributions — ECDFs as per-slice cumulative counts over
@@ -498,6 +513,25 @@ def _q_ks_test(spark, sf_dir):
         "purchase",
         "error",
     )
+
+
+def _q_calibration(spark, sf_dir):
+    """Reliability diagram + ECE for the logreg quality classifier —
+    scored with the 4dp-published coefficients both engines
+    hash-match on, fixed-width bins, n_bins-sized aggregate."""
+    from sqlfeatureextraction_spark.operators.curation import tokens_col
+    from sqlfeatureextraction_spark.operators.fit import (
+        calibration_curve,
+    )
+
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokens_col(F.col("text"))
+    d = doc.select(
+        (F.col("lang") == "en").cast("double").alias("y"),
+        F.ln(1 + F.size(toks)).alias("x1"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("x2"),
+    ).where(F.size(toks) > 0)
+    return calibration_curve(d, "x1", "x2", "y", n_bins=10)
 
 
 def _q_welch_ttest(spark, sf_dir):
@@ -3530,10 +3564,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kl_drift": _q_kl_drift,
         "welch_ttest": _q_welch_ttest,
         "logreg_quality": _q_logreg_quality,
+        "calibration": _q_calibration,
         "llr_keywords": _q_llr_keywords,
         "mann_whitney": _q_mann_whitney,
         "ols_fit": _q_ols_fit,
         "stream_cusum": _q_stream_cusum,
+        "weighted_quantiles": _q_weighted_quantiles,
         "ks_test": _q_ks_test,
         "pca_power": _q_pca_power,
         "bpe_learn": _q_bpe_learn,
@@ -4536,7 +4572,10 @@ def oracle_sql() -> dict[str, str]:
         bpe_encode_sql_oracle,
         bpe_sql_oracle,
     )
-    from sqlfeatureextraction_spark.operators.fit import pca_sql_oracle
+    from sqlfeatureextraction_spark.operators.fit import (
+        calibration_sql_oracle,
+        pca_sql_oracle,
+    )
 
     sql = {
         # BPE: word-type seeding + per-merge pair-count/argmax/replace
@@ -4554,6 +4593,9 @@ def oracle_sql() -> dict[str, str]:
         # sums-CTE + Cramer-update CTE (formulas shared verbatim with
         # the Spark driver solve via fit.CRAMER_EXPRS)
         "logreg_quality": logreg_sql_oracle(_logreg_data, n_iter=4),
+        # reliability diagram: the full logreg oracle as a nested-WITH
+        # fit CTE, then identical score/bin/ECE arithmetic
+        "calibration": calibration_sql_oracle(_logreg_data, n_bins=10),
         # closed-form 2-feature OLS: same nine moment sums, same
         # Cramer formulas, normal-equation R^2
         "ols_fit": ols_sql_oracle(_ols_data),
@@ -4649,6 +4691,35 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 3, 'purchase', n2,
                    ROUND(n2 * 1.0 / greatest(n0, 1), 6) FROM c
+        """,
+        # exact weighted quantiles: distinct-value weight cumsum,
+        # q_p = min value whose cumW clears p*W
+        "weighted_quantiles": """
+            WITH e AS (
+              SELECT value AS v,
+                     CAST(json_extract_string(props, '$.k') AS DOUBLE)
+                       AS w
+              FROM events
+            ),
+            d AS (
+              SELECT v, w FROM e
+              WHERE v IS NOT NULL AND coalesce(w, 0) > 0
+            ),
+            vc AS (SELECT v, SUM(w) AS tw FROM d GROUP BY v),
+            r AS (
+              SELECT v, SUM(tw) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cw
+              FROM vc
+            ),
+            tot AS (SELECT SUM(tw) AS tw FROM vc),
+            ps AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS p)
+            SELECT ps.p,
+                   ROUND(MIN(r.v), 6) AS value,
+                   ROUND(MAX(tot.tw), 6) AS total_weight
+            FROM ps
+            CROSS JOIN tot
+            JOIN r ON r.cw >= ps.p * tot.tw
+            GROUP BY ps.p
         """,
         # KS two-sample: per-slice ECDF cumsums over distinct values,
         # max |F_a - F_b|, scaled K statistic

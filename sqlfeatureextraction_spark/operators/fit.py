@@ -42,6 +42,8 @@ __all__ = [
     "ols_sql_oracle",
     "pca_power",
     "pca_sql_oracle",
+    "calibration_curve",
+    "calibration_sql_oracle",
     "CRAMER_EXPRS",
 ]
 
@@ -491,4 +493,114 @@ def pca_sql_oracle(
                      / (scal.ss / (scal.n - 1)), {round_dp})
                  AS explained_var
         FROM b{last} b CROSS JOIN scal CROSS JOIN dims CROSS JOIN lam
+    """
+
+
+def calibration_curve(
+    df: DataFrame,
+    x1_col: str,
+    x2_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    n_iter: int = 4,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Reliability diagram + expected calibration error for the
+    logreg_irls quality classifier — the eval step that tells a
+    pipeline whether the score it is about to GATE on can be read as
+    a probability (a miscalibrated 0.9 is not "90% good").
+
+    Fits via logreg_irls, then scores with the ROUNDED published
+    coefficients (the same 4dp values both engines hash-match on, so
+    the score arithmetic is literal-identical cross-engine), bins
+    scores into ``n_bins`` fixed-width bins (clamped so score 1.0
+    lands in the last bin), and per bin reports size, mean confidence
+    and empirical accuracy; ECE = sum_b (n_b/N) |acc_b - conf_b|
+    rides every row.  Scoring + binning is one codegen pass + one
+    n_bins-sized aggregate; the ECE window runs over the n_bins-row
+    result.
+
+    Output: one row per non-empty bin (bin, n, conf, acc, ece).
+    """
+    fit = logreg_irls(
+        df, x1_col, x2_col, label_col, n_iter=n_iter
+    ).collect()[0]
+    b0, b1, b2 = fit["b0"], fit["b1"], fit["b2"]
+    d = df.where(
+        F.col(x1_col).isNotNull()
+        & F.col(x2_col).isNotNull()
+        & F.col(label_col).isNotNull()
+    )
+    mu = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(
+            -(
+                F.lit(b0)
+                + F.lit(b1) * F.col(x1_col).cast("double")
+                + F.lit(b2) * F.col(x2_col).cast("double")
+            )
+        )
+    )
+    nb = int(n_bins)
+    binned = d.select(
+        F.least(
+            F.floor(mu * nb).cast("int"), F.lit(nb - 1)
+        ).alias("bin"),
+        mu.alias("_mu"),
+        F.col(label_col).cast("double").alias("_y"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("_mu").alias("_conf"),
+        F.avg("_y").alias("_acc"),
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy()
+    ece = F.sum(
+        F.col("n") * F.abs(F.col("_acc") - F.col("_conf"))
+    ).over(w) / F.sum("n").over(w)
+    return per_bin.select(
+        "bin",
+        "n",
+        F.round("_conf", round_dp).alias("conf"),
+        F.round("_acc", round_dp).alias("acc"),
+        F.round(ece, round_dp).alias("ece"),
+    )
+
+
+def calibration_sql_oracle(
+    data_cte: str,
+    n_bins: int = 10,
+    n_iter: int = 4,
+    round_dp: int = 6,
+) -> str:
+    """DuckDB replay of calibration_curve: the full logreg oracle as
+    a nested-WITH subquery CTE (its 4dp-rounded coefficients), then
+    the identical score/bin/aggregate/ECE arithmetic."""
+    inner = logreg_sql_oracle(data_cte, n_iter=n_iter)
+    nb = int(n_bins)
+    return f"""
+        WITH fit AS MATERIALIZED (SELECT * FROM ({inner})),
+        d AS ({data_cte}),
+        scored AS (
+          SELECT LEAST(CAST(floor(
+                   (1.0/(1.0 + exp(-(fit.b0 + fit.b1*d.x1
+                                     + fit.b2*d.x2)))) * {nb}
+                 ) AS INT), {nb - 1}) AS bin,
+                 1.0/(1.0 + exp(-(fit.b0 + fit.b1*d.x1
+                                  + fit.b2*d.x2))) AS mu,
+                 d.y
+          FROM d CROSS JOIN fit
+        ),
+        per_bin AS (
+          SELECT bin, COUNT(*) AS n, AVG(mu) AS conf, AVG(y) AS acc
+          FROM scored GROUP BY bin
+        )
+        SELECT bin, n,
+               ROUND(conf, {round_dp}) AS conf,
+               ROUND(acc, {round_dp}) AS acc,
+               ROUND(SUM(n * abs(acc - conf)) OVER ()
+                     / SUM(n) OVER (), {round_dp}) AS ece
+        FROM per_bin
     """

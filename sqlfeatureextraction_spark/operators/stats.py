@@ -1501,3 +1501,54 @@ def ks_test(
             F.sqrt(na * nb / (na + nb)) * dstat, round_dp
         ).alias("k_stat"),
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    probs: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+    round_dp: int = 6,
+) -> DataFrame:
+    """EXACT weighted discrete quantiles: q_p = min{ v : cumW(v) >=
+    p * W } over the weight-cumulative value distribution — the
+    quantile a pipeline actually wants when rows carry unequal mass
+    (token counts, costs, sampling weights), which the unweighted GK
+    sketch cannot express.
+
+    Same scale shape as mann_whitney_u/ks_test: per-distinct-value
+    weight sums from one map-side-combinable groupBy, ONE
+    range-repartition prefix pass over the distinct table
+    (curation.exact_rank_prefix), then for each requested p the
+    minimal value whose cumulative weight clears p*W (a tiny
+    aggregate per prob over the distinct table — probs is a
+    parameter-sized list).  Zero/negative/NULL weights drop.
+
+    Output: one row per prob (p, value, total_weight), p-ascending.
+    """
+    from .curation import exact_rank_prefix
+
+    d = df.where(
+        F.col(value_col).isNotNull()
+        & (F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0)) > 0)
+    ).select(
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(weight_col).cast("double").alias("_w"),
+    )
+    vc = d.groupBy("_v").agg(F.sum("_w").alias("_tw"))
+    ranked = exact_rank_prefix(
+        vc, ["_v"], ["_tw"], rank_col="_vr", prefix="_cum_"
+    )
+    tot = vc.agg(F.sum("_tw").alias("_W"))
+    j = ranked.crossJoin(F.broadcast(tot))
+    out = None
+    for p in probs:
+        q = j.where(
+            F.col("_cum__tw") >= F.lit(float(p)) * F.col("_W")
+        ).agg(
+            F.lit(float(p)).alias("p"),
+            F.round(F.min("_v"), round_dp).alias("value"),
+            F.round(F.max("_W"), round_dp).alias("total_weight"),
+        )
+        out = q if out is None else out.unionAll(q)
+    return out

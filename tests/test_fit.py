@@ -141,3 +141,53 @@ def test_pca_oracle_sql_replays_identically(spark):
     con.executemany("INSERT INTO embeddings VALUES (?, ?)", rows)
     exp = sorted(con.execute(pca_sql_oracle(n_iter=8)).fetchall())
     assert got == exp
+
+
+def test_calibration_curve_matches_oracle_and_brute(spark):
+    import duckdb
+
+    from sqlfeatureextraction_spark.operators.fit import (
+        calibration_curve,
+        calibration_sql_oracle,
+        logreg_irls,
+    )
+
+    rows = _make_data(n=400, seed=11)
+    df = spark.createDataFrame(rows, "y double, x1 double, x2 double")
+    got = sorted(
+        tuple(r)
+        for r in calibration_curve(df, "x1", "x2", "y", n_bins=5).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (y DOUBLE, x1 DOUBLE, x2 DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    exp = sorted(
+        con.execute(
+            calibration_sql_oracle("SELECT y, x1, x2 FROM t", n_bins=5)
+        ).fetchall()
+    )
+    assert got == exp
+
+    # brute-force replay with the published (rounded) coefficients
+    import math as m
+
+    fit = logreg_irls(df, "x1", "x2", "y").collect()[0]
+    bins = {}
+    for y, x1, x2 in rows:
+        mu = 1.0 / (1.0 + m.exp(-(fit.b0 + fit.b1 * x1 + fit.b2 * x2)))
+        b = min(int(mu * 5), 4)
+        n, sm, sy = bins.get(b, (0, 0.0, 0.0))
+        bins[b] = (n + 1, sm + mu, sy + y)
+    total = sum(n for n, _, _ in bins.values())
+    ece = sum(
+        n * abs(sy / n - sm / n) for n, sm, sy in bins.values()
+    ) / total
+    for b, n, conf, acc, e in got:
+        bn, bsm, bsy = bins[b]
+        assert n == bn
+        assert abs(conf - bsm / bn) < 1e-6
+        assert abs(acc - bsy / bn) < 1e-6
+        assert abs(e - ece) < 1e-6
+    # well-specified model on its own training data: ECE is small
+    assert got[0][4] < 0.15

@@ -204,3 +204,29 @@ def test_ks_identical_distributions_zero(spark):
     df = spark.createDataFrame(rows, "grp string, v double")
     r = ks_test(df, "grp", "v", "A", "B").collect()[0]
     assert r.d_stat == 0.0 and r.k_stat == 0.0
+
+
+def test_weighted_quantiles_brute_force(spark):
+    from sqlfeatureextraction_spark.operators.stats import (
+        weighted_quantiles,
+    )
+
+    rows = [
+        (1.0, 1.0), (2.0, 5.0), (2.0, 1.0), (3.0, 2.0), (10.0, 2.0),
+        (4.0, 0.0),   # zero weight drops
+        (5.0, None),  # null weight drops
+    ]
+    df = spark.createDataFrame(rows, "v double, w double")
+    got = {
+        r.p: (r.value, r.total_weight)
+        for r in weighted_quantiles(df, "v", "w", (0.1, 0.5, 0.9, 1.0)).collect()
+    }
+    # cumW: 1->1, 2->7, 3->9, 10->11 ; W=11
+    # p=0.1 -> 1.1: first v with cum>=1.1 is 2; p=0.5 -> 5.5 -> 2
+    # p=0.9 -> 9.9 -> 10; p=1.0 -> 11 -> 10
+    assert got == {
+        0.1: (2.0, 11.0),
+        0.5: (2.0, 11.0),
+        0.9: (10.0, 11.0),
+        1.0: (10.0, 11.0),
+    }
