@@ -534,6 +534,43 @@ def _q_calibration(spark, sf_dir):
     return calibration_curve(d, "x1", "x2", "y", n_bins=10)
 
 
+def _q_auc(spark, sf_dir):
+    """ROC AUC of the logreg quality score via the exact rank-sum
+    identity with fractional tie ranks — distinct-score cumsum via
+    exact_rank_prefix, never the n_pos x n_neg pair set."""
+    from sqlfeatureextraction_spark.operators.curation import tokens_col
+    from sqlfeatureextraction_spark.operators.fit import (
+        auc_score,
+        logreg_irls,
+    )
+
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokens_col(F.col("text"))
+    d = doc.select(
+        (F.col("lang") == "en").cast("double").alias("y"),
+        F.ln(1 + F.size(toks)).alias("x1"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("x2"),
+    ).where(F.size(toks) > 0)
+    fit = logreg_irls(d, "x1", "x2", "y").collect()[0]
+    scored = d.select(
+        "y",
+        (
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    -(
+                        F.lit(fit["b0"])
+                        + F.lit(fit["b1"]) * F.col("x1")
+                        + F.lit(fit["b2"]) * F.col("x2")
+                    )
+                )
+            )
+        ).alias("score"),
+    )
+    return auc_score(scored, "score", "y")
+
+
 def _q_welch_ttest(spark, sf_dir):
     """Welch unequal-variance t-test of events.value between the
     purchase and error slices — two moment aggregates + closed-form
@@ -3565,6 +3602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_ttest": _q_welch_ttest,
         "logreg_quality": _q_logreg_quality,
         "calibration": _q_calibration,
+        "auc": _q_auc,
         "llr_keywords": _q_llr_keywords,
         "mann_whitney": _q_mann_whitney,
         "ols_fit": _q_ols_fit,
@@ -4596,6 +4634,42 @@ def oracle_sql() -> dict[str, str]:
         # reliability diagram: the full logreg oracle as a nested-WITH
         # fit CTE, then identical score/bin/ECE arithmetic
         "calibration": calibration_sql_oracle(_logreg_data, n_bins=10),
+        # AUC by the rank-sum identity over distinct scores (the fit
+        # CTE provides the same 4dp coefficients)
+        "auc": f"""
+            WITH fit AS MATERIALIZED (
+              SELECT * FROM ({logreg_sql_oracle(_logreg_data, n_iter=4)})
+            ),
+            d AS ({_logreg_data}),
+            scored AS (
+              SELECT d.y,
+                     1.0/(1.0 + exp(-(fit.b0 + fit.b1*d.x1
+                                      + fit.b2*d.x2))) AS s
+              FROM d CROSS JOIN fit
+            ),
+            vc AS (
+              SELECT s, CAST(COUNT(*) AS DOUBLE) AS t, SUM(y) AS p
+              FROM scored GROUP BY s
+            ),
+            r AS (
+              SELECT t, p,
+                     SUM(t) OVER (ORDER BY s
+                       ROWS UNBOUNDED PRECEDING) - t
+                       + (t + 1) / 2.0 AS avg_rank
+              FROM vc
+            ),
+            agg AS (
+              SELECT SUM(p) AS np, SUM(t - p) AS nn,
+                     SUM(p * avg_rank) AS rp
+              FROM r
+            )
+            SELECT CAST(np AS BIGINT) AS n_pos,
+                   CAST(nn AS BIGINT) AS n_neg,
+                   ROUND(CASE WHEN np > 0 AND nn > 0
+                         THEN (rp - np * (np + 1) / 2.0) / (np * nn)
+                         END, 6) AS auc
+            FROM agg
+        """,
         # closed-form 2-feature OLS: same nine moment sums, same
         # Cramer formulas, normal-equation R^2
         "ols_fit": ols_sql_oracle(_ols_data),

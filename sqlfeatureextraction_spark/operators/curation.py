@@ -802,13 +802,13 @@ def exact_rank_prefix(
         2, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     )
     cols = [F.col(c) for c in order_cols]
-    w = Window.partitionBy("_p").orderBy(*cols)
+    w = Window.partitionBy("_erp_p").orderBy(*cols)
     wsum = w.rowsBetween(Window.unboundedPreceding, 0)
     local = (
         df.repartitionByRange(n_part, *cols)
         .sortWithinPartitions(*cols)
-        .withColumn("_p", F.spark_partition_id())
-        .withColumn("_r", F.row_number().over(w) - 1)
+        .withColumn("_erp_p", F.spark_partition_id())
+        .withColumn("_erp_r", F.row_number().over(w) - 1)
     )
     for v in value_cols:
         local = local.withColumn(
@@ -817,8 +817,8 @@ def exact_rank_prefix(
         )
     local = local.localCheckpoint(eager=True)
     totals = {
-        r["_p"]: r
-        for r in local.groupBy("_p")
+        r["_erp_p"]: r
+        for r in local.groupBy("_erp_p")
         .agg(
             F.count("*").alias("n"),
             *[
@@ -845,17 +845,17 @@ def exact_rank_prefix(
             F.create_map(
                 *[F.lit(x) for p, o in d.items() for x in (p, o)]
             ),
-            F.col("_p"),
+            F.col("_erp_p"),
         ).cast(typ)
 
     out = local.withColumn(
-        rank_col, (_map(row_off, "long") + F.col("_r") + 1)
+        rank_col, (_map(row_off, "long") + F.col("_erp_r") + 1)
     )
     for v in value_cols:
         out = out.withColumn(
             f"{prefix}{v}", _map(val_off[v], "double") + F.col(f"_s_{v}")
         ).drop(f"_s_{v}")
-    return out.drop("_p", "_r")
+    return out.drop("_erp_p", "_erp_r")
 
 
 def shard_assign(

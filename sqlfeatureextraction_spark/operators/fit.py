@@ -44,6 +44,7 @@ __all__ = [
     "pca_sql_oracle",
     "calibration_curve",
     "calibration_sql_oracle",
+    "auc_score",
     "CRAMER_EXPRS",
 ]
 
@@ -604,3 +605,61 @@ def calibration_sql_oracle(
                      / SUM(n) OVER (), {round_dp}) AS ece
         FROM per_bin
     """
+
+
+def auc_score(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """ROC AUC of a score column against a binary label — the
+    ranking-quality half of the classifier-eval pair (calibration_curve
+    measures probability quality; AUC measures whether the score
+    ORDERS positives above negatives at all).
+
+    Computed exactly via the rank-sum identity AUC = (R_pos -
+    n_pos(n_pos+1)/2) / (n_pos * n_neg) with fractional tie ranks —
+    i.e. the Mann-Whitney machinery applied to (score, label): one
+    map-side-combinable groupBy to per-distinct-score (total,
+    positive) counts, ONE range-repartition prefix pass
+    (curation.exact_rank_prefix) for the cumulative ranks, one scalar
+    aggregate.  Never sorts rows globally, never materializes the
+    n_pos x n_neg pair set.
+
+    Output: ONE row (n_pos, n_neg, auc); degenerate inputs (single
+    class) yield NULL auc.
+    """
+    from ..operators.curation import exact_rank_prefix
+
+    d = df.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("double").alias("_y"),
+    )
+    vc = d.groupBy("_s").agg(
+        F.count(F.lit(1)).cast("double").alias("_t"),
+        F.sum("_y").alias("_pos"),
+    )
+    ranked = exact_rank_prefix(
+        vc, ["_s"], ["_t"], rank_col="_sr", prefix="_cum_"
+    ).withColumn(
+        "_avg_rank",
+        F.col("_cum__t") - F.col("_t") + (F.col("_t") + 1) / 2.0,
+    )
+    s = ranked.agg(
+        F.sum("_pos").alias("_np"),
+        F.sum(F.col("_t") - F.col("_pos")).alias("_nn"),
+        F.sum(F.col("_pos") * F.col("_avg_rank")).alias("_rp"),
+    )
+    np_, nn_ = F.col("_np"), F.col("_nn")
+    auc = F.when(
+        (np_ > 0) & (nn_ > 0),
+        (F.col("_rp") - np_ * (np_ + 1) / 2.0) / (np_ * nn_),
+    )
+    return s.select(
+        np_.cast("long").alias("n_pos"),
+        nn_.cast("long").alias("n_neg"),
+        F.round(auc, round_dp).alias("auc"),
+    )

@@ -191,3 +191,28 @@ def test_calibration_curve_matches_oracle_and_brute(spark):
         assert abs(e - ece) < 1e-6
     # well-specified model on its own training data: ECE is small
     assert got[0][4] < 0.15
+
+
+def test_auc_matches_pair_counting(spark):
+    from sqlfeatureextraction_spark.operators.fit import auc_score
+
+    rows = [
+        (0.9, 1.0), (0.8, 1.0), (0.8, 0.0), (0.6, 1.0),
+        (0.5, 0.0), (0.5, 0.0), (0.5, 1.0), (0.2, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "s double, y double")
+    r = auc_score(df, "s", "y").collect()[0]
+    pos = [s for s, y in rows if y == 1.0]
+    neg = [s for s, y in rows if y == 0.0]
+    wins = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0)
+        for p in pos
+        for n in neg
+    )
+    exp = wins / (len(pos) * len(neg))
+    assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
+    assert abs(r.auc - exp) < 1e-9
+
+    # single-class degenerate -> NULL
+    df1 = spark.createDataFrame([(0.5, 1.0)], "s double, y double")
+    assert auc_score(df1, "s", "y").collect()[0].auc is None
