@@ -440,6 +440,23 @@ def _q_bpe_fertility(spark, sf_dir):
     )
 
 
+def _q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood dedup candidates (Hernandez-Stolfo) —
+    global sort rank via exact_rank_prefix, within-window band as a
+    bucketized equi-join, levenshtein-prefix verify."""
+    from sqlfeatureextraction_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sorted_neighborhood_pairs(
+        doc.select("doc_id", "text"),
+        window=4,
+        key_len=16,
+        sim_threshold=0.5,
+    )
+
+
 def _q_textrank(spark, sf_dir):
     """TextRank keywords (Mihalcea & Tarau 2004): weighted PageRank
     power iteration over the symmetrized adjacent-token co-occurrence
@@ -3612,6 +3629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_power": _q_pca_power,
         "bpe_learn": _q_bpe_learn,
         "bpe_fertility": _q_bpe_fertility,
+        "sorted_neighborhood": _q_sorted_neighborhood,
         "textrank": _q_textrank,
         "retention_cohorts": _q_retention_cohorts,
         "funnel": _q_funnel,
@@ -5180,6 +5198,29 @@ def oracle_sql() -> dict[str, str]:
                           - (sq - sqg)),
                      6) AS kl
             FROM obs CROSS JOIN scal CROSS JOIN sq
+        """,
+        # sorted-neighborhood: row_number over the normalized key,
+        # rank-distance <= w self-join, levenshtein-prefix verify
+        "sorted_neighborhood": """
+            WITH keyed AS (
+              SELECT doc_id AS id,
+                     substring(regexp_replace(lower(coalesce(text, '')),
+                               '[^a-z0-9]', '', 'g'), 1, 16) AS k
+              FROM documents
+            ),
+            r AS (
+              SELECT id, k,
+                     ROW_NUMBER() OVER (ORDER BY k, id) AS rnk
+              FROM keyed WHERE length(k) > 0
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   ROUND(1.0 - levenshtein(a.k, b.k)
+                         / greatest(length(a.k), length(b.k)), 6)
+                     AS sim
+            FROM r a JOIN r b
+              ON b.rnk > a.rnk AND b.rnk - a.rnk <= 4
+            WHERE ROUND(1.0 - levenshtein(a.k, b.k)
+                  / greatest(length(a.k), length(b.k)), 6) >= 0.5
         """,
         # Dunning G^2 keywords: 2x2 contingency per (source, token),
         # 0*ln0=0 via CASE, overrepresented-only, top-10 per source by
