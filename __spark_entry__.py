@@ -500,6 +500,17 @@ def _q_funnel(spark, sf_dir):
     )
 
 
+def _q_benford(spark, sf_dir):
+    """Benford first-digit deviation of events.value — codegen digit
+    extraction, one 9-row digit groupBy, chi-square vs log10(1+1/d)."""
+    from sqlfeatureextraction_spark.operators.stats import (
+        benford_deviation,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return benford_deviation(ev.select("value"), "value")
+
+
 def _q_weighted_quantiles(spark, sf_dir):
     """Exact weighted quantiles of events.value with the weight parsed
     from the JSON props column — distinct-value weight cumsum via
@@ -3624,6 +3635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney": _q_mann_whitney,
         "ols_fit": _q_ols_fit,
         "stream_cusum": _q_stream_cusum,
+        "benford": _q_benford,
         "weighted_quantiles": _q_weighted_quantiles,
         "ks_test": _q_ks_test,
         "pca_power": _q_pca_power,
@@ -4783,6 +4795,33 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 3, 'purchase', n2,
                    ROUND(n2 * 1.0 / greatest(n0, 1), 6) FROM c
+        """,
+        # Benford: identical first-digit arithmetic, 9-row groupBy,
+        # chi2 window over the digit table
+        "benford": """
+            WITH d AS (
+              SELECT CAST(floor(abs(value)
+                       / power(10, floor(log10(abs(value)))))
+                     AS INT) AS digit
+              FROM events
+              WHERE value IS NOT NULL AND abs(value) > 0
+            ),
+            c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+            t AS (SELECT SUM(n) AS nn FROM c),
+            j AS (
+              SELECT digit, n,
+                     n * 1.0 / nn AS share,
+                     log10(1.0 + 1.0 / digit) AS expected,
+                     power(n * 1.0 / nn - log10(1.0 + 1.0 / digit), 2)
+                       / log10(1.0 + 1.0 / digit) * nn AS chi2_term
+              FROM c CROSS JOIN t
+            )
+            SELECT digit, n,
+                   ROUND(share, 6) AS share,
+                   ROUND(expected, 6) AS expected,
+                   ROUND(chi2_term, 6) AS chi2_term,
+                   ROUND(SUM(chi2_term) OVER (), 6) AS chi2
+            FROM j
         """,
         # exact weighted quantiles: distinct-value weight cumsum,
         # q_p = min value whose cumW clears p*W

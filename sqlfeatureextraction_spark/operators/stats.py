@@ -1552,3 +1552,55 @@ def weighted_quantiles(
         )
         out = q if out is None else out.unionAll(q)
     return out
+
+
+def benford_deviation(
+    df: DataFrame,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated/synthetic-data smell test for naturally-
+    spanning positive quantities (costs, latencies, counts): real
+    multi-scale data follows P(d) = log10(1 + 1/d); generated or
+    truncated data usually does not.  Reported per digit with the
+    expected share and the chi-square contribution, plus the total
+    chi-square statistic on every row (8 dof).
+
+    The first significant digit of |x| is
+    floor(|x| / 10^floor(log10 |x|)) — pure codegen arithmetic
+    (identical in DuckDB), one digit-keyed groupBy (9 output rows),
+    scalars broadcast.  Zero/NULL values drop.
+
+    Output: 9 rows (digit, n, share, expected, chi2_term, chi2).
+    """
+    d = df.where(
+        F.col(value_col).isNotNull() & (F.abs(F.col(value_col)) > 0)
+    ).select(
+        F.floor(
+            F.abs(F.col(value_col).cast("double"))
+            / F.pow(
+                F.lit(10.0),
+                F.floor(F.log10(F.abs(F.col(value_col).cast("double")))),
+            )
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("_N"))
+    j = counts.crossJoin(F.broadcast(tot))
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    share = F.col("n") / F.col("_N")
+    chi_term = (
+        F.pow(share - expected, F.lit(2.0)) / expected * F.col("_N")
+    )
+    w = Window.partitionBy()
+    return j.select(
+        "digit",
+        "n",
+        F.round(share, round_dp).alias("share"),
+        F.round(expected, round_dp).alias("expected"),
+        F.round(chi_term, round_dp).alias("chi2_term"),
+        F.round(F.sum(chi_term).over(w), round_dp).alias("chi2"),
+    )

@@ -230,3 +230,32 @@ def test_weighted_quantiles_brute_force(spark):
         0.9: (10.0, 11.0),
         1.0: (10.0, 11.0),
     }
+
+
+def test_benford_brute_force(spark):
+    import math
+
+    from sqlfeatureextraction_spark.operators.stats import (
+        benford_deviation,
+    )
+
+    vals = [1.0, 12.0, 0.13, 145.0, 19.9, 2.5, 29.0, 3.14, 0.0, None,
+            -456.0, 9.99]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r.digit: (r.n, r.share, r.expected) for r in
+           benford_deviation(df, "v").collect()}
+    from collections import Counter
+
+    digs = Counter()
+    for v in vals:
+        if v is None or v == 0:
+            continue
+        a = abs(v)
+        digs[int(a / 10 ** math.floor(math.log10(a)))] += 1
+    n_tot = sum(digs.values())
+    for dgt, c in digs.items():
+        n, share, expected = got[dgt]
+        assert n == c
+        assert abs(share - c / n_tot) < 1e-6
+        assert abs(expected - math.log10(1 + 1 / dgt)) < 1e-6
+    assert set(got) == set(digs)
