@@ -400,12 +400,18 @@ def stateful_cusum(
         b_ts = (
             pdf[ts_col].astype("datetime64[s]").astype("int64").to_numpy()
         )
-        if last_ts is not None and len(b_ts) and b_ts[0] < last_ts:
+        if last_ts is not None and len(b_ts) and b_ts[0] <= last_ts:
+            # EQUAL is rejected too (same contract as
+            # stateful_pit_window): rows sharing a ts order by id_col,
+            # so a tie straddling a batch boundary could replay in a
+            # different order than the batch closed form and silently
+            # shift every subsequent prefix.
             raise ValueError(
                 f"stateful_cusum: batch for key {key[0]!r} contains "
-                f"ts {b_ts[0]} older than already-consumed {last_ts}; "
-                "micro-batches must arrive in per-entity event-time "
-                "order"
+                f"ts {b_ts[0]} not strictly newer than already-"
+                f"consumed {last_ts}; micro-batches must arrive in "
+                "per-entity event-time order and equal-ts ties must "
+                "not straddle a batch boundary"
             )
         v = pdf[val_col].to_numpy(dtype=np.float64)
         p_arr = p + np.cumsum(v - float(mu))
