@@ -526,6 +526,35 @@ def _q_weighted_quantiles(spark, sf_dir):
     return weighted_quantiles(ev, "value", "w", (0.25, 0.5, 0.75, 0.95))
 
 
+def _q_basket_lift(spark, sf_dir):
+    """Association-rule lift over (user, event_type) baskets —
+    per-basket sorted item arrays with pairs generated per-row by
+    nested transform/flatten (no pair-table self-join), type-sized
+    support counts."""
+    from sqlfeatureextraction_spark.operators.behavior import (
+        basket_lift_pairs,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return basket_lift_pairs(
+        ev.select("user_id", "event_type"), min_support=2
+    )
+
+
+def _q_seasonality(spark, sf_dir):
+    """Hour-of-day seasonal strength of events.value per event_type —
+    1 - Var(within-hour)/Var(total) from two moment aggregates, the
+    STL seasonal-strength statistic with seasonal means."""
+    from sqlfeatureextraction_spark.operators.behavior import (
+        seasonality_strength,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return seasonality_strength(
+        ev.select("event_type", "ts", "value"), "event_type"
+    )
+
+
 def _q_ks_test(spark, sf_dir):
     """Two-sample Kolmogorov-Smirnov D between the purchase and error
     value distributions — ECDFs as per-slice cumulative counts over
@@ -3644,6 +3673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood": _q_sorted_neighborhood,
         "textrank": _q_textrank,
         "retention_cohorts": _q_retention_cohorts,
+        "basket_lift": _q_basket_lift,
+        "seasonality": _q_seasonality,
         "funnel": _q_funnel,
         "spearman_trend": _q_spearman_trend,
         "lag_lead": _q_lag_lead,
@@ -4729,6 +4760,58 @@ def oracle_sql() -> dict[str, str]:
                      ROWS UNBOUNDED PRECEDING)), 6) > 2.0 * 60.0
                      AS is_shift
             FROM p
+        """,
+        # basket lift: distinct (basket,item), pair supports by
+        # a<b self-join (oracle side), lift over basket counts
+        "basket_lift": """
+            WITH d AS (
+              SELECT DISTINCT user_id AS b, event_type AS i
+              FROM events WHERE event_type IS NOT NULL
+            ),
+            nb AS (SELECT CAST(COUNT(DISTINCT b) AS DOUBLE) AS n FROM d),
+            items AS (SELECT i, COUNT(*) AS ni FROM d GROUP BY i),
+            pairs AS (
+              SELECT a.i AS item_a, c.i AS item_b, COUNT(*) AS n_ab
+              FROM d a JOIN d c ON a.b = c.b AND a.i < c.i
+              GROUP BY 1, 2
+              HAVING COUNT(*) >= 2
+            )
+            SELECT item_a, item_b, n_ab,
+                   ia.ni AS n_a, ib.ni AS n_b,
+                   ROUND((n_ab / nb.n)
+                         / ((ia.ni / nb.n) * (ib.ni / nb.n)), 6)
+                     AS lift
+            FROM pairs
+            JOIN items ia ON ia.i = item_a
+            JOIN items ib ON ib.i = item_b
+            CROSS JOIN nb
+        """,
+        # seasonal strength: within-hour SS via the moment identity,
+        # 1 - SSW/SST per group
+        "seasonality": f"""
+            WITH e AS (
+              SELECT event_type AS g,
+                     CAST(floor(ts_sec / 3600) % 24 AS BIGINT) AS h,
+                     value AS v
+              FROM ({_EV_TS})
+              WHERE value IS NOT NULL AND ts IS NOT NULL
+            ),
+            cells AS (
+              SELECT g, h, COUNT(*) AS nh, SUM(v) AS sh,
+                     SUM(v * v) AS qh
+              FROM e GROUP BY g, h
+            ),
+            gg AS (
+              SELECT g, SUM(nh) AS n, SUM(sh) AS s, SUM(qh) AS q,
+                     SUM(qh - sh * sh / nh) AS ssw
+              FROM cells GROUP BY g
+            )
+            SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+                   ROUND(CASE WHEN n > 1
+                              AND q - s * s / n > 0
+                         THEN 1.0 - ssw / (q - s * s / n)
+                         END, 6) AS strength
+            FROM gg
         """,
         # weekly cohort retention: epoch-aligned week floors, per-user
         # min week = cohort, distinct (user, week) activity

@@ -18,7 +18,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["retention_cohorts", "funnel_conversion"]
+__all__ = [
+    "retention_cohorts",
+    "funnel_conversion",
+    "basket_lift_pairs",
+    "seasonality_strength",
+]
 
 WEEK_S = 7 * 24 * 3600
 
@@ -166,3 +171,149 @@ def funnel_conversion(
         ).alias("r")
     )
     return rows.select("r.*")
+
+
+def basket_lift_pairs(
+    df: DataFrame,
+    basket_col: str = "user_id",
+    item_col: str = "event_type",
+    min_support: int = 2,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Association-rule mining over (basket, item) events: for every
+    unordered item pair, support counts and LIFT = P(ab)/(P(a)P(b))
+    over baskets — the classic co-occurrence miner (which tools get
+    used together, which event types co-fire) with the
+    frequent-but-independent pairs deflated exactly as PMI does for
+    adjacent tokens (lift is PMI's exponential over baskets instead
+    of positions).
+
+    Plan: distinct (basket, item) pairs (ONE corpus shuffle on the
+    basket key); per-basket sorted item ARRAYS, pairs generated
+    per-row by a nested transform/flatten over the (small,
+    per-basket-distinct) item array — no self-join of the pair table;
+    item and pair supports are map-side-combinable counts over
+    ITEM-TYPE-sized outputs; the basket total is one broadcast
+    scalar.  Pair ordering inside a basket is lexicographic
+    (a < b), deterministic.
+
+    Output: (item_a, item_b, n_ab, n_a, n_b, lift) for pairs with
+    n_ab >= min_support.
+    """
+    d = df.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).where(F.col("_i").isNotNull()).distinct()
+    n_baskets = d.select("_b").distinct().count()
+    items = d.groupBy("_i").agg(F.count(F.lit(1)).alias("_ni"))
+    arrs = d.groupBy("_b").agg(
+        F.sort_array(F.collect_list("_i")).alias("_arr")
+    )
+    pairs = arrs.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_arr"),
+                    lambda a, i: F.filter(
+                        F.transform(
+                            F.col("_arr"),
+                            lambda b, j: F.when(
+                                j > i, F.struct(a.alias("a"), b.alias("b"))
+                            ),
+                        ),
+                        lambda s: s.isNotNull(),
+                    ),
+                )
+            )
+        ).alias("_pr")
+    ).select(F.col("_pr.a").alias("item_a"), F.col("_pr.b").alias("item_b"))
+    pc = (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= int(min_support))
+    )
+    out = (
+        pc.join(
+            items.select(
+                F.col("_i").alias("item_a"), F.col("_ni").alias("n_a")
+            ),
+            "item_a",
+        )
+        .join(
+            items.select(
+                F.col("_i").alias("item_b"), F.col("_ni").alias("n_b")
+            ),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                (F.col("n_ab") / F.lit(float(n_baskets)))
+                / (
+                    (F.col("n_a") / F.lit(float(n_baskets)))
+                    * (F.col("n_b") / F.lit(float(n_baskets)))
+                ),
+                round_dp,
+            ).alias("lift"),
+        )
+    )
+    return out
+
+
+def seasonality_strength(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Hour-of-day seasonal profile strength per group: fit the
+    trivial seasonal model value ~ mean(value | hour) and report
+    strength = 1 - Var(residual)/Var(total) — the standard
+    "how periodic is this metric" decomposition statistic (STL's
+    seasonal-strength measure with seasonal means as the fit).
+
+    Two map-side-combinable aggregates ((group, hour) cell moments,
+    group totals) and a broadcast join-back; the variance identity
+    Var(resid) = sum_h n_h * (Var_h) / n means strength derives from
+    WITHIN-hour variances alone — nothing row-sized recrosses the
+    wire after the first aggregate.  Groups with < 2 rows or zero
+    variance yield NULL strength.
+
+    Output: (group_col, n, strength).
+    """
+    ts_sec = F.col(ts_col).cast("timestamp").cast("long")
+    d = df.where(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        (F.floor(ts_sec / 3600) % 24).alias("_h"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    cells = d.groupBy("_g", "_h").agg(
+        F.count(F.lit(1)).alias("_nh"),
+        F.sum("_v").alias("_sh"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_qh"),
+    )
+    g = cells.groupBy("_g").agg(
+        F.sum("_nh").alias("n"),
+        F.sum("_sh").alias("_s"),
+        F.sum("_qh").alias("_q"),
+        # within-hour sum of squared deviations: q_h - s_h^2/n_h
+        F.sum(
+            F.col("_qh") - F.col("_sh") * F.col("_sh") / F.col("_nh")
+        ).alias("_ssw"),
+    )
+    sst = F.col("_q") - F.col("_s") * F.col("_s") / F.col("n")
+    strength = F.when(
+        (F.col("n") > 1) & (sst > 0),
+        F.lit(1.0) - F.col("_ssw") / sst,
+    )
+    return g.select(
+        F.col("_g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.round(strength, round_dp).alias("strength"),
+    )
