@@ -500,6 +500,34 @@ def _q_funnel(spark, sf_dir):
     )
 
 
+def _q_gini(spark, sf_dir):
+    """Per-event-type Gini concentration of value — exact rank
+    formula, one group-partitioned row_number window + one aggregate,
+    tie-invariant and shuffle-order deterministic."""
+    from sqlfeatureextraction_spark.operators.stats import (
+        gini_coefficient,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return gini_coefficient(
+        ev.select("event_type", "value"), "event_type", "value"
+    )
+
+
+def _q_binseg(spark, sf_dir):
+    """Offline single-changepoint per user: binary segmentation's
+    standardized mean-shift argmax — prefix-sum window + ONE max_by
+    over a (rounded-stat desc, earlier-k) struct key."""
+    from sqlfeatureextraction_spark.operators.stats import binseg_split
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts_sec", "event_id", "value"
+    )
+    return binseg_split(
+        ev, "user_id", ("ts_sec", "event_id"), "value"
+    )
+
+
 def _q_benford(spark, sf_dir):
     """Benford first-digit deviation of events.value — codegen digit
     extraction, one 9-row digit groupBy, chi-square vs log10(1+1/d)."""
@@ -3664,6 +3692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney": _q_mann_whitney,
         "ols_fit": _q_ols_fit,
         "stream_cusum": _q_stream_cusum,
+        "gini": _q_gini,
+        "binseg": _q_binseg,
         "benford": _q_benford,
         "weighted_quantiles": _q_weighted_quantiles,
         "ks_test": _q_ks_test,
@@ -4878,6 +4908,64 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 3, 'purchase', n2,
                    ROUND(n2 * 1.0 / greatest(n0, 1), 6) FROM c
+        """,
+        # Gini: exact rank formula over the group-sorted values
+        "gini": """
+            WITH d AS (
+              SELECT event_type AS g, value AS v
+              FROM events WHERE value IS NOT NULL
+            ),
+            r AS (
+              SELECT g, v,
+                     ROW_NUMBER() OVER (PARTITION BY g ORDER BY v)
+                       AS rk
+              FROM d
+            ),
+            a AS (
+              SELECT g, COUNT(*) AS n, SUM(v) AS s,
+                     SUM(rk * v) AS rs
+              FROM r GROUP BY g
+            )
+            SELECT g AS event_type, n,
+                   ROUND(CASE WHEN n > 1 AND s > 0
+                         THEN 2.0 * rs / (n * s) - (n + 1.0) / n
+                         END, 6) AS gini
+            FROM a
+        """,
+        # binseg: per-position standardized mean-shift stat from the
+        # prefix sum; argmax via row_number over (stat desc, k asc)
+        "binseg": f"""
+            WITH e AS (
+              SELECT user_id AS g, ts_sec, event_id, value AS v
+              FROM ({_EV_TS}) WHERE value IS NOT NULL
+            ),
+            r AS (
+              SELECT g, v,
+                     ROW_NUMBER() OVER w AS k,
+                     SUM(v) OVER (PARTITION BY g ORDER BY ts_sec,
+                       event_id ROWS UNBOUNDED PRECEDING) AS p
+              FROM e
+              WINDOW w AS (PARTITION BY g ORDER BY ts_sec, event_id)
+            ),
+            t AS (SELECT g, COUNT(*) AS n, SUM(v) AS pn
+                  FROM e GROUP BY g),
+            sc AS (
+              SELECT r.g, t.n, r.k,
+                     ROUND(abs(r.p - (r.k * 1.0 / t.n) * t.pn)
+                           * sqrt(t.n * 1.0
+                                  / (r.k * (t.n - r.k))), 6) AS st
+              FROM r JOIN t USING (g)
+              WHERE r.k < t.n
+            )
+            SELECT g AS user_id, CAST(n AS BIGINT) AS n,
+                   CAST(k AS BIGINT) AS split_idx, st AS stat
+            FROM (
+              SELECT g, n, k, st,
+                     ROW_NUMBER() OVER (PARTITION BY g
+                       ORDER BY st DESC, k ASC) AS rn
+              FROM sc
+            )
+            WHERE rn = 1
         """,
         # Benford: identical first-digit arithmetic, 9-row groupBy,
         # chi2 window over the digit table

@@ -1604,3 +1604,122 @@ def benford_deviation(
         F.round(chi_term, round_dp).alias("chi2_term"),
         F.round(F.sum(chi_term).over(w), round_dp).alias("chi2"),
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group Gini coefficient of a nonnegative quantity — the
+    concentration/inequality monitor (is one user/tool/source eating
+    all the cost? how concentrated is the mixture?), by the exact
+    rank formula G = 2*sum(i*x_(i)) / (n*sum(x)) - (n+1)/n over the
+    group-sorted values.
+
+    Ranks come from one row_number window PARTITIONED BY the group
+    (never global); ties order arbitrarily within equal values, which
+    leaves sum(i*x_(i)) invariant, so the statistic is deterministic
+    under shuffle order.  One window pass + one aggregate.  Negative
+    values are rejected (the formula is undefined); NULLs drop;
+    all-zero or single-row groups yield NULL.
+
+    Output: (group_col, n, gini).
+    """
+    d = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("_g"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    w = Window.partitionBy("_g").orderBy("_v")
+    ranked = d.withColumn("_r", F.row_number().over(w))
+    agg = ranked.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_v").alias("_s"),
+        F.sum(F.col("_r") * F.col("_v")).alias("_rs"),
+        F.min("_v").alias("_mn"),
+    )
+    neg = agg.where(F.col("_mn") < 0).limit(1).collect()
+    if neg:
+        raise ValueError(
+            f"gini_coefficient: negative values in group {neg[0]['_g']!r}"
+        )
+    n = F.col("n")
+    gini = F.when(
+        (n > 1) & (F.col("_s") > 0),
+        2.0 * F.col("_rs") / (n * F.col("_s")) - (n + 1) / n,
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        n.cast("long").alias("n"),
+        F.round(gini, round_dp).alias("gini"),
+    )
+
+
+def binseg_split(
+    df: DataFrame,
+    group_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Offline single-changepoint detection per group by binary
+    segmentation's first step: the split k maximizing the
+    standardized mean-shift statistic
+
+        t_k = |P_k - (k/n) P_n| * sqrt(n / (k (n-k)))
+
+    (P = prefix sums in event order) — the retrospective partner of
+    the online cusum_changepoint: WHERE did the level shift, not just
+    that it did.
+
+    One prefix-sum window on the group partitioning, the per-position
+    statistic as a codegen expression, and the argmax as ONE
+    ``max_by`` aggregate over a lexicographic (statistic desc,
+    earlier-k-wins) struct key — the same deterministic-reduction
+    pattern as preference_pairs, no sort, no self-join.  The order
+    key is the 6dp-ROUNDED statistic so cross-engine sqrt ulps cannot
+    flip the argmax.  Groups with < 2 rows yield no row.
+
+    Output: (group_col, n, split_idx, stat) — split_idx = k means the
+    shift is between the k-th and (k+1)-th rows (1-based).
+    """
+    d = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("_g"),
+        *[F.col(c) for c in order_cols],
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    w = Window.partitionBy("_g").orderBy(*order_cols)
+    ws = w.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = d.withColumn("_k", F.row_number().over(w)).withColumn(
+        "_p", F.sum("_v").over(ws)
+    )
+    tot = ranked.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_v").alias("_pn")
+    )
+    j = ranked.join(F.broadcast(tot), "_g").where(
+        F.col("_k") < F.col("_n")
+    )
+    k, n = F.col("_k").cast("double"), F.col("_n").cast("double")
+    stat = F.abs(
+        F.col("_p") - (k / n) * F.col("_pn")
+    ) * F.sqrt(n / (k * (n - k)))
+    scored = j.select(
+        "_g",
+        F.col("_n"),
+        F.col("_k"),
+        F.round(stat, round_dp).alias("_t"),
+    )
+    best = scored.groupBy("_g").agg(
+        F.max("_n").alias("n"),
+        F.max_by(
+            F.struct(F.col("_k").alias("k"), F.col("_t").alias("t")),
+            F.struct(F.col("_t"), -F.col("_k")),
+        ).alias("_best"),
+    )
+    return best.select(
+        F.col("_g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.col("_best.k").cast("long").alias("split_idx"),
+        F.col("_best.t").alias("stat"),
+    )

@@ -124,3 +124,82 @@ def test_zipf_slope_matches_ols(spark):
     assert abs(r.slope - slope) < 1e-6
     assert abs(r.intercept - intercept) < 1e-6
     assert 0.9 < r.r2 <= 1.0
+
+
+def test_gini_known_values(spark):
+    import pytest as _pytest
+
+    from sqlfeatureextraction_spark.operators.stats import (
+        gini_coefficient,
+    )
+
+    rows = (
+        [("eq", float(v)) for v in (5, 5, 5, 5)]          # equality -> 0
+        + [("conc", 0.0), ("conc", 0.0), ("conc", 0.0), ("conc", 12.0)]
+        + [("mid", 1.0), ("mid", 2.0), ("mid", 3.0), ("mid", 4.0)]
+        + [("solo", 7.0)]
+    )
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = {
+        r.grp: (r.n, r.gini)
+        for r in gini_coefficient(df, "grp", "v").collect()
+    }
+    assert got["eq"] == (4, 0.0)
+    # all mass on one of 4 -> G = (n-1)/n = 0.75
+    assert got["conc"] == (4, 0.75)
+
+    def brute(vals):
+        vs = sorted(vals)
+        n = len(vs)
+        return 2 * sum((i + 1) * x for i, x in enumerate(vs)) / (
+            n * sum(vs)
+        ) - (n + 1) / n
+
+    assert abs(got["mid"][1] - brute([1, 2, 3, 4])) < 1e-6
+    assert got["solo"] == (1, None)
+
+    with _pytest.raises(ValueError, match="negative"):
+        gini_coefficient(
+            spark.createDataFrame([("a", -1.0)], "grp string, v double"),
+            "grp",
+            "v",
+        ).collect()
+
+
+def test_binseg_finds_injected_shift(spark):
+    from sqlfeatureextraction_spark.operators.stats import binseg_split
+
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    # group 'shift': level changes after index 30 (1-based k=30)
+    for i in range(50):
+        v = rng.gauss(0, 1) + (6.0 if i >= 30 else 0.0)
+        rows.append(("shift", i, v))
+    # group 'flat': no shift
+    for i in range(50):
+        rows.append(("flat", i, rng.gauss(0, 1)))
+    df = spark.createDataFrame(rows, "grp string, i int, v double")
+    got = {
+        r.grp: (r.n, r.split_idx, r.stat)
+        for r in binseg_split(df, "grp", ("i",), "v").collect()
+    }
+    assert got["shift"][0] == 50
+    assert got["shift"][1] == 30  # exact split recovered
+    assert got["shift"][2] > got["flat"][2] * 3
+
+    # brute-force the argmax for the shift group
+    vals = [v for g, _, v in rows if g == "shift"]
+    n = len(vals)
+    p = 0.0
+    pn = sum(vals)
+    best = None
+    for k in range(1, n):
+        p += vals[k - 1]
+        t = abs(p - k / n * pn) * (n / (k * (n - k))) ** 0.5
+        cand = (round(t, 6), -k)
+        if best is None or cand > best:
+            best = cand
+    assert got["shift"][1] == -best[1]
+    assert abs(got["shift"][2] - best[0]) < 1e-9
