@@ -500,6 +500,29 @@ def _q_funnel(spark, sf_dir):
     )
 
 
+def _q_acf(spark, sf_dir):
+    """Per-user autocorrelation of value at lags 1-3 — one group
+    window pass with three lag columns, three corr states in one
+    aggregate; the tsfresh-style temporal signature."""
+    from sqlfeatureextraction_spark.operators.stats import acf_features
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts_sec", "event_id", "value"
+    )
+    return acf_features(
+        ev, "user_id", ("ts_sec", "event_id"), "value", max_lag=3
+    )
+
+
+def _q_trend_slope(spark, sf_dir):
+    """Per-user OLS drift of value on time with the slope
+    t-statistic — regr_* moments only, one aggregate per group."""
+    from sqlfeatureextraction_spark.operators.stats import trend_slope
+
+    ev = _events(spark, sf_dir).select("user_id", "ts_sec", "value")
+    return trend_slope(ev, "user_id", "ts_sec", "value")
+
+
 def _q_gini(spark, sf_dir):
     """Per-event-type Gini concentration of value — exact rank
     formula, one group-partitioned row_number window + one aggregate,
@@ -3692,6 +3715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney": _q_mann_whitney,
         "ols_fit": _q_ols_fit,
         "stream_cusum": _q_stream_cusum,
+        "acf": _q_acf,
+        "trend_slope": _q_trend_slope,
         "gini": _q_gini,
         "binseg": _q_binseg,
         "benford": _q_benford,
@@ -4908,6 +4933,52 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 3, 'purchase', n2,
                    ROUND(n2 * 1.0 / greatest(n0, 1), 6) FROM c
+        """,
+        # ACF: lag windows + corr over overlapping pairs
+        "acf": f"""
+            WITH e AS (
+              SELECT user_id AS g, ts_sec, event_id, value AS v
+              FROM ({_EV_TS}) WHERE value IS NOT NULL
+            ),
+            l AS (
+              SELECT g, v,
+                     LAG(v, 1) OVER w AS l1,
+                     LAG(v, 2) OVER w AS l2,
+                     LAG(v, 3) OVER w AS l3
+              FROM e
+              WINDOW w AS (PARTITION BY g ORDER BY ts_sec, event_id)
+            )
+            SELECT g AS user_id, COUNT(*) AS n,
+                   ROUND(corr(v, l1), 6) AS acf_1,
+                   ROUND(corr(v, l2), 6) AS acf_2,
+                   ROUND(corr(v, l3), 6) AS acf_3
+            FROM l GROUP BY g
+        """,
+        # trend: regr moments + t = slope/se from the same moments
+        "trend_slope": f"""
+            WITH e AS (
+              SELECT user_id AS g, ts_sec * 1.0 AS x, value AS y
+              FROM ({_EV_TS})
+              WHERE value IS NOT NULL AND ts_sec IS NOT NULL
+            ),
+            a AS (
+              SELECT g, COUNT(*) AS n,
+                     regr_slope(y, x) AS sl,
+                     regr_intercept(y, x) AS ic,
+                     regr_sxx(y, x) AS sxx,
+                     regr_syy(y, x) AS syy
+              FROM e GROUP BY g
+            )
+            SELECT g AS user_id, n,
+                   ROUND(sl, 6) + 0.0 AS slope,
+                   ROUND(ic, 6) + 0.0 AS intercept,
+                   ROUND(CASE WHEN n > 2 AND sxx > 0
+                              AND ((syy - sl * sl * sxx) / (n - 2))
+                                  / sxx > 0
+                         THEN sl / sqrt(((syy - sl * sl * sxx)
+                                         / (n - 2)) / sxx)
+                         END, 6) + 0.0 AS t_stat
+            FROM a
         """,
         # Gini: exact rank formula over the group-sorted values
         "gini": """

@@ -1723,3 +1723,96 @@ def binseg_split(
         F.col("_best.k").cast("long").alias("split_idx"),
         F.col("_best.t").alias("stat"),
     )
+
+
+def acf_features(
+    df: DataFrame,
+    group_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    max_lag: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group autocorrelation at lags 1..max_lag — the tsfresh-style
+    temporal signature (is the metric sticky, oscillating, or
+    memoryless?) that a feature pipeline attaches to every entity's
+    series.  Convention: Pearson correlation between the series and
+    its lag-k shift over the n-k overlapping pairs (the sample-ACF
+    variant DuckDB's corr replays exactly; NULLs drop first).
+
+    All lags ride ONE group-partitioned window pass (max_lag lag()
+    columns), then one aggregate with max_lag corr() states — no
+    self-joins, one exchange.  Groups where a lag has < 2 pairs or a
+    constant side yield NULL for that lag.
+
+    Output: (group_col, n, acf_1..acf_{max_lag}).
+    """
+    d = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("_g"),
+        *[F.col(c) for c in order_cols],
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    w = Window.partitionBy("_g").orderBy(*order_cols)
+    for k in range(1, int(max_lag) + 1):
+        d = d.withColumn(f"_l{k}", F.lag("_v", k).over(w))
+    return d.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.round(F.corr("_v", f"_l{k}"), round_dp).alias(f"acf_{k}")
+            for k in range(1, int(max_lag) + 1)
+        ],
+    ).select(
+        F.col("_g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        *[f"acf_{k}" for k in range(1, int(max_lag) + 1)],
+    )
+
+
+def trend_slope(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    value_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group OLS trend of value on x (usually epoch seconds) with
+    the slope's t-statistic — "is this entity's metric drifting, and
+    is the drift significant" in one pass: slope/intercept from the
+    builtin regr_* moment aggregates, t = slope / se(slope) with
+    se^2 = (SSE/(n-2)) / Sxx derived from the same moments
+    (SSE = Syy - slope^2 * Sxx).  Everything is one
+    map-side-combinable aggregate per group; groups with n < 3 or a
+    constant x yield NULL t (and NULL slope for constant x).
+
+    Output: (group_col, n, slope, intercept, t_stat).
+    """
+    d = df.where(
+        F.col(value_col).isNotNull() & F.col(x_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(value_col).cast("double").alias("_y"),
+    )
+    g = d.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.regr_slope("_y", "_x").alias("_sl"),
+        F.regr_intercept("_y", "_x").alias("_ic"),
+        F.regr_sxx("_y", "_x").alias("_sxx"),
+        F.regr_syy("_y", "_x").alias("_syy"),
+    )
+    n = F.col("n")
+    sse = F.col("_syy") - F.col("_sl") * F.col("_sl") * F.col("_sxx")
+    se2 = (sse / (n - 2)) / F.col("_sxx")
+    t = F.when(
+        (n > 2) & (F.col("_sxx") > 0) & (se2 > 0),
+        F.col("_sl") / F.sqrt(se2),
+    )
+    # + 0.0 canonicalizes IEEE negative zero (a tiny negative slope
+    # rounds to -0.0, which hashes differently from 0.0 cross-engine)
+    return g.select(
+        F.col("_g").alias(group_col),
+        n.cast("long").alias("n"),
+        (F.round("_sl", round_dp) + F.lit(0.0)).alias("slope"),
+        (F.round("_ic", round_dp) + F.lit(0.0)).alias("intercept"),
+        (F.round(t, round_dp) + F.lit(0.0)).alias("t_stat"),
+    )

@@ -203,3 +203,77 @@ def test_binseg_finds_injected_shift(spark):
             best = cand
     assert got["shift"][1] == -best[1]
     assert abs(got["shift"][2] - best[0]) < 1e-9
+
+
+def test_acf_brute_force(spark):
+    import math
+    import random
+
+    from sqlfeatureextraction_spark.operators.stats import acf_features
+
+    rng = random.Random(9)
+    # AR(1)-ish sticky series + an alternating series
+    sticky = [0.0]
+    for _ in range(39):
+        sticky.append(0.8 * sticky[-1] + rng.gauss(0, 1))
+    alt = [float((-1) ** i) for i in range(40)]
+    rows = [("sticky", i, v) for i, v in enumerate(sticky)]
+    rows += [("alt", i, v) for i, v in enumerate(alt)]
+    df = spark.createDataFrame(rows, "grp string, i int, v double")
+    got = {
+        r.grp: (r.n, r.acf_1, r.acf_2)
+        for r in acf_features(df, "grp", ("i",), "v", max_lag=2).collect()
+    }
+
+    def pearson(xs, ys):
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        cov = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+        vx = sum((a - mx) ** 2 for a in xs)
+        vy = sum((b - my) ** 2 for b in ys)
+        return cov / math.sqrt(vx * vy)
+
+    for name, series in (("sticky", sticky), ("alt", alt)):
+        for k in (1, 2):
+            exp = pearson(series[k:], series[:-k])
+            assert abs(got[name][k] - exp) < 1e-6, (name, k)
+    assert got["sticky"][1] > 0.5          # AR(1) persistence
+    assert got["alt"][1] == -1.0 and got["alt"][2] == 1.0
+
+
+def test_trend_slope_tstat(spark):
+    import math
+    import random
+
+    from sqlfeatureextraction_spark.operators.stats import trend_slope
+
+    rng = random.Random(4)
+    rows = [("up", float(i), 2.0 + 0.5 * i + rng.gauss(0, 0.2))
+            for i in range(30)]
+    rows += [("flat", float(i), 5.0 + rng.gauss(0, 0.2))
+             for i in range(30)]
+    rows += [("tiny", 1.0, 2.0), ("tiny", 2.0, 3.0)]
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    got = {
+        r.grp: (r.n, r.slope, r.t_stat)
+        for r in trend_slope(df, "grp", "x", "y").collect()
+    }
+
+    def brute(pts):
+        n = len(pts)
+        mx = sum(x for x, _ in pts) / n
+        my = sum(y for _, y in pts) / n
+        sxx = sum((x - mx) ** 2 for x, _ in pts)
+        sxy = sum((x - mx) * (y - my) for x, y in pts)
+        syy = sum((y - my) ** 2 for _, y in pts)
+        sl = sxy / sxx
+        sse = syy - sl * sl * sxx
+        return sl, sl / math.sqrt((sse / (n - 2)) / sxx)
+
+    for name in ("up", "flat"):
+        pts = [(x, y) for g, x, y in rows if g == name]
+        sl, t = brute(pts)
+        assert abs(got[name][1] - sl) < 1e-6
+        assert abs(got[name][2] - t) < 1e-4
+    assert abs(got["up"][2]) > 20 > abs(got["flat"][2])
+    assert got["tiny"][2] is None  # n < 3 -> NULL t
