@@ -339,21 +339,30 @@ def _q_kl_drift(spark, sf_dir):
     return kl_drift(doc.select("source", "text"), "source", alpha=0.5)
 
 
+def _logreg_features(spark, sf_dir):
+    """THE quality-classifier feature frame (y = is-English, x1 =
+    ln(1+len), x2 = type-token ratio) — single source of truth shared
+    by logreg_quality, calibration, and auc so their Spark arithmetic
+    can never drift from the shared _logreg_data oracle CTE."""
+    from sqlfeatureextraction_spark.operators.curation import tokens_col
+
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokens_col(F.col("text"))
+    return doc.select(
+        (F.col("lang") == "en").cast("double").alias("y"),
+        F.ln(1 + F.size(toks)).alias("x1"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("x2"),
+    ).where(F.size(toks) > 0)
+
+
 def _q_logreg_quality(spark, sf_dir):
     """Quality-classifier fit (is-English from length + type-token
     ratio) by 4 IRLS/Newton steps — each step ONE mergeable 9-sum
     aggregate + a driver-side 3x3 Cramer solve; the oracle replays
     every iteration as a CTE chain with the same adjugate formulas."""
-    from sqlfeatureextraction_spark.operators.curation import tokens_col
     from sqlfeatureextraction_spark.operators.fit import logreg_irls
 
-    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = tokens_col(F.col("text"))
-    d = doc.select(
-        (F.col("lang") == "en").cast("double").alias("y"),
-        F.ln(1 + F.size(toks)).alias("x1"),
-        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("x2"),
-    ).where(F.size(toks) > 0)
+    d = _logreg_features(spark, sf_dir)
     return logreg_irls(d, "x1", "x2", "y", n_iter=4, round_dp=4)
 
 
@@ -627,18 +636,11 @@ def _q_calibration(spark, sf_dir):
     """Reliability diagram + ECE for the logreg quality classifier —
     scored with the 4dp-published coefficients both engines
     hash-match on, fixed-width bins, n_bins-sized aggregate."""
-    from sqlfeatureextraction_spark.operators.curation import tokens_col
     from sqlfeatureextraction_spark.operators.fit import (
         calibration_curve,
     )
 
-    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = tokens_col(F.col("text"))
-    d = doc.select(
-        (F.col("lang") == "en").cast("double").alias("y"),
-        F.ln(1 + F.size(toks)).alias("x1"),
-        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("x2"),
-    ).where(F.size(toks) > 0)
+    d = _logreg_features(spark, sf_dir)
     return calibration_curve(d, "x1", "x2", "y", n_bins=10)
 
 
@@ -646,19 +648,12 @@ def _q_auc(spark, sf_dir):
     """ROC AUC of the logreg quality score via the exact rank-sum
     identity with fractional tie ranks — distinct-score cumsum via
     exact_rank_prefix, never the n_pos x n_neg pair set."""
-    from sqlfeatureextraction_spark.operators.curation import tokens_col
     from sqlfeatureextraction_spark.operators.fit import (
         auc_score,
         logreg_irls,
     )
 
-    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = tokens_col(F.col("text"))
-    d = doc.select(
-        (F.col("lang") == "en").cast("double").alias("y"),
-        F.ln(1 + F.size(toks)).alias("x1"),
-        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("x2"),
-    ).where(F.size(toks) > 0)
+    d = _logreg_features(spark, sf_dir)
     fit = logreg_irls(d, "x1", "x2", "y").collect()[0]
     scored = d.select(
         "y",
@@ -2726,6 +2721,9 @@ def _q_stream_cusum(spark, sf_dir):
     )
     q.processAllAvailable()
     q.stop()
+    import shutil
+
+    shutil.rmtree(sdir, ignore_errors=True)  # the memory sink holds results
     return spark.table(name).select(
         F.col("conv_id").cast("long").alias("user_id"),
         "event_id",
@@ -5048,7 +5046,12 @@ def oracle_sql() -> dict[str, str]:
               FROM events
               WHERE value IS NOT NULL AND abs(value) > 0
             ),
-            c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+            c0 AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+            c AS (
+              SELECT sp.digit, coalesce(c0.n, 0) AS n
+              FROM (SELECT unnest(generate_series(1, 9)) AS digit) sp
+              LEFT JOIN c0 USING (digit)
+            ),
             t AS (SELECT SUM(n) AS nn FROM c),
             j AS (
               SELECT digit, n,
@@ -5568,19 +5571,22 @@ def oracle_sql() -> dict[str, str]:
         # t and Welch-Satterthwaite df
         "welch_ttest": """
             WITH g AS (
-              SELECT event_type,
-                     COUNT(value) AS n,
-                     AVG(value) AS m,
-                     VAR_SAMP(value) AS v
+              SELECT COUNT(value)
+                       FILTER (event_type = 'purchase') AS n_a,
+                     AVG(value)
+                       FILTER (event_type = 'purchase') AS ma,
+                     VAR_SAMP(value)
+                       FILTER (event_type = 'purchase') AS va,
+                     COUNT(value)
+                       FILTER (event_type = 'error') AS n_b,
+                     AVG(value)
+                       FILTER (event_type = 'error') AS mb,
+                     VAR_SAMP(value)
+                       FILTER (event_type = 'error') AS vb
               FROM events
               WHERE event_type IN ('purchase', 'error')
                 AND value IS NOT NULL
-              GROUP BY event_type
-            ),
-            a AS (SELECT n AS n_a, m AS ma, v AS va FROM g
-                  WHERE event_type = 'purchase'),
-            b AS (SELECT n AS n_b, m AS mb, v AS vb FROM g
-                  WHERE event_type = 'error')
+            )
             SELECT n_a, n_b,
                    ROUND(ma, 6) AS mean_a,
                    ROUND(mb, 6) AS mean_b,
@@ -5591,7 +5597,7 @@ def oracle_sql() -> dict[str, str]:
                      / ((va / n_a) * (va / n_a) / (n_a - 1)
                         + (vb / n_b) * (vb / n_b) / (n_b - 1)),
                      6) AS df
-            FROM a CROSS JOIN b
+            FROM g
         """,
         # Spearman: fractional tie ranks (rank + (tie_count-1)/2) per
         # axis, Pearson corr of the ranks per user

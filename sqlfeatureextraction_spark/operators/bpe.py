@@ -13,8 +13,22 @@ implementation's zip), a deterministic argmax (count desc, pair
 lexicographic — ONE collected row per iteration), and a left-to-right
 non-overlapping merge applied via literal string ``replace`` on the
 space-joined symbol string (string replace scans left-to-right
-non-overlapping in both engines — verified semantics, and the same
-trick Sennrich's own re.sub implementation uses).
+non-overlapping in both engines — verified semantics).
+
+MERGE-SEMANTICS CAVEAT (deliberate, documented, pinned in pytest):
+``replace(' a b ', ' ab ')`` CONSUMES the shared separator space, so
+on an immediate repetition of the pair ("abab", "aaaa") only
+alternate occurrences merge per application — Sennrich's reference
+re.sub uses non-consuming lookarounds (negative lookbehind/lookahead on non-space) and
+merges every left-to-right occurrence.  RE2 (DuckDB) has no
+lookarounds and no bounded way to iterate-to-fixpoint, so exact
+Sennrich semantics are not expressible in a cross-engine-replayable
+form; this operator's semantics are instead defined AS the
+replace-scan semantics, identical in both engines and
+deterministic.  On natural-language corpora immediate pair
+repetitions are rare enough that learned merge tables typically
+coincide; tests/test_bpe.py pins both the agreement on normal words
+and the divergence on 'abab'.
 
 Word symbols are ``c h a r s </w>`` with the standard end-of-word
 marker; tokens are assumed not to contain ``<`` / ``>`` / spaces (true

@@ -347,14 +347,26 @@ def pca_power(
     """
     import math as _math
 
+    if int(n_iter) < 1:
+        raise ValueError(f"pca_power: n_iter must be >= 1, got {n_iter}")
     emb = F.col(emb_col)
-    first = df.select(F.size(emb).alias("_d")).first()
-    if first is None:
+    # dimension = the MAX observed length (deterministic, unlike an
+    # arbitrary first()); rows of any other length are rejected rather
+    # than silently dropped — mixed lengths are an ingest bug
+    dims = df.agg(
+        F.max(F.size(emb)).alias("_dmax"),
+        F.min(F.size(emb)).alias("_dmin"),
+        F.count(F.lit(1)).alias("_cnt"),
+    ).collect()[0]
+    if not dims["_cnt"]:
         raise ValueError("pca_power: empty input")
-    d = int(first["_d"])
-    base = df.select(emb.cast("array<double>").alias("_e")).where(
-        F.size("_e") == d
-    )
+    if dims["_dmax"] != dims["_dmin"]:
+        raise ValueError(
+            "pca_power: mixed embedding lengths "
+            f"({dims['_dmin']}..{dims['_dmax']})"
+        )
+    d = int(dims["_dmax"])
+    base = df.select(emb.cast("array<double>").alias("_e"))
     m_row = base.agg(
         F.count(F.lit(1)).alias("n"),
         *[

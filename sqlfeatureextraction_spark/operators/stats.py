@@ -1181,33 +1181,29 @@ def welch_ttest(
     freedom — on a 2-row frame.  Nothing but the filtered slice rows
     ever shuffles, and only as partial moment states.
 
-    Output: ONE row (n_a, n_b, mean_a, mean_b, t_stat, df).
-    NULL values drop; degenerate slices (n < 2) yield NULL t/df (the
-    oracle replays the same NULL algebra).
+    Output: ONE row ALWAYS (n_a, n_b, mean_a, mean_b, t_stat, df) —
+    an empty or degenerate (n < 2) slice yields n=0 / NULL moments and
+    NULL t/df rather than zero rows, matching the mann_whitney_u /
+    ks_test family convention.  NULL values drop; the oracle replays
+    the same conditional-aggregate NULL algebra.
     """
-    g = (
-        df.where(
-            F.col(group_col).isin([group_a, group_b])
-            & F.col(value_col).isNotNull()
-        )
-        .groupBy(group_col)
-        .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.avg(value_col).alias("_m"),
-            F.var_samp(value_col).alias("_v"),
-        )
+    d = df.where(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
     )
-    a = g.where(F.col(group_col) == group_a).select(
-        F.col("_n").alias("n_a"),
-        F.col("_m").alias("_ma"),
-        F.col("_v").alias("_va"),
+    # conditional aggregates (aggregate functions skip the NULLs the
+    # when() produces), so an EMPTY slice still yields the documented
+    # ONE row with n=0 and NULL t/df instead of zero rows
+    va = F.when(F.col(group_col) == group_a, F.col(value_col))
+    vb = F.when(F.col(group_col) == group_b, F.col(value_col))
+    j = d.agg(
+        F.count(va).alias("n_a"),
+        F.avg(va).alias("_ma"),
+        F.var_samp(va).alias("_va"),
+        F.count(vb).alias("n_b"),
+        F.avg(vb).alias("_mb"),
+        F.var_samp(vb).alias("_vb"),
     )
-    b = g.where(F.col(group_col) == group_b).select(
-        F.col("_n").alias("n_b"),
-        F.col("_m").alias("_mb"),
-        F.col("_v").alias("_vb"),
-    )
-    j = a.crossJoin(b)
     sa = F.col("_va") / F.col("n_a")
     sb = F.col("_vb") / F.col("n_b")
     t = (F.col("_ma") - F.col("_mb")) / F.sqrt(sa + sb)
@@ -1572,7 +1568,12 @@ def benford_deviation(
     (identical in DuckDB), one digit-keyed groupBy (9 output rows),
     scalars broadcast.  Zero/NULL values drop.
 
-    Output: 9 rows (digit, n, share, expected, chi2_term, chi2).
+    Output: ALWAYS 9 rows, digits 1..9 (digit, n, share, expected,
+    chi2_term, chi2) — absent digits carry n = 0 and their full
+    expected-mass chi-square term.  (A first digit outside 1..9 can
+    only arise from floating-point log10 edge cases; both engines
+    compute the identical arithmetic, and such a row would be dropped
+    by the spine join identically on both sides.)
     """
     d = df.where(
         F.col(value_col).isNotNull() & (F.abs(F.col(value_col)) > 0)
@@ -1588,6 +1589,15 @@ def benford_deviation(
         .alias("digit")
     )
     counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    # left-join a 1..9 digit spine so ABSENT digits still contribute
+    # their (0 - E)^2/E * N chi-square mass — a corpus concentrated on
+    # one digit (the most anomalous case) must not under-report
+    spine = d.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    counts = spine.join(counts, "digit", "left").select(
+        "digit", F.coalesce("n", F.lit(0)).alias("n")
+    )
     tot = counts.agg(F.sum("n").alias("_N"))
     j = counts.crossJoin(F.broadcast(tot))
     expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
@@ -1638,7 +1648,10 @@ def gini_coefficient(
         F.sum("_v").alias("_s"),
         F.sum(F.col("_r") * F.col("_v")).alias("_rs"),
         F.min("_v").alias("_mn"),
-    )
+    ).localCheckpoint(eager=True)
+    # the checkpoint materializes the (small, group-count-sized)
+    # aggregate ONCE, so the sign-validation collect below and the
+    # returned frame share it instead of re-running the window job
     neg = agg.where(F.col("_mn") < 0).limit(1).collect()
     if neg:
         raise ValueError(

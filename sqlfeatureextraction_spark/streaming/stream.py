@@ -394,12 +394,17 @@ def stateful_cusum(
         if not frames:
             state.update((p, m, last_ts))
             return
-        pdf = pd.concat(frames, ignore_index=True).sort_values(
-            [ts_col, id_col], kind="mergesort"
+        pdf = pd.concat(frames, ignore_index=True)
+        # order by TRUNCATED seconds then id — the batch operator and
+        # its oracle order by (ts_sec, event_id), so sorting on the
+        # raw microsecond ts would process same-second rows whose
+        # sub-second order inverts their id order differently and
+        # silently diverge the running prefix
+        pdf["_ts_sec"] = (
+            pdf[ts_col].astype("datetime64[s]").astype("int64")
         )
-        b_ts = (
-            pdf[ts_col].astype("datetime64[s]").astype("int64").to_numpy()
-        )
+        pdf = pdf.sort_values(["_ts_sec", id_col], kind="mergesort")
+        b_ts = pdf["_ts_sec"].to_numpy()
         if last_ts is not None and len(b_ts) and b_ts[0] <= last_ts:
             # EQUAL is rejected too (same contract as
             # stateful_pit_window): rows sharing a ts order by id_col,

@@ -120,3 +120,24 @@ def test_bpe_encode_fertility_matches_oracle(spark):
     many = dict((r.doc_id, r.n_subtokens) for r in
                 bpe_encode_fertility(df, n_merges=6).collect())
     assert all(many[k] <= few[k] for k in few)
+
+
+def test_bpe_replace_semantics_on_immediate_repeats(spark):
+    """Pin the documented divergence from Sennrich's lookaround
+    re.sub: replace() consumes the shared separator, so in 'abab'
+    only the FIRST (a,b) occurrence merges in the application that
+    learns the pair; reference BPE would merge both."""
+    from sqlfeatureextraction_spark.operators.bpe import bpe_learn
+
+    df = spark.createDataFrame([("abab abab abab",)], "text string")
+    got = [
+        (r.merge_idx, r.left, r.right, r.pair_count)
+        for r in bpe_learn(df, n_merges=2).collect()
+    ]
+    # merge 1: (a, b) appears twice per word occurrence = 6 total
+    assert got[0][1:] == ("a", "b", 6)
+    # after the consuming replace, each word is 'ab a b </w>' (the
+    # SECOND occurrence survived unmerged) -> (ab, a) count 3 ties
+    # with (a, b) count 3; (a, b) wins the lexicographic tie-break.
+    # Sennrich would have produced 'ab ab </w>' and learned (ab, ab).
+    assert got[1][1:] == ("a", "b", 3)

@@ -258,4 +258,38 @@ def test_benford_brute_force(spark):
         assert n == c
         assert abs(share - c / n_tot) < 1e-6
         assert abs(expected - math.log10(1 + 1 / dgt)) < 1e-6
-    assert set(got) == set(digs)
+    # spine: ALL 9 digits present; absent ones carry n=0 and the
+    # full expected-mass chi2 term
+    assert set(got) == set(range(1, 10))
+    n_tot2 = sum(c for c in digs.values())
+    for dgt in set(range(1, 10)) - set(digs):
+        n, share, expected = got[dgt]
+        assert n == 0 and share == 0.0
+
+    # fully-concentrated corpus: chi2 must include absent-digit mass
+    from sqlfeatureextraction_spark.operators.stats import (
+        benford_deviation as _bd,
+    )
+
+    ones = spark.createDataFrame([(1.0,)] * 50, "v double")
+    rows9 = _bd(ones, "v").collect()
+    assert len(rows9) == 9
+    exp_chi2 = 50 * (
+        (1 - math.log10(2)) ** 2 / math.log10(2)
+        + sum(
+            math.log10(1 + 1 / d) for d in range(2, 10)
+        )
+    )
+    assert abs(rows9[0].chi2 - round(exp_chi2, 6)) < 1e-4
+
+
+def test_welch_ttest_empty_slice_one_row(spark):
+    from sqlfeatureextraction_spark.operators.stats import welch_ttest
+
+    rows = [("A", 1.0), ("A", 2.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = welch_ttest(df, "grp", "v", "A", "NOPE").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_a, r.n_b) == (2, 0)
+    assert r.mean_b is None and r.t_stat is None and r.df is None

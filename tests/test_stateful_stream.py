@@ -592,9 +592,13 @@ def test_stateful_cusum_matches_batch_across_batches(tmp_path, spark):
             else:
                 # control pinned at mu: cusum stays 0, never flags
                 v = 5.0
-            rows.append((conv, i, base + i * 7, v))
+            rows.append((conv, i, float(base + i * 7), v))
+    # same-SECOND tie whose microsecond order INVERTS the id order:
+    # the op must process by (truncated second, id), not raw ts
+    rows.append(("a", 60, base + 60 * 7 + 0.9, 1.0))
+    rows.append(("a", 61, base + 60 * 7 + 0.1, 9.0))
     df = spark.createDataFrame(
-        rows, "conv_id string, event_id long, ts_sec long, value double"
+        rows, "conv_id string, event_id long, ts_sec double, value double"
     ).select(
         "conv_id",
         "event_id",
@@ -666,7 +670,7 @@ def test_stateful_cusum_matches_batch_across_batches(tmp_path, spark):
         .sort_values(["conv_id", "event_id"])
         .reset_index(drop=True)
     )
-    assert len(got) == 120
+    assert len(got) == 122
     assert np.allclose(got["cusum"], exp["cusum"], atol=1e-6)
     assert (got["is_shift"] == exp["is_shift"]).all()
     # the injected level shift in conv 'a' is flagged, conv 'b' never
