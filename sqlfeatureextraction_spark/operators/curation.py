@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "tokens_col",
     "shingles_col",
+    "adjacent_pairs_col",
     "decontaminate",
     "dup_substring_fraction",
     "remove_duplicate_spans",
@@ -66,6 +67,19 @@ def tokens_col(text: Column) -> Column:
     ``list_filter(string_split(lower(text), ' '), x -> x <> '')``."""
     arr = F.split(F.lower(F.coalesce(text, F.lit(""))), " ")
     return F.filter(arr, lambda t: t != F.lit(""))
+
+
+def adjacent_pairs_col(arr: Column) -> Column:
+    """array<string> → array<struct<a,b>> of ADJACENT element pairs
+    (the zip-with-shift idiom shared by pmi_collocations, the TextRank
+    co-occurrence edges, and conceptually BPE's pair counting).  ONE
+    definition so every consumer stays in lock-step with the DuckDB
+    ``list_zip(l, l[2:]) ... WHERE pr[2] IS NOT NULL`` oracle
+    convention.  Empty/singleton arrays yield an empty array."""
+    return F.arrays_zip(
+        F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))).alias("a"),
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))).alias("b"),
+    )
 
 
 def shingles_col(toks: Column, n: int) -> Column:

@@ -642,33 +642,23 @@ def auc_score(
     Output: ONE row (n_pos, n_neg, auc); degenerate inputs (single
     class) yield NULL auc.
     """
-    from ..operators.curation import exact_rank_prefix
+    from .stats import fractional_rank_sums
 
     d = df.where(
         F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
     ).select(
-        F.col(score_col).cast("double").alias("_s"),
+        F.col(score_col).cast("double").alias("_v"),
         F.col(label_col).cast("double").alias("_y"),
     )
-    vc = d.groupBy("_s").agg(
+    vc = d.groupBy("_v").agg(
         F.count(F.lit(1)).cast("double").alias("_t"),
-        F.sum("_y").alias("_pos"),
+        F.sum("_y").alias("_m"),
     )
-    ranked = exact_rank_prefix(
-        vc, ["_s"], ["_t"], rank_col="_sr", prefix="_cum_"
-    ).withColumn(
-        "_avg_rank",
-        F.col("_cum__t") - F.col("_t") + (F.col("_t") + 1) / 2.0,
-    )
-    s = ranked.agg(
-        F.sum("_pos").alias("_np"),
-        F.sum(F.col("_t") - F.col("_pos")).alias("_nn"),
-        F.sum(F.col("_pos") * F.col("_avg_rank")).alias("_rp"),
-    )
-    np_, nn_ = F.col("_np"), F.col("_nn")
+    s = fractional_rank_sums(vc)
+    np_, nn_ = F.col("_nm"), F.col("_no")
     auc = F.when(
         (np_ > 0) & (nn_ > 0),
-        (F.col("_rp") - np_ * (np_ + 1) / 2.0) / (np_ * nn_),
+        (F.col("_rm") - np_ * (np_ + 1) / 2.0) / (np_ * nn_),
     )
     return s.select(
         np_.cast("long").alias("n_pos"),

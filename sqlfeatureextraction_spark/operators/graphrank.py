@@ -79,18 +79,12 @@ def pagerank(
 def _cooc_edges(df: DataFrame, text_col: str):
     """Symmetrized adjacent-token co-occurrence edge counts (u, v, w),
     self-loops dropped — per-row zip, map-side-combinable count."""
-    from .curation import tokens_col
+    from .curation import adjacent_pairs_col, tokens_col
 
     toks = df.select(tokens_col(F.col(text_col)).alias("_l"))
     pairs = (
-        toks.where(F.size("_l") >= 2)
-        .select(
-            F.explode(
-                F.arrays_zip(
-                    F.slice(F.col("_l"), 1, F.size("_l") - 1).alias("a"),
-                    F.slice(F.col("_l"), 2, F.size("_l") - 1).alias("b"),
-                )
-            ).alias("_pr")
+        toks.select(
+            F.explode(adjacent_pairs_col(F.col("_l"))).alias("_pr")
         )
         .select(F.col("_pr.a").alias("a"), F.col("_pr.b").alias("b"))
         .where(F.col("a") != F.col("b"))

@@ -1000,15 +1000,11 @@ def pmi_collocations(
         .groupBy("_tok")
         .agg(F.count(F.lit(1)).cast("double").alias("_c"))
     )
+    from .curation import adjacent_pairs_col
+
     pairs = (
-        toks.where(F.size("_l") >= 2)
-        .select(
-            F.explode(
-                F.arrays_zip(
-                    F.slice(F.col("_l"), 1, F.size("_l") - 1).alias("a"),
-                    F.slice(F.col("_l"), 2, F.size("_l") - 1).alias("b"),
-                )
-            ).alias("_pr")
+        toks.select(
+            F.explode(adjacent_pairs_col(F.col("_l"))).alias("_pr")
         )
         .select(
             F.col("_pr.a").alias("w1"), F.col("_pr.b").alias("w2")
@@ -1352,6 +1348,33 @@ def llr_keywords(
     )
 
 
+def fractional_rank_sums(vc: DataFrame) -> DataFrame:
+    """Shared core of mann_whitney_u and fit.auc_score: given a
+    DISTINCT-VALUE table (_v, _t = total count, _m = marked count),
+    return the 1-row frame (_nm, _no, _rm, _ties) — marked/other
+    totals, the marked rank sum under fractional (average) tie ranks,
+    and the tie-correction sum(t^3 - t).  Ranks come from ONE
+    range-repartition prefix pass (curation.exact_rank_prefix), never
+    a row-level global ordering.  One definition so a tie-handling
+    change can never make U and AUC disagree."""
+    from .curation import exact_rank_prefix
+
+    ranked = exact_rank_prefix(
+        vc, ["_v"], ["_t"], rank_col="_fr_r", prefix="_fr_cum_"
+    ).withColumn(
+        "_avg_rank",
+        F.col("_fr_cum__t") - F.col("_t") + (F.col("_t") + 1) / 2.0,
+    )
+    return ranked.agg(
+        F.sum("_m").alias("_nm"),
+        F.sum(F.col("_t") - F.col("_m")).alias("_no"),
+        F.sum(F.col("_m") * F.col("_avg_rank")).alias("_rm"),
+        F.sum(
+            F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+        ).alias("_ties"),
+    )
+
+
 def mann_whitney_u(
     df: DataFrame,
     group_col: str,
@@ -1382,8 +1405,6 @@ def mann_whitney_u(
     degenerate inputs (a slice empty, or all values tied so sigma = 0)
     yield NULL z.
     """
-    from .curation import exact_rank_prefix
-
     d = df.where(
         F.col(group_col).isin([group_a, group_b])
         & F.col(value_col).isNotNull()
@@ -1393,25 +1414,12 @@ def mann_whitney_u(
     )
     vc = d.groupBy("_v").agg(
         F.count(F.lit(1)).cast("double").alias("_t"),
-        F.sum("_ia").alias("_ca"),
+        F.sum("_ia").alias("_m"),
     )
-    ranked = exact_rank_prefix(
-        vc, ["_v"], ["_t"], rank_col="_vr", prefix="_cum_"
-    ).withColumn(
-        "_avg_rank",
-        F.col("_cum__t") - F.col("_t") + (F.col("_t") + 1) / 2.0,
-    )
-    s = ranked.agg(
-        F.sum("_ca").alias("_na"),
-        F.sum(F.col("_t") - F.col("_ca")).alias("_nb"),
-        F.sum(F.col("_ca") * F.col("_avg_rank")).alias("_ra"),
-        F.sum(
-            F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
-        ).alias("_ties"),
-    )
-    na, nb = F.col("_na"), F.col("_nb")
+    s = fractional_rank_sums(vc)
+    na, nb = F.col("_nm"), F.col("_no")
     n = na + nb
-    u = F.col("_ra") - na * (na + 1) / 2.0
+    u = F.col("_rm") - na * (na + 1) / 2.0
     sig2 = (na * nb / 12.0) * (
         (n + 1) - F.col("_ties") / (n * (n - 1))
     )
