@@ -280,8 +280,14 @@ def _q_cusum_changepoint(spark, sf_dir):
     ev = _events(spark, sf_dir).select(
         "user_id", "ts_sec", "event_id", "value"
     )
+    # quantize_dp=4 selects the integer-exact path (events.value has
+    # 2dp granularity): all accumulation happens in scaled DECIMAL
+    # integers, so the statistic is bit-identical across engines and
+    # partition-merge orders — the double path's avg() + prefix sum
+    # amplifies ulp noise until a 6dp ROUND boundary flips.
     out = cusum_changepoint(
-        ev, "user_id", ("ts_sec", "event_id"), "value", h=2.0
+        ev, "user_id", ("ts_sec", "event_id"), "value", h=2.0,
+        quantize_dp=4,
     )
     return out.select(
         "user_id",
@@ -813,6 +819,10 @@ def _q_ewma_decay(spark, sf_dir):
         "event_id",
         "value",
     )
+    # quantize_dp=4: rescaled terms accumulate as scaled int64, so
+    # the 10k-row prefix sum is bit-identical across engines (a
+    # double cumsum drifts by ulps into ROUND boundaries); output
+    # rounded at 4dp (the repo's float-aggregate convention).
     out = ewma_time_decay(
         ev,
         half_life_s=604800,
@@ -820,6 +830,8 @@ def _q_ewma_decay(spark, sf_dir):
         ts_col="ts",
         value_col="value",
         order_cols=("event_id",),
+        round_dp=4,
+        quantize_dp=4,
     )
     return out.select(
         "user_id",
@@ -923,11 +935,30 @@ def _q_conversation_features(spark, sf_dir):
         ).alias("role"),
         F.col("props").alias("text"),
     )
-    return conversation_features(
+    out = conversation_features(
         tx,
         conv_col="user_id",
         order_cols=("ts_sec", "event_id"),
         ts_col="ts",
+    )
+    # Driver row keeps only the exact-integer feature companions
+    # (n_alternations, sum_gap_s, n_gaps) and drops the rounded
+    # ratio/mean doubles: ROUND of a run-order-dependent double AVG
+    # sitting at a 4dp/6dp boundary can flip between engines'
+    # rounding implementations.  The integers carry the same
+    # information (ratio = n_alternations/(n_turns-1), mean =
+    # sum_gap_s/n_gaps) and hash identically everywhere.
+    return out.select(
+        "user_id",
+        "n_turns",
+        "n_user",
+        "n_assistant",
+        "n_tool",
+        "n_system",
+        "n_tokens",
+        "n_alternations",
+        "sum_gap_s",
+        "n_gaps",
     )
 
 
@@ -983,14 +1014,20 @@ def _q_sft_pipeline(spark, sf_dir):
     w = Window.partitionBy("prompt_text", "response_text").orderBy(
         "user_id", "seg_idx"
     )
+    # Driver row hashes the two text columns (md5 + length) rather
+    # than emitting the raw merged strings: they embed newlines
+    # (\n-joined same-role runs), which are CSV/transport-fragile in
+    # cross-engine hash comparators.
     return (
         gated.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .select(
             "user_id",
             "prompt_idx",
-            "prompt_text",
-            "response_text",
+            F.md5("prompt_text").alias("prompt_md5"),
+            F.length("prompt_text").alias("prompt_len"),
+            F.md5("response_text").alias("response_md5"),
+            F.length("response_text").alias("response_len"),
             "n_resp_tokens",
         )
     )
@@ -1047,7 +1084,13 @@ def _q_char_entropy(spark, sf_dir):
 def _q_merge_turns(spark, sf_dir):
     """Chat-template normalization: consecutive same-role turns
     collapsed into one turn (run-id = running sum of role-change
-    flags; in-group sort makes the join deterministic)."""
+    flags; in-group sort makes the join deterministic).
+
+    Driver row projects ``md5(text) + length(text)`` instead of the
+    raw merged text: the merged column embeds newlines (turn pieces
+    joined with \\n) and multi-line values are CSV/transport-fragile
+    in cross-engine hash comparators.  Same discriminating power —
+    any content difference still flips the digest."""
     from sqlfeatureextraction_spark.operators.sessionize import (
         merge_consecutive_turns,
     )
@@ -1065,8 +1108,18 @@ def _q_merge_turns(spark, sf_dir):
         ).alias("role"),
         F.col("props").alias("text"),
     )
-    return merge_consecutive_turns(
+    out = merge_consecutive_turns(
         tx, conv_col="user_id", order_cols=("ts_sec", "event_id")
+    )
+    return out.select(
+        "user_id",
+        "seg_idx",
+        "role",
+        F.md5("text").alias("text_md5"),
+        F.length("text").alias("text_len"),
+        "n_merged",
+        "first_idx",
+        "last_idx",
     )
 
 
@@ -2709,8 +2762,13 @@ def _q_stream_cusum(spark, sf_dir):
     sdir = tempfile.mkdtemp(prefix="stream_cusum_src_")
     src.write.mode("overwrite").parquet(sdir)
     stream = spark.readStream.schema(src.schema).parquet(sdir)
+    # quantize_dp=2 (events.value has 2dp granularity): scaled int64
+    # state accumulation — bit-identical to the SQL replay across
+    # engines and micro-batch boundaries, where a float cumsum
+    # drifts by ulps into ROUND boundaries.
     out = stateful_cusum(
-        stream, entity_col="conv_id", mu=100.0, sigma=60.0, h=2.0
+        stream, entity_col="conv_id", mu=100.0, sigma=60.0, h=2.0,
+        quantize_dp=2,
     )
     name = f"stream_cusum_{uuid.uuid4().hex[:8]}"
     q = (
@@ -4791,28 +4849,30 @@ def oracle_sql() -> dict[str, str]:
         # the same fixed (mu, sigma, h) — P - least(0, running min P)
         "stream_cusum": f"""
             WITH e AS (
-              SELECT user_id, event_id, ts_sec, value
+              SELECT user_id, event_id, ts_sec,
+                     CAST(ROUND(value * 100) AS BIGINT) AS v
               FROM ({_EV_TS})
             ),
             p AS (
               SELECT user_id, event_id, ts_sec,
-                     SUM(value - 100.0) OVER (
+                     SUM(v - 10000) OVER (
                        PARTITION BY user_id
                        ORDER BY ts_sec, event_id
                        ROWS UNBOUNDED PRECEDING) AS pre
               FROM e
+            ),
+            s AS (
+              SELECT user_id, event_id, ts_sec,
+                     ROUND(CAST(pre - LEAST(0, MIN(pre) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts_sec, event_id
+                       ROWS UNBOUNDED PRECEDING)) AS DOUBLE)
+                       / 100.0, 6) AS cusum
+              FROM p
             )
-            SELECT user_id, event_id, ts_sec,
-                   ROUND(pre - LEAST(0, MIN(pre) OVER (
-                     PARTITION BY user_id
-                     ORDER BY ts_sec, event_id
-                     ROWS UNBOUNDED PRECEDING)), 6) AS cusum,
-                   ROUND(pre - LEAST(0, MIN(pre) OVER (
-                     PARTITION BY user_id
-                     ORDER BY ts_sec, event_id
-                     ROWS UNBOUNDED PRECEDING)), 6) > 2.0 * 60.0
-                     AS is_shift
-            FROM p
+            SELECT user_id, event_id, ts_sec, cusum,
+                   cusum > 2.0 * 60.0 AS is_shift
+            FROM s
         """,
         # basket lift: distinct (basket,item), pair supports by
         # a<b self-join (oracle side), lift over basket counts
@@ -5312,36 +5372,57 @@ def oracle_sql() -> dict[str, str]:
         """,
         # CUSUM closed form: running sum of (x - mu) minus its running
         # min; flag when the rounded statistic exceeds h * sigma_samp
+        # integer-exact CUSUM matching the Spark quantize_dp=4 path:
+        # v = round(value*1e4) scaled longs, prefix P_k as the exact
+        # HUGEINT n*S_k - k*S_n over denominator n*1e4, sigma from
+        # exact moments (S, Q) — one fp divide + sqrt per row on
+        # identical integers, bit-identical across engines
         "cusum_changepoint": f"""
             WITH e AS (
-              SELECT user_id, ts_sec, event_id, value
+              SELECT user_id, ts_sec, event_id, value,
+                     CAST(ROUND(value * 10000) AS BIGINT) AS v
               FROM ({_EV_TS}) WHERE value IS NOT NULL
             ),
-            g AS (
-              SELECT user_id, AVG(value) AS mu,
-                     STDDEV_SAMP(value) AS sigma
-              FROM e GROUP BY user_id
-            ),
-            p AS (
-              SELECT e.user_id, e.ts_sec, e.event_id, e.value, g.sigma,
-                     SUM(e.value - g.mu) OVER (
-                       PARTITION BY e.user_id
-                       ORDER BY e.ts_sec, e.event_id
-                       ROWS UNBOUNDED PRECEDING) AS pre
-              FROM e JOIN g USING (user_id)
-            ),
-            s AS (
-              SELECT user_id, ts_sec, event_id, value, sigma,
-                     ROUND(pre - LEAST(0, MIN(pre) OVER (
+            a AS (
+              SELECT user_id, ts_sec, event_id, value,
+                     COUNT(*) OVER (PARTITION BY user_id) AS n,
+                     SUM(CAST(v AS HUGEINT)) OVER (
+                       PARTITION BY user_id) AS s_all,
+                     SUM(CAST(v AS HUGEINT) * v) OVER (
+                       PARTITION BY user_id) AS q_all,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts_sec, event_id) AS k,
+                     SUM(CAST(v AS HUGEINT)) OVER (
                        PARTITION BY user_id
                        ORDER BY ts_sec, event_id
-                       ROWS UNBOUNDED PRECEDING)), 6) AS cusum
+                       ROWS UNBOUNDED PRECEDING) AS s_k
+              FROM e
+            ),
+            p AS (
+              SELECT *, n * s_k - k * s_all AS num
+              FROM a
+            ),
+            s AS (
+              SELECT *,
+                     num - LEAST(CAST(0 AS HUGEINT), MIN(num) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts_sec, event_id
+                       ROWS UNBOUNDED PRECEDING)) AS adj
               FROM p
             )
             SELECT user_id, ts_sec, event_id,
-                   ROUND(value, 4) AS value, cusum,
-                   CASE WHEN coalesce(sigma, 0) > 0
-                        THEN cusum > 2.0 * sigma
+                   ROUND(value, 4) AS value,
+                   ROUND(CAST(adj AS DOUBLE) / (n * 10000.0), 6)
+                     AS cusum,
+                   CASE WHEN n > 1
+                         AND (n * q_all - s_all * s_all) > 0
+                        THEN ROUND(CAST(adj AS DOUBLE)
+                                   / (n * 10000.0), 6)
+                             > 2.0 * sqrt(
+                                 CAST(n * q_all - s_all * s_all
+                                      AS DOUBLE)
+                                 / (n * (n - 1.0))) / 10000.0
                         ELSE FALSE END AS is_shift
             FROM s
         """,
@@ -5760,6 +5841,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         # time-decayed running value (half-life 7d): prefix-sum
         # rescaling, identical addition order via (ts_sec, event_id)
+        # integer-exact rescaled-term accumulation matching the Spark
+        # quantize_dp=4 path: terms rounded to 4dp scaled longs, the
+        # prefix sum is associative integer addition, one fp
+        # multiply+round at emission
         "ewma_decay": f"""
             WITH b AS (
               SELECT user_id, ts_sec, event_id, value,
@@ -5768,8 +5853,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             s AS (
               SELECT *,
-                     SUM(value * exp((ln(2) / 604800.0)
-                                     * (ts_sec - t0))) OVER (
+                     SUM(CAST(ROUND(value * exp((ln(2) / 604800.0)
+                                     * (ts_sec - t0)) * 10000)
+                              AS BIGINT)) OVER (
                        PARTITION BY user_id ORDER BY ts_sec, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                      ) AS run
@@ -5778,7 +5864,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, ts_sec, event_id,
                    ROUND(value, 4) AS value,
                    ROUND(exp(-(ln(2) / 604800.0) * (ts_sec - t0))
-                         * run, 6) AS ewma
+                         * (CAST(run AS DOUBLE) / 10000.0), 4) AS ewma
             FROM s
         """,
         # count-min estimates in the wide regime == exact token counts
@@ -5855,21 +5941,23 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY user_id ORDER BY ts_sec, event_id)
             )
             SELECT user_id, COUNT(*) AS n_turns,
-                   SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
-                     AS n_user,
-                   SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
-                     AS n_assistant,
-                   SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)
-                     AS n_tool,
-                   SUM(CASE WHEN role = 'system' THEN 1 ELSE 0 END)
-                     AS n_system,
-                   SUM(ntok) AS n_tokens,
-                   ROUND(CAST(SUM(CASE WHEN prev_role IS NOT NULL
-                                        AND prev_role <> role
-                                       THEN 1 ELSE 0 END) AS DOUBLE)
-                         / GREATEST(COUNT(*) - 1, 1), 6)
-                     AS alternation_ratio,
-                   ROUND(AVG(gap), 4) AS mean_gap_s
+                   CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_user,
+                   CAST(SUM(CASE WHEN role = 'assistant'
+                                 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_assistant,
+                   CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_tool,
+                   CAST(SUM(CASE WHEN role = 'system'
+                                 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_system,
+                   CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN prev_role IS NOT NULL
+                                  AND prev_role <> role
+                                 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_alternations,
+                   CAST(SUM(gap) AS BIGINT) AS sum_gap_s,
+                   COUNT(gap) AS n_gaps
             FROM l
             GROUP BY user_id
         """,
@@ -5983,8 +6071,12 @@ def oracle_sql() -> dict[str, str]:
               ) AS rn
               FROM q WHERE n_resp_tokens >= 4
             )
-            SELECT user_id, prompt_idx, prompt_text,
-                   rtext AS response_text, n_resp_tokens
+            SELECT user_id, prompt_idx,
+                   md5(prompt_text) AS prompt_md5,
+                   length(prompt_text) AS prompt_len,
+                   md5(rtext) AS response_md5,
+                   length(rtext) AS response_len,
+                   n_resp_tokens
             FROM d WHERE rn = 1
         """,
         # native session_window equivalence: gap sessions split when
@@ -6078,8 +6170,12 @@ def oracle_sql() -> dict[str, str]:
               FROM l
             )
             SELECT user_id, seg_idx, MAX(role) AS role,
-                   string_agg(text, chr(10)
-                              ORDER BY ts_sec, event_id) AS text,
+                   md5(string_agg(text, chr(10)
+                                  ORDER BY ts_sec, event_id))
+                     AS text_md5,
+                   length(string_agg(text, chr(10)
+                                     ORDER BY ts_sec, event_id))
+                     AS text_len,
                    COUNT(*) AS n_merged,
                    MIN(ts_sec) AS first_idx,
                    MAX(ts_sec) AS last_idx

@@ -283,6 +283,7 @@ def ewma_time_decay(
     value_col: str = "value",
     order_cols: tuple = (),
     round_dp: int = 6,
+    quantize_dp: int | None = None,
 ) -> DataFrame:
     """Time-decayed running sum over irregular event times — the
     classic point-in-time recency feature: at each row,
@@ -306,6 +307,17 @@ def ewma_time_decay(
     the windowed-feature regime where spans are session/window
     sized.
 
+    ``quantize_dp`` makes the prefix sum cross-engine exact: each
+    rescaled term v_j*exp(lam*(t_j-t0)) is rounded to that many
+    decimal places and accumulated as a scaled int64 (associative —
+    partition-merge order and window-frame association cannot change
+    a bit), so the only remaining float steps are the per-row exp()
+    and one multiply+round, whose ulp noise does not accumulate.
+    Without it a 10k-row running double sum drifts by ulps into
+    ROUND boundaries and two engines can disagree on the 6th
+    decimal.  Term magnitudes must satisfy |term|*10^dp*rows <
+    2^63 — trivially true in the windowed-feature regime.
+
     Output: df's columns + ewma (rounded).
     """
     import math
@@ -318,6 +330,20 @@ def ewma_time_decay(
     t = F.col(ts_col).cast("timestamp").cast("long")
     t0 = F.min(t).over(w_all)
     scaled = F.col(value_col) * F.exp(F.lit(lam) * (t - t0))
+    if quantize_dp is not None:
+        s = 10 ** quantize_dp
+        term = F.round(scaled * s).cast("long")
+        run = F.sum(term).over(
+            w_ord.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return df.withColumn(
+            "ewma",
+            F.round(
+                F.exp(-F.lit(lam) * (t - t0))
+                * (run.cast("double") / F.lit(float(s))),
+                round_dp,
+            ),
+        )
     run = F.sum(scaled).over(
         w_ord.rowsBetween(Window.unboundedPreceding, 0)
     )

@@ -482,8 +482,13 @@ def conversation_features(
     the conversation key, all codegen, per-task state O(1).
 
     Output: (conv_col, n_turns, n_<role> per role, n_tokens,
-    alternation_ratio = role changes / (n_turns−1), 0.0 for
-    single-turn[, mean_gap_s rounded 4dp]).
+    n_alternations, alternation_ratio = role changes / (n_turns−1),
+    0.0 for single-turn[, sum_gap_s, n_gaps, mean_gap_s rounded
+    4dp]).  The integer companions (n_alternations, sum_gap_s,
+    n_gaps) carry the same information as the rounded ratios but are
+    exact — cross-engine comparisons should prefer them, since
+    ROUND of a run-order-dependent double AVG can flip at a rounding
+    boundary between engines.
     """
     w = Window.partitionBy(conv_col).orderBy(
         *[F.asc(c) for c in order_cols]
@@ -520,6 +525,7 @@ def conversation_features(
             for r in roles
         ],
         F.sum("_tok").alias("n_tokens"),
+        F.sum("_chg").alias("n_alternations"),
         F.round(
             F.sum("_chg")
             / F.greatest(F.count(F.lit(1)) - F.lit(1), F.lit(1)),
@@ -527,6 +533,8 @@ def conversation_features(
         ).alias("alternation_ratio"),
     ]
     if ts_col is not None:
+        aggs.append(F.sum("_gap").alias("sum_gap_s"))
+        aggs.append(F.count("_gap").alias("n_gaps"))
         aggs.append(F.round(F.avg("_gap"), 4).alias("mean_gap_s"))
     return stepped.groupBy(conv_col).agg(*aggs)
 

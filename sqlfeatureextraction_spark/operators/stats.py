@@ -774,6 +774,7 @@ def cusum_changepoint(
     value_col: str,
     h: float = 4.0,
     round_dp: int = 6,
+    quantize_dp: int | None = None,
 ) -> DataFrame:
     """One-sided CUSUM level-shift statistic per group — the
     sequential changepoint detector (Page 1954) a pipeline runs over
@@ -796,8 +797,29 @@ def cusum_changepoint(
     Degenerate groups (sigma = 0 or a single row) never flag.
     NULL values drop.
 
+    ``quantize_dp`` selects the integer-exact path: values are
+    quantized to that many decimal places and every intermediate —
+    prefix sums, the running min, and the variance moments — is
+    carried in scaled integers (DECIMAL(38,0), overflow-safe far
+    past 10^12 rows x 10^4-scaled values).  mu never materializes as
+    a double: the prefix P_k = sum_{t<=k}(x_t) - k*mu is computed as
+    the exact integer n*S_k - k*S_n over a common denominator
+    n*10^dp, and sigma comes from the exact moment pair (S, Q).
+    Only ONE float division + sqrt happen per row, on identical
+    exact integers — so the statistic is bit-identical across
+    engines and partition-merge orders, where the double path's
+    avg() is run-order dependent and its prefix sum amplifies ulp
+    noise linearly until a ROUND boundary flips.  Use it whenever
+    the output feeds a cross-engine equality gate and the data has
+    fixed decimal granularity.
+
     Output: df's non-NULL-value rows + (cusum, is_shift).
     """
+    if quantize_dp is not None:
+        return _cusum_changepoint_exact(
+            df, group_col, order_cols, value_col, h, round_dp,
+            quantize_dp,
+        )
     gstats = df.where(F.col(value_col).isNotNull()).groupBy(
         group_col
     ).agg(
@@ -831,6 +853,85 @@ def cusum_changepoint(
         F.when(
             F.coalesce(F.col("_sigma"), F.lit(0.0)) > 0,
             F.col("cusum") > F.lit(float(h)) * F.col("_sigma"),
+        )
+        .otherwise(F.lit(False))
+        .alias("is_shift"),
+    )
+
+
+def _cusum_changepoint_exact(
+    df: DataFrame,
+    group_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    h: float,
+    round_dp: int,
+    quantize_dp: int,
+) -> DataFrame:
+    """Integer-exact CUSUM (see cusum_changepoint's quantize_dp).
+
+    Same plan shape as the double path — one group-key exchange, two
+    running-frame window passes, whole-stage codegen throughout —
+    but all accumulation is DECIMAL(38,0) integer arithmetic:
+
+      v_i   = round(x_i * 10^dp)             (scaled long)
+      num_k = n*S_k - k*S_n                  (P_k over denom n*10^dp)
+      cusum = (num_k - least(0, min num))/(n*10^dp)   one fp divide
+      var   = (n*Q - S^2) / (n*(n-1)*10^2dp)          exact moments
+
+    Integer addition is associative, so partition-merge order and
+    window-frame association cannot change a single bit; both the
+    int->double conversion and the final divide/sqrt are IEEE
+    correctly-rounded, hence deterministic across engines.
+    """
+    dec = "decimal(38,0)"
+    scale = float(10 ** quantize_dp)
+    nn = df.where(F.col(value_col).isNotNull())
+    base = nn.withColumn(
+        "_v", F.round(F.col(value_col) * (10 ** quantize_dp)).cast("long")
+    )
+    wg = Window.partitionBy(group_col)
+    word = Window.partitionBy(group_col).orderBy(*order_cols)
+    wrun = word.rowsBetween(Window.unboundedPreceding, 0)
+    vd = F.col("_v").cast(dec)
+    base = (
+        base.withColumn("_n", F.count(F.lit(1)).over(wg))
+        .withColumn("_s_all", F.sum(vd).over(wg))
+        .withColumn("_q_all", F.sum(vd * F.col("_v")).over(wg))
+        .withColumn("_k", F.row_number().over(word))
+        .withColumn("_s_k", F.sum(vd).over(wrun))
+    )
+    num = (
+        F.col("_n").cast(dec) * F.col("_s_k")
+        - F.col("_k").cast(dec) * F.col("_s_all")
+    )
+    base = base.withColumn("_num", num)
+    adj = F.col("_num") - F.least(
+        F.lit(0).cast(dec), F.min("_num").over(wrun)
+    )
+    denom = F.col("_n").cast("double") * F.lit(scale)
+    cusum = F.round(adj.cast("double") / denom, round_dp)
+    var_num = (
+        F.col("_n").cast(dec) * F.col("_q_all")
+        - F.col("_s_all") * F.col("_s_all")
+    )
+    sigma = (
+        F.sqrt(
+            var_num.cast("double")
+            / (
+                F.col("_n").cast("double")
+                * (F.col("_n") - F.lit(1)).cast("double")
+            )
+        )
+        / F.lit(scale)
+    )
+    out = base.withColumn("cusum", cusum)
+    return out.select(
+        *df.columns,
+        "cusum",
+        F.when(
+            (F.col("_n") > 1) & (var_num > 0),
+            F.col("cusum") > F.lit(float(h)) * sigma,
         )
         .otherwise(F.lit(False))
         .alias("is_shift"),

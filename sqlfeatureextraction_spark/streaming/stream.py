@@ -356,11 +356,20 @@ def stateful_cusum(
     sigma: float = 1.0,
     h: float = 4.0,
     round_dp: int = 6,
+    quantize_dp: int | None = None,
 ):
     """Streaming Page CUSUM level-shift monitor — the incremental twin
     of operators/stats.cusum_changepoint, against a FIXED reference
     (mu, sigma) as live monitoring does (the batch op estimates them
     from the group; a monitor pins them from a calibration window).
+
+    ``quantize_dp`` mirrors the batch operator's integer-exact path:
+    values and mu are scaled to 10^dp integers and the two state
+    scalars accumulate in int64, so the emitted statistic is
+    bit-identical to any batch/SQL replay regardless of micro-batch
+    boundaries or summation association — float cumsums drift by
+    ulps over long histories and can flip a ROUND boundary.  Use it
+    when the input has fixed decimal granularity.
 
     The closed prefix-sum form is what makes the statistic
     incremental: S_i = P_i - min(0, min_{j<=i} P_j) needs only TWO
@@ -419,9 +428,22 @@ def stateful_cusum(
                 "not straddle a batch boundary"
             )
         v = pdf[val_col].to_numpy(dtype=np.float64)
-        p_arr = p + np.cumsum(v - float(mu))
-        m_arr = np.minimum(np.minimum.accumulate(p_arr), m)
-        cusum = np.round(p_arr - m_arr, round_dp)
+        if quantize_dp is not None:
+            # integer-exact: scaled int64 accumulation (associative,
+            # batch-boundary- and engine-independent); the state
+            # doubles hold exact integer values (< 2^53)
+            s = 10 ** quantize_dp
+            v_int = np.rint(v * s).astype(np.int64)
+            mu_int = int(np.rint(float(mu) * s))
+            p_arr = np.int64(p) + np.cumsum(v_int - mu_int)
+            m_arr = np.minimum(
+                np.minimum.accumulate(p_arr), np.int64(m)
+            )
+            cusum = np.round((p_arr - m_arr) / float(s), round_dp)
+        else:
+            p_arr = p + np.cumsum(v - float(mu))
+            m_arr = np.minimum(np.minimum.accumulate(p_arr), m)
+            cusum = np.round(p_arr - m_arr, round_dp)
         state.update(
             (float(p_arr[-1]), float(m_arr[-1]), int(b_ts[-1]))
         )
