@@ -203,6 +203,10 @@ def basket_lift_pairs(
     d = df.select(
         F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
     ).where(F.col("_i").isNotNull()).distinct()
+    # three consumers (basket total, item supports, per-basket
+    # arrays) read this distinct frame — materialize it once instead
+    # of recomputing the scan+distinct per consumer
+    d = d.localCheckpoint(eager=True)
     n_baskets = d.select("_b").distinct().count()
     items = d.groupBy("_i").agg(F.count(F.lit(1)).alias("_ni"))
     arrs = d.groupBy("_b").agg(

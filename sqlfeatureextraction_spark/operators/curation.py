@@ -61,6 +61,19 @@ __all__ = [
 ]
 
 
+def _shuffle_partitions(df: DataFrame, default: int = 32) -> int:
+    """Partition count for the range passes, from
+    spark.sql.shuffle.partitions — tolerant of non-numeric values
+    ('auto' on AQE-managed platforms), falling back to ``default``."""
+    raw = df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", str(default)
+    )
+    try:
+        return max(2, int(raw))
+    except (TypeError, ValueError):
+        return max(2, default)
+
+
 def tokens_col(text: Column) -> Column:
     """text → array<string>: lowercase, split on single spaces, empty
     tokens dropped.  Mirrors DuckDB
@@ -743,9 +756,7 @@ def exact_ntile(
     output matches SQL ``ntile(n) OVER (ORDER BY order_cols)`` exactly,
     which the shard_assign DuckDB oracle cross-checks.
     """
-    n_part = max(
-        2, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    )
+    n_part = _shuffle_partitions(df)
     cols = [F.col(c) for c in order_cols]
     ranked = (
         df.repartitionByRange(n_part, *cols)
@@ -812,9 +823,7 @@ def exact_rank_prefix(
     ``SUM(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``.
     """
     value_cols = list(value_cols or [])
-    n_part = max(
-        2, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    )
+    n_part = _shuffle_partitions(df)
     cols = [F.col(c) for c in order_cols]
     w = Window.partitionBy("_erp_p").orderBy(*cols)
     wsum = w.rowsBetween(Window.unboundedPreceding, 0)

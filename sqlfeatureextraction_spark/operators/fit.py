@@ -71,16 +71,26 @@ CRAMER_EXPRS: dict[str, str] = {
 }
 
 
+# compiled once at import: the adjugate-determinant expressions are
+# module-level constants shared verbatim with the SQL oracle; a
+# dynamically-built dict must never reach eval, so only these
+# precompiled code objects are evaluated
+_CRAMER_CODE = {
+    k: compile(v, f"<cramer:{k}>", "eval") for k, v in CRAMER_EXPRS.items()
+}
+
+
 def _solve3(s: dict[str, float]) -> tuple[float, float, float]:
     """Cramer solve of H delta = g from the sufficient-statistic sums,
-    evaluating CRAMER_EXPRS with plain float arithmetic (the same
-    doubles, in the same order, as the SQL oracle)."""
+    evaluating the precompiled CRAMER_EXPRS with plain float
+    arithmetic (the same doubles, in the same order, as the SQL
+    oracle)."""
     env = dict(s)
-    det = eval(CRAMER_EXPRS["det"], {"__builtins__": {}}, env)  # noqa: S307
+    det = eval(_CRAMER_CODE["det"], {"__builtins__": {}}, env)  # noqa: S307
     if det == 0.0 or not math.isfinite(det):
         raise ValueError(f"singular Hessian (det={det})")
     return tuple(
-        eval(CRAMER_EXPRS[f"det{j}"], {"__builtins__": {}}, env) / det  # noqa: S307
+        eval(_CRAMER_CODE[f"det{j}"], {"__builtins__": {}}, env) / det  # noqa: S307
         for j in range(3)
     )
 
@@ -624,6 +634,7 @@ def auc_score(
     score_col: str,
     label_col: str,
     round_dp: int = 6,
+    tie_dp: int = 12,
 ) -> DataFrame:
     """ROC AUC of a score column against a binary label — the
     ranking-quality half of the classifier-eval pair (calibration_curve
@@ -641,13 +652,18 @@ def auc_score(
 
     Output: ONE row (n_pos, n_neg, auc); degenerate inputs (single
     class) yield NULL auc.
+
+    Tie groups form on the score rounded to ``tie_dp`` decimals (the
+    rounded-order-key convention every other ranking operator here
+    follows): a cross-engine exp() ulp difference on an unrounded
+    sigmoid could merge/split a tie and shift fractional ranks.
     """
     from .stats import fractional_rank_sums
 
     d = df.where(
         F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
     ).select(
-        F.col(score_col).cast("double").alias("_v"),
+        F.round(F.col(score_col).cast("double"), tie_dp).alias("_v"),
         F.col(label_col).cast("double").alias("_y"),
     )
     vc = d.groupBy("_v").agg(

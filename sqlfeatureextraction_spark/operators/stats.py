@@ -951,10 +951,12 @@ def zipf_slope(
     tokens ranked count-desc (token asc on ties).
 
     Spark-first: token counts are one explode + map-side-combinable
-    groupBy; ranks come from one row_number window (the only global
-    ordering, over the DISTINCT-TOKEN table, vocabulary-sized not
-    corpus-sized — the same bounded-smallness argument as the
-    vocabulary fit); the fit itself is Spark's builtin
+    groupBy; the count-desc global ranking runs through
+    curation.exact_rank_prefix (range-repartition on the order key +
+    per-partition local rank + closed-form offsets, driver traffic =
+    one row per partition) — NOT a single-task unpartitioned Window,
+    which would funnel the whole distinct vocabulary (10^8+ rows at
+    100 TB) through one task; the fit itself is Spark's builtin
     ``regr_slope/regr_intercept/regr_r2`` aggregates — mergeable
     moment sums, so the regression never materializes anything.
     ``min_count`` trims the hapax tail where Zipf fits are known to
@@ -963,6 +965,8 @@ def zipf_slope(
 
     Output: ONE row (n_tokens, slope, intercept, r2).
     """
+    from .curation import exact_rank_prefix
+
     toks = df.select(
         F.explode(tokens_col(F.col(text_col))).alias("tok")
     )
@@ -971,9 +975,14 @@ def zipf_slope(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= int(min_count))
     )
-    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
-    ranked = counts.select(
-        F.ln(F.row_number().over(w).cast("double")).alias("_lr"),
+    # count-desc, token-asc total order expressed ascending for the
+    # range partitioner: (-cnt, tok)
+    ranked = exact_rank_prefix(
+        counts.withColumn("_negcnt", -F.col("cnt")),
+        order_cols=["_negcnt", "tok"],
+        rank_col="_rank",
+    ).select(
+        F.ln(F.col("_rank").cast("double")).alias("_lr"),
         F.ln(F.col("cnt").cast("double")).alias("_lc"),
     )
     return ranked.agg(
@@ -1633,6 +1642,11 @@ def weighted_quantiles(
     """
     from .curation import exact_rank_prefix
 
+    if not probs:
+        raise ValueError(
+            "weighted_quantiles: probs must be non-empty (an empty "
+            "list would produce no output frame)"
+        )
     d = df.where(
         F.col(value_col).isNotNull()
         & (F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0)) > 0)

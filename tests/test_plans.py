@@ -150,6 +150,17 @@ def test_shard_and_pack_avoid_global_single_task(plans):
         assert "Exchange SinglePartition" not in plans[name], name
 
 
+def test_zipf_slope_no_global_window(plans):
+    """zipf_slope's count-desc ranking must run through
+    exact_rank_prefix (range-partitioned local rank, materialized by
+    localCheckpoint), never a single-task unpartitioned Window over
+    the distinct vocabulary (10^8+ rows at 100 TB).  With the rank
+    pass checkpointed, the query plan contains NO Window node; a
+    Window here means the row_number-over-global-orderBy crept back."""
+    p = plans["zipf_slope"]
+    assert "Window" not in p, p
+
+
 def test_substr_dup_frac_single_corpus_scan(plans):
     """The window-count formulation explodes the corpus exactly once;
     a second Generate means a count-then-join-back crept back in and
