@@ -3414,6 +3414,71 @@ def _q_sql_druid_rewrite(spark, sf_dir):
     )
 
 
+def _q_where_diff_rewrite(spark, sf_dir):
+    """Druid-cache reuse pair (functions/sqlcompare.py, reference
+    ch/visitor/WhereClauseComparator.java:20-199 +
+    RewrittenDateSqlBuilder.java:14-27 + GlobalJoinAstRewriter.java
+    :11-32) exercised distributed: per-row templated cached/current
+    query pairs built from doc_id (date shift = doc_id%3 days,
+    non-date predicate drift on doc_id%5==0), diffed by the Arrow
+    comparator UDF, and the cache-extension rewrite emitted when the
+    pair differs only by dates; a second UDF forces GLOBAL joins on
+    an alternating join template.  The oracle re-derives every flag
+    and both rewritten strings directly from the generating
+    arithmetic."""
+    from sqlfeatureextraction_spark.functions.sqlcompare import (
+        global_join_rewrite_udf,
+        where_diff_udf,
+    )
+
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    )
+    epoch = F.to_date(F.lit("2021-01-01"))
+    base_off = (F.col("doc_id") % 20).cast("int")
+    shift = (F.col("doc_id") % 3).cast("int")
+
+    def day(off):
+        return F.date_format(F.date_add(epoch, off), "yyyy-MM-dd")
+
+    f1 = (F.col("doc_id") % 7).cast("string")
+    f2 = (
+        F.col("doc_id") % 7
+        + F.when(F.col("doc_id") % 5 == 0, 1).otherwise(0)
+    ).cast("string")
+
+    def q(lo, hi, f):
+        return F.concat(
+            F.lit("SELECT count(1) FROM logs WHERE ftime >= toDate('"),
+            lo,
+            F.lit("') AND ftime <= toDate('"),
+            hi,
+            F.lit("') AND feature = "),
+            f,
+        )
+
+    cached = q(day(base_off), day(base_off + 30), f1)
+    current = q(day(base_off + shift), day(base_off + 30 + shift), f2)
+    join_sql = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.lit("SELECT * FROM a LEFT JOIN b ON a.x = b.x"),
+    ).otherwise(
+        F.lit("SELECT * FROM a GLOBAL INNER JOIN b ON a.x = b.x")
+    )
+    out = doc.withColumn(
+        "d", where_diff_udf()(current, cached)
+    ).withColumn("g", global_join_rewrite_udf()(join_sql))
+    return out.select(
+        "doc_id",
+        F.col("d.totally_the_same").alias("totally_the_same"),
+        F.col("d.only_date_different").alias("only_date_different"),
+        F.col("d.date_range_extendable").alias("date_range_extendable"),
+        F.col("d.rewritten_sql").alias("rewritten_sql"),
+        F.col("g.rewritten").alias("global_rewritten"),
+        F.col("g.without_global_keyword").alias("without_global"),
+    )
+
+
 def _q_sql_minc_ast_encode(spark, sf_dir):
     """AST-grade MINC front end (functions/mincparse.py) on the SQL
     shapes the regex layer cannot handle structurally: nested FROM
@@ -3778,6 +3843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_apm_encode": _q_sql_apm_encode,
         "apm_golden_corpus": _q_apm_golden_corpus,
         "sql_druid_rewrite": _q_sql_druid_rewrite,
+        "where_diff_rewrite": _q_where_diff_rewrite,
         "merge_turns": _q_merge_turns,
         "sft_pipeline": _q_sft_pipeline,
         "conversation_features": _q_conversation_features,
@@ -7999,6 +8065,48 @@ def oracle_sql() -> dict[str, str]:
         # from the generating columns (ts bound seconds, measure name
         # through the avg→sum(x_sum) chain, LIMIT 0,n collapse, the
         # pmone-db + _cluster table normalizations)
+        # where-clause diff + cache-extension date rewrite + GLOBAL
+        # join rewrite: every flag and both rewritten strings
+        # re-derived from the generating arithmetic (shift = doc_id%3
+        # days; non-date drift on doc_id%5==0; join template
+        # alternates on doc_id%2)
+        "where_diff_rewrite": """
+            WITH b AS (
+              SELECT doc_id,
+                     strftime(DATE '2021-01-01'
+                              + CAST(doc_id % 20 AS INTEGER),
+                              '%Y-%m-%d') AS lo,
+                     strftime(DATE '2021-01-01'
+                              + CAST(doc_id % 20 + 30 AS INTEGER),
+                              '%Y-%m-%d') AS hi,
+                     strftime(DATE '2021-01-01'
+                              + CAST(doc_id % 20 + 30 + doc_id % 3
+                                     AS INTEGER),
+                              '%Y-%m-%d') AS hi2,
+                     CAST(doc_id % 7 AS VARCHAR) AS f1,
+                     doc_id % 3 AS shift,
+                     (doc_id % 5 = 0) AS fdiff
+              FROM documents
+            )
+            SELECT doc_id,
+                   (shift = 0 AND NOT fdiff) AS totally_the_same,
+                   (NOT fdiff) AS only_date_different,
+                   (shift > 0 AND NOT fdiff) AS date_range_extendable,
+                   CASE WHEN shift > 0 AND NOT fdiff THEN
+                     'SELECT count(1) FROM logs WHERE ftime >= '
+                     || 'toDate(''' || hi || ''') AND ftime <= '
+                     || 'toDate(''' || hi2 || ''') AND feature = '
+                     || f1
+                   END AS rewritten_sql,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'SELECT * FROM a GLOBAL LEFT JOIN b'
+                             || ' ON a.x = b.x'
+                        ELSE 'SELECT * FROM a GLOBAL INNER JOIN b'
+                             || ' ON a.x = b.x'
+                   END AS global_rewritten,
+                   (doc_id % 2 = 0) AS without_global
+            FROM b
+        """,
         "sql_druid_rewrite": """
             SELECT CAST(event_id AS BIGINT) AS sql_id,
                    CAST(floor(epoch(ts)) AS BIGINT) AS ts_end_sec,
