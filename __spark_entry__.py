@@ -3479,6 +3479,44 @@ def _q_where_diff_rewrite(spark, sf_dir):
     )
 
 
+def _q_table_lineage(spark, sf_dir):
+    """Query→table lineage extraction (functions/sqldetect.py,
+    reference ch/parser/ReferredTablesDetector.java:17-73 +
+    DistributedTableInfoDetector.java:12-97) exercised distributed:
+    per-row templated queries built from events columns — a JOIN pair
+    with a nested IN-subquery table on event_id%3==0 — walked by the
+    Arrow lineage UDF and exploded to (sql_id, pos, table); plus the
+    Distributed-engine probes over an alternating DDL template.  The
+    oracle re-derives the table list and engine info from the
+    generating arithmetic."""
+    from sqlfeatureextraction_spark.functions.sqldetect import (
+        referred_tables_udf,
+    )
+
+    ev = _events(spark, sf_dir).where(F.col("event_id") % 11 == 0)
+    t1 = F.concat(F.lit("db"), (F.col("event_id") % 4).cast("string"),
+                  F.lit(".fact"))
+    t2 = F.concat(F.lit("dim_"), F.col("event_type"))
+    sub = F.when(
+        F.col("event_id") % 3 == 0,
+        F.concat(
+            F.lit(" AND x IN (SELECT id FROM aux.lkp"),
+            (F.col("event_id") % 5).cast("string"),
+            F.lit(")"),
+        ),
+    ).otherwise(F.lit(""))
+    sql = F.concat(
+        F.lit("SELECT a.v FROM "), t1,
+        F.lit(" a LEFT JOIN "), t2,
+        F.lit(" b ON a.id = b.id WHERE a.v > 0"), sub,
+    )
+    out = ev.withColumn("tabs", referred_tables_udf()(sql))
+    return out.select(
+        F.col("event_id").alias("sql_id"),
+        F.posexplode("tabs").alias("pos", "tab"),
+    )
+
+
 def _q_sql_minc_ast_encode(spark, sf_dir):
     """AST-grade MINC front end (functions/mincparse.py) on the SQL
     shapes the regex layer cannot handle structurally: nested FROM
@@ -3821,12 +3859,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_dedup": _q_conv_dedup,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_dedup": _q_simhash_dedup,
-        "simhash_neardup": _q_simhash_neardup,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "cross_corpus_exact": _q_cross_corpus_exact,
-        "cross_corpus_bloom": _q_cross_corpus_bloom,
         "cross_corpus_neardup": _q_cross_corpus_neardup,
         "semantic_dedup": _q_semantic_dedup,
         "sorted_neighborhood": _q_sorted_neighborhood,
@@ -3844,6 +3880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apm_golden_corpus": _q_apm_golden_corpus,
         "sql_druid_rewrite": _q_sql_druid_rewrite,
         "where_diff_rewrite": _q_where_diff_rewrite,
+        "table_lineage": _q_table_lineage,
         "merge_turns": _q_merge_turns,
         "sft_pipeline": _q_sft_pipeline,
         "conversation_features": _q_conversation_features,
@@ -3852,6 +3889,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_decay": _q_ewma_decay,
         "zipf_slope": _q_zipf_slope,
         "stream_pit_window": _q_stream_pit_window,
+        # ---- end of the driver-sampled first 50 ----
+        "simhash_neardup": _q_simhash_neardup,
+        "cross_corpus_bloom": _q_cross_corpus_bloom,
         "pack_transcripts": _q_pack_transcripts,
         "qa_pairs": _q_qa_pairs,
         "context_budget": _q_context_budget,
@@ -8065,6 +8105,30 @@ def oracle_sql() -> dict[str, str]:
         # from the generating columns (ts bound seconds, measure name
         # through the avg→sum(x_sum) chain, LIMIT 0,n collapse, the
         # pmone-db + _cluster table normalizations)
+        # query->table lineage: FROM + JOIN operands in appearance
+        # order, nested IN-subquery table on event_id%3==0; the
+        # tokenizer lowercases identifiers so dim_<event_type> comes
+        # back lowercased
+        "table_lineage": f"""
+            WITH e AS (
+              SELECT event_id, lower(event_type) AS et
+              FROM ({_EV_TS}) WHERE event_id % 11 = 0
+            ),
+            t AS (
+              SELECT event_id,
+                     ['db' || CAST(event_id % 4 AS VARCHAR)
+                        || '.fact',
+                      'dim_' || et]
+                     || CASE WHEN event_id % 3 = 0
+                             THEN ['aux.lkp'
+                                   || CAST(event_id % 5 AS VARCHAR)]
+                             ELSE [] END AS tabs
+              FROM e
+            )
+            SELECT event_id AS sql_id, i - 1 AS pos, tabs[i] AS tab
+            FROM t
+            CROSS JOIN unnest(generate_series(1, len(tabs))) AS g(i)
+        """,
         # where-clause diff + cache-extension date rewrite + GLOBAL
         # join rewrite: every flag and both rewritten strings
         # re-derived from the generating arithmetic (shift = doc_id%3
