@@ -571,6 +571,7 @@ def rrf_fuse(
     score_col: str = "score",
     k: int = 10,
     c: float = 60.0,
+    max_candidates: int | None = 100_000,
 ) -> DataFrame:
     """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of two or
     more ranked candidate lists — the standard way to combine the
@@ -593,7 +594,12 @@ def rrf_fuse(
     never a corpus.  The per-list rank window is unpartitioned, which
     is exactly right at that size (one task over k rows); the fusion
     itself is a union + groupBy on the id, and the final top-k
-    compiles to TakeOrderedAndProject.
+    compiles to TakeOrderedAndProject.  The contract is ENFORCED:
+    ``max_candidates`` (default 100k) caps each input list and a
+    larger list raises — feeding a corpus through the unpartitioned
+    rank window must fail loudly at list size, not melt a cluster at
+    100 TB.  Pass ``max_candidates=None`` only when the caller
+    guarantees the bound structurally.
 
     Output: (id_col, n_lists, rrf_score), ordered by fused score desc
     then id asc, limited to ``k``.
@@ -601,6 +607,18 @@ def rrf_fuse(
     lists = list(lists)
     if len(lists) < 2:
         raise ValueError("rrf_fuse needs at least two ranked lists")
+    if max_candidates is not None:
+        for i, df in enumerate(lists):
+            # bounded probe: one extra row beyond the cap decides
+            n_probe = df.limit(int(max_candidates) + 1).count()
+            if n_probe > max_candidates:
+                raise ValueError(
+                    f"rrf_fuse: input list {i} exceeds max_candidates"
+                    f"={max_candidates}; inputs must be bounded top-k"
+                    " candidate lists, not corpora (raise the cap or"
+                    " pass max_candidates=None only with a structural"
+                    " bound)"
+                )
     fused = None
     for df in lists:
         w = Window.orderBy(F.desc(score_col), F.asc(id_col))

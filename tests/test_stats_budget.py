@@ -576,6 +576,21 @@ def test_rrf_fuse_requires_two_lists(spark):
         rrf_fuse([bm25_topk(_docs(spark), "spark", k=5)], k=5)
 
 
+def test_rrf_fuse_enforces_candidate_bound(spark):
+    """The scale contract is enforced, not just documented: an input
+    list larger than max_candidates raises (feeding a corpus through
+    the unpartitioned rank window must fail loudly at list size)."""
+    from sqlfeatureextraction_spark.operators.similarity import rrf_fuse
+
+    big = spark.range(50).selectExpr(
+        "id AS doc_id", "CAST(id AS DOUBLE) AS score"
+    )
+    with pytest.raises(ValueError, match="max_candidates"):
+        rrf_fuse([big, big], k=5, max_candidates=10)
+    # at or under the cap the same lists fuse fine
+    assert len(rrf_fuse([big, big], k=5, max_candidates=50).collect()) == 5
+
+
 def test_rrf_fuse_plan_shape(spark):
     from sqlfeatureextraction_spark.operators.similarity import rrf_fuse
     from sqlfeatureextraction_spark.operators.stats import bm25_topk
