@@ -1268,8 +1268,15 @@ def _q_lag_lead(spark, sf_dir):
 
 
 def _q_topk_per_group(spark, sf_dir):
-    """W6/W7: top-3 rows per entity by value (cost) desc, defined ties."""
-    ev = _events(spark, sf_dir)
+    """W6/W7: top-3 rows per entity by value (cost) desc, defined ties.
+
+    The map-side WindowGroupLimit (partial top-3 per task before the
+    exchange) only helps if the scan actually parallelizes — a
+    single-row-group file would run the pre-shuffle sort serially, so
+    spread such scans first (no-op at real scale)."""
+    from sqlfeatureextraction_spark.scanspread import spread_small_scan
+
+    ev = spread_small_scan(_events(spark, sf_dir), "event_id")
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
     return (
         ev.withColumn("rk", F.row_number().over(w))
@@ -1296,21 +1303,45 @@ def _q_asof_last_match(spark, sf_dir):
 
 
 def _q_backfill_spine(spark, sf_dir):
-    """W5 backfill: dense per-entity minute spine, zero-filled counts."""
+    """W5 backfill: dense per-entity minute spine, zero-filled counts.
+
+    Formulation: gap-fill between consecutive event-minutes via lag
+    (the spine [min..max] per user is exactly the union of
+    [prev_minute+1 .. minute] runs, since min/max minutes both carry
+    events).  Equivalent rows to the bounds-spine LEFT JOIN form, but
+    the dense spine (~100-600x the input) is GENERATED with its count
+    already attached — no join probe per generated row, no second
+    scan of the input, no broadcast of the per-minute counts (which
+    at real scale would not be broadcastable at all)."""
     ev = _events(spark, sf_dir).withColumn(
         "minute", F.floor(F.col("ts_sec") / 60).cast("long")
     )
-    bounds = ev.groupBy("user_id").agg(
-        F.min("minute").alias("mn"), F.max("minute").alias("mx")
+    # one exchange total: clustering by user_id up front satisfies the
+    # (user_id, minute) groupBy AND the lag window, and parallelizes
+    # the aggregation even when the scan is a serial single-row-group
+    # read (the partial agg would otherwise run on one task)
+    cnt = (
+        ev.repartition("user_id")
+        .groupBy("user_id", "minute")
+        .agg(F.count("*").alias("n"))
     )
-    spine = bounds.select(
-        "user_id", F.explode(F.sequence("mn", "mx")).alias("minute")
+    w = Window.partitionBy("user_id").orderBy("minute")
+    run = cnt.withColumn(
+        "gap_start",
+        F.coalesce(F.lag("minute").over(w) + 1, F.col("minute")),
     )
-    cnt = ev.groupBy("user_id", "minute").agg(F.count("*").alias("n"))
-    return spine.join(cnt, ["user_id", "minute"], "left").select(
+    return run.select(
+        "user_id",
+        F.col("minute").alias("ev_minute"),
+        "n",
+        F.explode(F.sequence("gap_start", "minute")).alias("minute"),
+    ).select(
         "user_id",
         "minute",
-        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.when(F.col("minute") == F.col("ev_minute"), F.col("n"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_events"),
     )
 
 
@@ -1415,25 +1446,38 @@ def _wf_scalars(wf: DataFrame, vocab) -> DataFrame:
 def _q_transcript_window_features(spark, sf_dir):
     """Flagship pipeline via the built-in window path, projected to
     oracle-checkable scalars (width / tool-segment sum / vector sum
-    per (conv_id, ts_sec) anchor)."""
+    per (conv_id, ts_sec) anchor).
+
+    r6: runs through the narrow scalar pipeline
+    (with_turn_scalars + window_feature_scalars) — identical output to
+    the old scalars_only assembly (pinned by
+    tests/test_asof_merge.py::test_scalar_fast_path_matches_assembler),
+    with the wide vector payload, the feature join-back and the
+    assembly ArrowEvalPython all removed.  The transcript view is
+    spread (single-row-group scans are effectively serial) and cached
+    ONCE for its three consumers — the vocabulary-fit token job, the
+    role/tool-distinct job and the encode pipeline — so the serial
+    file read happens exactly once per run."""
     from sqlfeatureextraction_spark.config import FeatureConfig
     from sqlfeatureextraction_spark.operators.pit_window import (
-        window_features_builtin,
+        SCALAR_FIELDS,
+        window_feature_scalars,
     )
-    from sqlfeatureextraction_spark.operators.vectorize import with_turn_features
+    from sqlfeatureextraction_spark.operators.vectorize import with_turn_scalars
+    from sqlfeatureextraction_spark.scanspread import spread_small_scan
     from sqlfeatureextraction_spark.synth import events_as_transcripts
     from sqlfeatureextraction_spark.vocab import fit_vocabulary
 
     cfg = FeatureConfig()
     tx = events_as_transcripts(spark, sf_dir)
+    tx = spread_small_scan(
+        tx, F.xxhash64("ts", "turn_idx")
+    ).cache()  # three consumers: fit tokens, fit role/tool, encode
     vocab = fit_vocabulary(tx, max_tokens=256)
-    vec, layout = with_turn_features(tx, vocab, cfg)
-    vec = vec.cache()  # feeds the narrow window pass + the feature join
-    from sqlfeatureextraction_spark.operators.pit_window import SCALAR_FIELDS
-
-    return window_features_builtin(
-        vec, vocab, cfg, layout, scalars_only=True
-    ).select("conv_id", "ts_sec", *SCALAR_FIELDS)
+    vec_s, layout = with_turn_scalars(tx, vocab, cfg)
+    return window_feature_scalars(vec_s, vocab, cfg, layout).select(
+        "conv_id", "ts_sec", *SCALAR_FIELDS
+    )
 
 
 def _q_tumbling_window_agg(spark, sf_dir):

@@ -275,6 +275,184 @@ def window_features_builtin(
     )
 
 
+def window_feature_scalars(
+    vec_s: DataFrame,
+    vocab: Vocabulary,
+    cfg: FeatureConfig,
+    layout: VectorLayout,
+) -> DataFrame:
+    """Flagship SCALAR projection via narrow per-turn sums — the same
+    output as ``window_features_builtin(..., scalars_only=True)``
+    (pinned by tests), with the payload path removed (guide §2.3/§8):
+
+      * input is ``with_turn_scalars`` output — per-turn segment sums
+        ride IN the member struct (5 extra int32s), so the
+        feature-join back onto ``vec`` disappears, and with it the
+        caching / broadcast of the wide vector column;
+      * the fixed-width matrix scatter is replaced by exact integer
+        arithmetic on the JVM: segment sums of the assembled window
+        matrix = Σ over selected members of their per-turn segment
+        sums (slots never overlap: (slot_idx, member_idx) is unique
+        per anchor), and the tool-intent popcount = the number of
+        distinct in-vocabulary tools among selected members — so the
+        second ArrowEvalPython node disappears too.
+
+    Whole pipeline: exactly two hash exchanges on conv_id (the second
+    only because the Python-eval node cannot advertise that it
+    preserves its child's partitioning); every groupBy/window after it
+    is keyed on a superset of conv_id and reuses the one exchange.
+    Sort placement is deliberate: the anchor-tie row_number orders by
+    turn_idx so ONE (conv_id, ts_sec, turn_idx) sort serves both it
+    and the range-frame member window; the member-rank window runs
+    BEFORE the slot-rank window so its filter shrinks the rows the
+    second sort sees."""
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-(cfg.window_size_s - 1), 0)
+    )
+    tie = Window.partitionBy("conv_id", "ts_sec").orderBy(F.asc("turn_idx"))
+    member = F.struct(
+        "ts_sec",
+        "turn_idx",
+        "tool",
+        "cost",
+        "vec_hash",
+        "s_time",
+        "s_role",
+        "s_tool",
+        "s_bow",
+        "s_lag",
+    )
+    # explicit conv_id repartition: the Python eval node upstream
+    # cannot advertise partitioning, so without this the planner
+    # satisfies the tie window with a (conv_id, ts_sec) exchange and
+    # then needs a SECOND exchange back to conv_id for the range
+    # window; pinning conv_id here lets one exchange serve the entire
+    # downstream chain (every partition spec is a conv_id superset)
+    vec_s = vec_s.repartition("conv_id")
+    # _rn FIRST: its (conv_id, ts_sec, turn_idx) sort also satisfies
+    # the (conv_id, ts_sec)-sorted range-frame member window, so the
+    # planner emits ONE sort for both (members computed over ALL rows
+    # — the _rn filter only selects which row keeps the list, and a
+    # filter on a window output never pushes below the other window)
+    anchors = (
+        vec_s.withColumn("_rn", F.row_number().over(tie))
+        .select(
+            "conv_id",
+            "ts_sec",
+            "_rn",
+            F.collect_list(member).over(w).alias("members"),
+        )
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    m = F.explode("members").alias("m")
+    pairs = anchors.select("conv_id", "ts_sec", m).select(
+        "conv_id",
+        "ts_sec",
+        F.col("m.ts_sec").alias("m_ts_sec"),
+        F.col("m.turn_idx").alias("m_turn_idx"),
+        F.coalesce(F.col("m.tool"), F.lit("")).alias("m_tool"),
+        F.col("m.cost").alias("m_cost"),
+        F.col("m.vec_hash").alias("m_vec_hash"),
+        F.col("m.s_time").alias("m_s_time"),
+        F.col("m.s_role").alias("m_s_role"),
+        F.col("m.s_tool").alias("m_s_tool"),
+        F.col("m.s_bow").alias("m_s_bow"),
+        F.col("m.s_lag").alias("m_s_lag"),
+    )
+
+    # A2 dedupe — identical grouping to window_features_builtin, kept
+    # HASH-aggregable (all-primitive keys and buffers; min(struct)
+    # would force a SortAggregate + an extra 5-key sort):
+    #   * the per-segment sums are functionally dependent on
+    #     m_vec_hash (equal hash ⇒ equal vector ⇒ equal sums), so
+    #     adding them to the GROUP KEY cannot split any group;
+    #   * the (m_ts_sec, m_turn_idx) representative order packs into
+    #     one BIGINT — ts_sec < 2^32 until year 2106 and turn_idx is a
+    #     non-negative int32, so (ts_sec << 31) + turn_idx stays below
+    #     2^63 and preserves the lexicographic order exactly.
+    g_ord_packed = (
+        F.shiftleft(F.col("m_ts_sec"), 31) + F.col("m_turn_idx")
+    ).cast("long")
+    dedup = pairs.groupBy(
+        "conv_id",
+        "ts_sec",
+        "m_tool",
+        "m_vec_hash",
+        "m_s_time",
+        "m_s_role",
+        "m_s_tool",
+        "m_s_bow",
+        "m_s_lag",
+    ).agg(
+        F.sum("m_cost").alias("g_cost"),
+        F.min(g_ord_packed).alias("g_ord"),
+    )
+
+    # member rank FIRST (its sort also satisfies the order-free
+    # tool_cost window: same partition-key prefix), filter to <= top_n
+    # per tool, THEN rank tools — the slot sort runs on the filtered
+    # rows
+    tool_cost_w = Window.partitionBy("conv_id", "ts_sec", "m_tool")
+    mem_w = Window.partitionBy("conv_id", "ts_sec", "m_tool").orderBy(
+        F.desc("g_cost"), F.asc("g_ord")
+    )
+    slot_w = Window.partitionBy("conv_id", "ts_sec").orderBy(
+        F.desc("tool_cost"), F.asc("m_tool")
+    )
+    members = (
+        dedup.withColumn("member_idx", F.row_number().over(mem_w) - 1)
+        .withColumn("tool_cost", F.sum("g_cost").over(tool_cost_w))
+        .where(F.col("member_idx") < cfg.top_n_members)
+        .withColumn("slot_idx", F.dense_rank().over(slot_w) - 1)
+        .where(F.col("slot_idx") < cfg.top_k_entities)
+    )
+
+    out_w = window_vector_width(
+        layout, cfg.top_k_entities, cfg.top_n_members
+    )
+    in_vocab_tools = sorted(vocab.tools)
+    seg_sum = [
+        F.sum(F.col(f"m_s_{s}")).cast("long").alias(f"{s}_sum")
+        for s in ("time", "role", "tool", "bow", "lag")
+    ]
+    agg = members.groupBy("conv_id", "ts_sec").agg(
+        F.size(
+            F.collect_set(
+                F.when(
+                    F.col("m_tool").isin(in_vocab_tools), F.col("m_tool")
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("tool_bits"),
+        *seg_sum,
+    )
+    return agg.select(
+        "conv_id",
+        "ts_sec",
+        F.lit(out_w).cast("int").alias("width"),
+        "tool_bits",
+        "time_sum",
+        "role_sum",
+        "tool_sum",
+        "bow_sum",
+        "lag_sum",
+        (
+            F.col("tool_bits")
+            + F.col("time_sum")
+            + F.col("role_sum")
+            + F.col("tool_sum")
+            + F.col("bow_sum")
+            + F.col("lag_sum")
+        )
+        .cast("bigint")
+        .alias("feat_sum"),
+    )
+
+
 def ewma_time_decay(
     df: DataFrame,
     half_life_s: float,

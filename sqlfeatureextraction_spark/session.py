@@ -66,7 +66,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # bigger batches for the narrow Arrow stages (guide §4.2: raise
+        # for narrow data — per-batch Python/transpose overhead
+        # amortizes 6x), while TIGHTENING the byte cap from its 64m
+        # default so wide rows (multimodal payloads) get smaller
+        # batches than before, not larger — the byte cap is the actual
+        # memory bound, the record cap only matters for narrow rows
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "32768")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "16m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -142,15 +142,26 @@ def fit_vocabulary(
     Token selection is frequency-thresholded then lexicographically
     ordered, so the bit assignment is independent of partitioning.
     """
-    # a single-row-group input file scans as ONE task no matter the
-    # split configs — spread the tokenize/explode across the cores
-    # when the source parallelism is low (no-op on real-scale inputs,
-    # which already have >= cores partitions)
-    target = transcripts.sparkSession.sparkContext.defaultParallelism
-    if transcripts.rdd.getNumPartitions() < max(2, target // 2):
-        transcripts = transcripts.repartition(target)
+    # a single-row-group input file scans as ONE working task no
+    # matter the split configs (row groups are atomic to the reader;
+    # getNumPartitions() counts splits, not row groups, so it cannot
+    # see this) — spread the tokenize/explode across the cores when
+    # the scan is provably effectively-serial and tiny (no-op on
+    # real-scale inputs, guide §2.5)
+    from sqlfeatureextraction_spark.scanspread import spread_small_scan
+
+    # spread ONLY the text column (plus a cheap near-unique spread
+    # key): shuffling derived columns — or computing them serially on
+    # the scan task just to hash them — would cost more than the
+    # serial tokenize being avoided
+    key_cols = [
+        c for c in ("text", "ts", "turn_idx") if c in transcripts.columns
+    ] or list(transcripts.columns)
+    tok_src = spread_small_scan(
+        transcripts.select(*key_cols), F.xxhash64(*key_cols)
+    )
     tok_counts = (
-        transcripts.select(F.explode(tokenize_col(F.col("text"))).alias("v"))
+        tok_src.select(F.explode(tokenize_col(F.col("text"))).alias("v"))
         .groupBy("v")
         .agg(F.count("*").alias("n"))
         .where(F.col("n") >= min_count)
@@ -158,18 +169,21 @@ def fit_vocabulary(
     if max_tokens is not None:
         # keep the max_tokens most frequent, ties broken lexicographically
         tok_counts = tok_counts.orderBy(F.desc("n"), F.asc("v")).limit(max_tokens)
-    tokens = sorted(r["v"] for r in tok_counts.select("v").collect())
 
-    # one job for both dictionaries: the (role, tool) pair-distinct is
-    # tiny and saves a full scan+shuffle vs two separate collects
-    pairs = (
-        transcripts.select(
-            F.col("role").alias("r"),
-            F.coalesce(F.col("tool"), F.lit("")).alias("t"),
-        )
-        .distinct()
-        .collect()
-    )
+    # the (role, tool) pair-distinct job is independent of the token
+    # job — submit both from driver threads so the small job backfills
+    # the token job's tail instead of serializing after it (guide §2.6)
+    pairs_df = transcripts.select(
+        F.col("role").alias("r"),
+        F.coalesce(F.col("tool"), F.lit("")).alias("t"),
+    ).distinct()
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        tok_f = pool.submit(lambda: tok_counts.select("v").collect())
+        pairs_f = pool.submit(pairs_df.collect)
+        tokens = sorted(r["v"] for r in tok_f.result())
+        pairs = pairs_f.result()
     roles = sorted({p["r"] for p in pairs if p["r"] is not None})
     tools = sorted({p["t"] for p in pairs})
 

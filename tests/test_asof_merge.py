@@ -230,3 +230,46 @@ def test_sparse_equals_dense_nonascending_granularities(transcripts_df):
         out = np.zeros(layout.width, dtype=np.float32)
         out[np.asarray(fs["idx"], dtype=np.int64)] = fs["val"]
         assert np.array_equal(dense, out)
+
+
+def test_scalar_fast_path_matches_assembler(transcripts_df):
+    """r6 narrow scalar pipeline (with_turn_scalars +
+    window_feature_scalars — no wide vector, no feature join, no
+    assembly UDF) must equal the matrix-scatter scalars_only path on
+    every column, for several configs."""
+    from sqlfeatureextraction_spark.operators.pit_window import (
+        SCALAR_FIELDS,
+        window_feature_scalars,
+    )
+    from sqlfeatureextraction_spark.operators.vectorize import (
+        with_turn_scalars,
+    )
+
+    for cfg in (
+        FeatureConfig(),
+        FeatureConfig(top_k_entities=2, top_n_members=3),
+        FeatureConfig(window_size_s=61),
+        FeatureConfig(binary_bow=False),
+    ):
+        v = fit_vocabulary(transcripts_df)
+        vec, layout = with_turn_features(transcripts_df, v, cfg)
+        old = (
+            window_features_builtin(vec, v, cfg, layout, scalars_only=True)
+            .select("conv_id", "ts_sec", *SCALAR_FIELDS)
+            .toPandas()
+            .sort_values(["conv_id", "ts_sec"])
+            .reset_index(drop=True)
+        )
+        vec_s, layout_s = with_turn_scalars(transcripts_df, v, cfg)
+        new = (
+            window_feature_scalars(vec_s, v, cfg, layout_s)
+            .select("conv_id", "ts_sec", *SCALAR_FIELDS)
+            .toPandas()
+            .sort_values(["conv_id", "ts_sec"])
+            .reset_index(drop=True)
+        )
+        assert len(old) == len(new), (cfg, len(old), len(new))
+        for col in old.columns:
+            assert np.array_equal(
+                old[col].to_numpy(), new[col].to_numpy()
+            ), (cfg, col)
