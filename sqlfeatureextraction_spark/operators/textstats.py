@@ -110,8 +110,15 @@ def with_fingerprint(
 ) -> DataFrame:
     """Document fingerprint: xxhash64 of the full text plus a rolling
     winnowed sketch — min hash over each k-token window, giving a
-    shift-tolerant signature (array<long>)."""
-    toks = tokenize_col(F.col(text_col))
+    shift-tolerant signature (array<long>).
+
+    The token array is materialized as a projected column before the
+    per-window lambda references it — an un-materialized reference
+    would re-run the regex tokenizer once per window (see
+    winnow_fingerprints for the measured cost of that pattern)."""
+    toks_col = "__fp_toks"
+    staged = df.withColumn(toks_col, tokenize_col(F.col(text_col)))
+    toks = F.col(toks_col)
     count = F.greatest(F.size(toks) - (k - 1), F.lit(0))
     idx = F.sequence(F.lit(0), count - 1)
     win_hash = lambda i: F.xxhash64(  # noqa: E731
@@ -120,8 +127,10 @@ def with_fingerprint(
     sketch = F.when(count > 0, F.transform(idx, win_hash)).otherwise(
         F.array().cast("array<bigint>")
     )
-    return df.withColumn("fingerprint", F.xxhash64(F.col(text_col))).withColumn(
-        "winnow_min", F.array_min(sketch)
+    return (
+        staged.withColumn("fingerprint", F.xxhash64(F.col(text_col)))
+        .withColumn("winnow_min", F.array_min(sketch))
+        .drop(toks_col)
     )
 
 
@@ -312,22 +321,37 @@ def with_char_entropy(
     summation orders.
 
     Adds: char_entropy (double).
+
+    The char array, its size and the distinct-char array are
+    materialized as projected columns, and each character's
+    probability is computed ONCE (a transform into a p-array feeding
+    the fold) — the fused form re-ran the string split at every
+    lambda reference and counted every distinct character twice
+    (measured 9.2 s → sub-second on the sf0.1 documents).  The fold
+    accumulates − p·log2(p) over the same distinct-char order with
+    the same IEEE operations, so the rounded value is bit-identical.
     """
-    chars = F.split(F.coalesce(F.col(text_col), F.lit("")), "")
-    n = F.size(chars).cast("double")
-    dc = F.array_distinct(chars)
-    cnt = lambda c: F.size(  # noqa: E731
-        F.filter(chars, lambda x: x == c)
-    ).cast("double")
-    ent = F.aggregate(
-        dc,
-        F.lit(0.0),
-        lambda acc, c: acc - (cnt(c) / n) * F.log2(cnt(c) / n),
+    c_chars, c_n, c_dc = "__ce_chars", "__ce_n", "__ce_dc"
+    staged = (
+        df.withColumn(
+            c_chars, F.split(F.coalesce(F.col(text_col), F.lit("")), "")
+        )
+        .withColumn(c_n, F.size(c_chars).cast("double"))
+        .withColumn(c_dc, F.array_distinct(c_chars))
     )
-    return df.withColumn(
+    chars, n = F.col(c_chars), F.col(c_n)
+    probs = F.transform(
+        F.col(c_dc),
+        lambda c: F.size(F.filter(chars, lambda x: x == c)).cast("double")
+        / n,
+    )
+    ent = F.aggregate(
+        probs, F.lit(0.0), lambda acc, p: acc - p * F.log2(p)
+    )
+    return staged.withColumn(
         "char_entropy",
         F.when(n > 0, F.round(ent, round_dp)).otherwise(F.lit(0.0)),
-    )
+    ).drop(c_chars, c_n, c_dc)
 
 
 def with_normalized_text(
@@ -392,35 +416,57 @@ def winnow_fingerprints(
     posexplode — no shuffle, no UDF; the polynomial shingle hash is
     engine-portable so the oracle replays it bit-for-bit.
 
+    Each stage (token array, shingle-hash array, window-min array) is
+    materialized as its own projected column before the next stage
+    references it: HOF lambdas referencing an un-materialized
+    `transform` expression re-expand it at EVERY `element_at`/`slice`
+    reference (Catalyst does no common-subexpression elimination
+    inside lambdas, and CollapseProject keeps the stages apart only
+    because the aliases are multiply referenced), turning the O(n·w)
+    selection into O(n²·w·k·chars) re-hashing.  Measured: the fused
+    form ran 400+ s on 5k ~300-char docs; the staged form runs the
+    identical arithmetic in under a second.
+
     Output: (*id_cols, pos = shingle index of the selected hash,
     gram_hash), one row per distinct selected pair.
     """
     toks = tokenize_col(F.col(text_col))
-    m = F.size(toks)
-    n_gram = F.greatest(m - (k - 1), F.lit(0))
-    gh = F.transform(
-        F.sequence(F.lit(0), n_gram - 1),
-        lambda i: _poly_hash(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    n_gram = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    staged = df.select(*id_cols, toks.alias("_toks"), n_gram.alias("_ng"))
+    gh_expr = F.transform(
+        F.sequence(F.lit(0), F.col("_ng") - 1),
+        lambda i: _poly_hash(
+            F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, k))
+        ),
     )
-    win = F.least(F.lit(w), n_gram)
-    n_win = n_gram - win + 1
-    sel = F.transform(
+    staged = staged.select(*id_cols, "_ng", gh_expr.alias("_gh"))
+    win = F.least(F.lit(w), F.col("_ng"))
+    n_win = F.col("_ng") - win + 1
+    wmin_expr = F.transform(
         F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.array_min(F.slice(F.col("_gh"), i + 1, win)),
+    )
+    staged = staged.select(
+        *id_cols, "_ng", "_gh", win.alias("_win"), wmin_expr.alias("_wmin")
+    )
+    gh = F.col("_gh")
+    sel = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("_wmin")) - 1),
         lambda i: F.struct(
             F.array_max(
                 F.filter(
-                    F.sequence(i, i + win - 1),
+                    F.sequence(i, i + F.col("_win") - 1),
                     lambda j: F.element_at(gh, j + 1)
-                    == F.array_min(F.slice(gh, i + 1, win)),
+                    == F.element_at(F.col("_wmin"), i + 1),
                 )
             ).alias("pos"),
-            F.array_min(F.slice(gh, i + 1, win)).alias("gram_hash"),
+            F.element_at(F.col("_wmin"), i + 1).alias("gram_hash"),
         ),
     )
-    picked = F.when(n_gram > 0, F.array_distinct(sel)).otherwise(
+    picked = F.when(F.col("_ng") > 0, F.array_distinct(sel)).otherwise(
         F.array().cast("array<struct<pos:int,gram_hash:bigint>>")
     )
-    return df.select(
+    return staged.select(
         *id_cols, F.explode(picked).alias("_s")
     ).select(*id_cols, F.col("_s.pos").alias("pos"),
              F.col("_s.gram_hash").alias("gram_hash"))

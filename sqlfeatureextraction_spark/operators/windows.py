@@ -112,24 +112,93 @@ def window_cost_metrics(
     window (start, start+W] and entity, the member count and summed
     cost, INCLUDING empty windows (n_turns = 0, total_cost = 0,
     is_empty = true) so the empty-window usage rate is an aggregation
-    away.  One window-assign explode + one groupBy + one spine left
-    join — no driver loop."""
+    away.
+
+    The dense spine is ~100-600x the input, so it is GENERATED with
+    its metrics already attached (lag-based gap-fill over the
+    aggregated windows, exactly like the backfill-spine query): no
+    per-generated-row join probe against the dense spine, which at
+    real scale would shuffle or broadcast the spine itself.  The
+    joins that remain touch only the per-(entity, window) aggregate
+    and the per-entity bounds — both tiny relative to the output —
+    and share one entity-keyed exchange with the gap-fill window.
+
+    Row-for-row identical to the spine LEFT JOIN formulation: the
+    aggregate is clamped to the spine range [mn, mx] (window starts
+    below floor(min_ts/slide)*slide exist — assignment reaches back
+    W seconds — and were dropped by the spine join), entities whose
+    every assigned window falls outside the clamp still emit their
+    all-empty spine (bounds LEFT JOIN keeps them), and the trailing
+    empty windows up to mx are generated by extending the last run.
+    """
+    from pyspark.sql import Window
+
+    s = cfg.slide_s
     assigned = assign_fixed_windows(df, cfg, ts_col=ts_col)
     agg = assigned.groupBy(entity_col, "window_start_sec").agg(
         F.count("*").alias("n_turns"),
         F.sum(cost_col).alias("total_cost"),
     )
-    spine = time_spine(df, cfg, entity_col=entity_col, ts_col=ts_col)
-    out = spine.join(agg, [entity_col, "window_start_sec"], "left")
-    return out.select(
+    bounds = df.groupBy(entity_col).agg(
+        (F.floor(F.min(_epoch(ts_col)) / s) * s).alias("_mn"),
+        (F.ceil(F.max(_epoch(ts_col)) / s) * s).alias("_mx"),
+    )
+    clamped = agg.join(bounds, [entity_col]).where(
+        F.col("window_start_sec").between(F.col("_mn"), F.col("_mx"))
+    )
+    base = bounds.join(
+        clamped.select(
+            entity_col, "window_start_sec", "n_turns", "total_cost"
+        ),
+        [entity_col],
+        "left",
+    )
+    w = Window.partitionBy(entity_col).orderBy(
+        F.asc_nulls_first("window_start_sec")
+    )
+    gap_start = F.coalesce(
+        F.lag("window_start_sec").over(w) + s, F.col("_mn")
+    )
+    gen_end = F.when(
+        F.lead("window_start_sec").over(w).isNull(), F.col("_mx")
+    ).otherwise(F.col("window_start_sec"))
+    runs = base.select(
         entity_col,
         "window_start_sec",
-        F.coalesce(F.col("n_turns"), F.lit(0)).cast("long").alias("n_turns"),
-        F.coalesce(F.col("total_cost"), F.lit(0)).cast("long").alias(
-            "total_cost"
-        ),
-        F.col("n_turns").isNull().alias("is_empty"),
+        "n_turns",
+        "total_cost",
+        gap_start.alias("_gs"),
+        gen_end.alias("_ge"),
     )
+    gen = runs.select(
+        entity_col,
+        "window_start_sec",
+        "n_turns",
+        "total_cost",
+        F.explode(
+            F.sequence(F.col("_gs"), F.col("_ge"), F.lit(s))
+        ).alias("_ws"),
+    )
+    nonempty = F.col("_ws") == F.col("window_start_sec")
+    out = gen.select(
+        entity_col,
+        F.col("_ws").alias("window_start_sec"),
+        F.coalesce(F.when(nonempty, F.col("n_turns")), F.lit(0))
+        .cast("long")
+        .alias("n_turns"),
+        F.coalesce(F.when(nonempty, F.col("total_cost")), F.lit(0))
+        .cast("long")
+        .alias("total_cost"),
+        (~F.col("_ws").eqNullSafe(F.col("window_start_sec"))).alias(
+            "is_empty"
+        ),
+    )
+    if cfg.business_hour_min is not None:
+        out = out.where(
+            F.hour(F.timestamp_seconds("window_start_sec"))
+            > cfg.business_hour_min
+        )
+    return out
 
 
 def metrics_summary(metrics: DataFrame) -> DataFrame:
