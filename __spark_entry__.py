@@ -1474,8 +1474,12 @@ def _q_transcript_window_features(spark, sf_dir):
 
     cfg = FeatureConfig()
     tx = events_as_transcripts(spark, sf_dir)
+    # spread BY conv_id: the cached InMemoryRelation then advertises
+    # hashpartitioning(conv_id), which the pre-encode lag window
+    # requires — so its Exchange disappears from the plan (one less
+    # full-data shuffle); ~15k convs hash evenly across the cores
     tx = spread_small_scan(
-        tx, F.xxhash64("ts", "turn_idx")
+        tx, F.col("conv_id")
     ).cache()  # three consumers: fit tokens, fit role/tool, encode
     vocab = fit_vocabulary(tx, max_tokens=256)
     vec_s, layout = with_turn_scalars(tx, vocab, cfg)

@@ -160,8 +160,17 @@ def fit_vocabulary(
     tok_src = spread_small_scan(
         transcripts.select(*key_cols), F.xxhash64(*key_cols)
     )
+    # explode_outer + null filter instead of explode: a plain explode
+    # triggers InferFiltersFromGenerate, whose pushed-down size()
+    # predicate re-runs the tokenizer once per row BELOW the spread
+    # exchange (serially, on the scan task); the rule does not fire
+    # for outer generates, and tokens are never null so the rows are
+    # identical (see dedup.with_minhash for the measured cost)
     tok_counts = (
-        tok_src.select(F.explode(tokenize_col(F.col("text"))).alias("v"))
+        tok_src.select(
+            F.explode_outer(tokenize_col(F.col("text"))).alias("v")
+        )
+        .where(F.col("v").isNotNull())
         .groupBy("v")
         .agg(F.count("*").alias("n"))
         .where(F.col("n") >= min_count)
