@@ -1277,10 +1277,20 @@ def _q_topk_per_group(spark, sf_dir):
     The map-side WindowGroupLimit (partial top-3 per task before the
     exchange) only helps if the scan actually parallelizes — a
     single-row-group file would run the pre-shuffle sort serially, so
-    spread such scans first (no-op at real scale)."""
+    spread such scans first (no-op at real scale).  Spreading BY THE
+    WINDOW KEY (user_id) lets the rank window reuse the spread's
+    hashpartitioning, so the plan has ONE exchange instead of a
+    synthetic-key spread followed by an ENSURE_REQUIREMENTS exchange
+    on user_id; the columns are projected first so the exchange
+    carries 4 narrow columns, not the whole event row."""
     from sqlfeatureextraction_spark.scanspread import spread_small_scan
 
-    ev = spread_small_scan(_events(spark, sf_dir), "event_id")
+    ev = spread_small_scan(
+        _events(spark, sf_dir).select(
+            "user_id", "event_id", "value"
+        ),
+        "user_id",
+    )
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
     return (
         ev.withColumn("rk", F.row_number().over(w))
@@ -2418,8 +2428,15 @@ def _q_reorganize_chains(spark, sf_dir):
         reorganize_sessions_distributed,
     )
 
+    # same concat/lpad form as synth.events_as_transcripts: identical
+    # output to 'u%05d' for non-negative ids, without the ~300ns/call
+    # java.util.Formatter cost on the scan task
+    _uid = F.col("user_id").cast("int").cast("string")
     ev = _events(spark, sf_dir).select(
-        F.format_string("u%05d", F.col("user_id").cast("int")).alias("conv_id"),
+        F.concat(
+            F.lit("u"),
+            F.when(F.length(_uid) >= 5, _uid).otherwise(F.lpad(_uid, 5, "0")),
+        ).alias("conv_id"),
         "ts",
     )
     out = reorganize_sessions_distributed(

@@ -320,11 +320,23 @@ def fit_sql_schema_vocab(
             "customer,orders": ("c_custkey,o_custkey",),
             "lineitem,orders": ("l_orderkey,o_orderkey",),
         }
+    # each bin fit is an independent multi-job chain (distinct →
+    # range-repartition rank → two collects); submit them from driver
+    # threads so one fit's small jobs backfill another's tail
+    # (guide §2.6) instead of serializing
     bins = {}
-    for fc, n_bins in (bin_specs or {}).items():
-        t, c = fc.split(".")
-        numeric = "int" in col_types[fc]
-        bins[fc] = fit_range_bins(dfs[t], c, n_bins, numeric)
+    specs = list((bin_specs or {}).items())
+    if specs:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _fit(item):
+            fc, n_bins = item
+            t, c = fc.split(".")
+            numeric = "int" in col_types[fc]
+            return fc, fit_range_bins(dfs[t], c, n_bins, numeric)
+
+        with ThreadPoolExecutor(max_workers=min(4, len(specs))) as pool:
+            bins = dict(pool.map(_fit, specs))
     return SqlSchemaVocab(
         tables=tables,
         columns=columns,

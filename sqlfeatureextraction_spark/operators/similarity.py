@@ -608,6 +608,12 @@ def rrf_fuse(
     if len(lists) < 2:
         raise ValueError("rrf_fuse needs at least two ranked lists")
     if max_candidates is not None:
+        # materialize each (contract-bounded, top-k-sized) list once
+        # so the bound probe does not re-execute the upstream
+        # retrieval pipeline, and the fusion below reads the same
+        # materialized rows instead of computing each leg a second
+        # time (the probe used to double-execute every un-cached leg)
+        lists = [df.localCheckpoint(eager=True) for df in lists]
         for i, df in enumerate(lists):
             # bounded probe: one extra row beyond the cap decides
             n_probe = df.limit(int(max_candidates) + 1).count()
