@@ -433,12 +433,20 @@ def winnow_fingerprints(
     toks = tokenize_col(F.col(text_col))
     n_gram = F.greatest(F.size(toks) - (k - 1), F.lit(0))
     staged = df.select(*id_cols, toks.alias("_toks"), n_gram.alias("_ng"))
-    gh_expr = F.transform(
-        F.sequence(F.lit(0), F.col("_ng") - 1),
-        lambda i: _poly_hash(
-            F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, k))
+    # the staged _gh column is evaluated for EVERY row (unlike the
+    # fused form, where laziness of the n_gram>0 CASE branch skipped
+    # it), so it must itself be gated: for _ng = 0 the index
+    # sequence(0, -1) is DESCENDING and would drive slice() with
+    # start 0 — an error, not an empty array
+    gh_expr = F.when(
+        F.col("_ng") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.col("_ng") - 1),
+            lambda i: _poly_hash(
+                F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, k))
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<bigint>"))
     staged = staged.select(*id_cols, "_ng", gh_expr.alias("_gh"))
     win = F.least(F.lit(w), F.col("_ng"))
     n_win = F.col("_ng") - win + 1
